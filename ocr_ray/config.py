@@ -1,0 +1,44 @@
+"""Typed pipeline configuration.
+
+The reference configures itself through environment variables
+(/root/reference/app/config.py:9-43); here the same knobs are a frozen
+dataclass that is cheap to ship to every Ray task / actor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- validation (analog of MAX_NUM_PAGES rejection, ocr_worker.py:161-167)
+    max_spans_per_doc: int = 4000
+
+    # --- cleaning thresholds (text_processing.py:76-84 defaults)
+    min_line_length: int = 10
+    percent_max_numeric: float = 0.7
+    percent_max_non_ascii: float = 0.40
+
+    # --- quality gate (app/config.py:17 MIN_QUALITY; ocr_worker.py:214-222)
+    min_quality: float = 77.0
+
+    # --- skew handling: docs with more spans than this take the
+    # explode -> per-span process -> groupby(doc_id) reassembly path
+    explode_threshold: int = 64
+
+    # --- Ray execution knobs
+    extract_batch_size: int = 64          # docs per actor call (nested path)
+    span_batch_size: int = 256            # spans per actor call (exploded path)
+    extract_concurrency: int | tuple = (2, 16)  # actor pool size
+    ocr_conf_bins: int = 10               # confidence histogram 0..100 step 10
+
+    # --- output layout
+    shard_partitions: int = 16            # checkpointable output partitions
+
+    def __post_init__(self):
+        if self.explode_threshold > self.max_spans_per_doc:
+            raise ValueError("explode_threshold must be <= max_spans_per_doc")
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,181 @@
+"""Per-document extraction core — the kernel both the golden oracle and
+every Ray stage call.
+
+Semantics per document (validate -> per-span extract -> reassemble), the
+Ray-native restatement of the reference's per-document chain
+(ocr_worker.py:170-249):
+
+* validation (ocr_worker.py:170-181 + MAX_NUM_PAGES guard :161-167):
+  structural checks emit a reject reason instead of raising;
+* ``kind == "text"`` spans: DOM block extraction (htmlx) + line cleaner —
+  the HTML analog of get_ocrized_text_from_blocks (ocr_service.py:137-145);
+* ``kind == "media"`` spans: simulated OCR pass + line cleaner + quality
+  estimate; quality < min_quality triggers ONE force-rotate re-OCR
+  (ocr_worker.py:214-222, app/config.py:17) and the retried pass wins;
+* output spans keep (kind, media_ref, offset) and are ordered by offset —
+  the span-sequence-equality invariant.
+
+All functions are pure; per-doc metrics come back as flat dicts ready to
+become Arrow columns.
+"""
+
+from __future__ import annotations
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from .cleaner import CleanStats, clean_lines
+from .htmlx import extract_main_text
+from .ocr_sim import run_ocr
+from .quality import estimate_quality
+
+VALID_KINDS = ("text", "media")
+
+# reject reasons (validation failure taxonomy; FIXTURES.md archetypes
+# empty / malformed / oversize_reject)
+R_EMPTY = "empty_document"
+R_MALFORMED = "malformed_span"
+R_DUP_OFFSET = "duplicate_offsets"
+R_TOO_MANY = "too_many_spans"
+R_NO_CONTENT = "no_content"
+
+
+def validate_spans(spans, cfg: PipelineConfig = DEFAULT_CONFIG) -> str | None:
+    """Return a reject reason or None if the document is processable."""
+    if spans is None or len(spans) == 0:
+        return R_EMPTY
+    if len(spans) > cfg.max_spans_per_doc:
+        return R_TOO_MANY
+    seen_offsets = set()
+    any_content = False
+    for s in spans:
+        if s is None:
+            return R_MALFORMED
+        kind, text, media_ref, offset = (
+            s.get("kind"), s.get("text"), s.get("media_ref"), s.get("offset"),
+        )
+        if kind not in VALID_KINDS or text is None or media_ref is None or offset is None:
+            return R_MALFORMED
+        if kind == "text" and media_ref != "":
+            return R_MALFORMED
+        if kind == "media" and media_ref == "":
+            return R_MALFORMED
+        if offset in seen_offsets:
+            return R_DUP_OFFSET
+        seen_offsets.add(offset)
+        if (kind == "text" and text.strip()) or kind == "media":
+            any_content = True
+    if not any_content:
+        return R_NO_CONTENT
+    return None
+
+
+def extract_span(
+    kind: str,
+    text: str,
+    media_ref: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    stats: CleanStats | None = None,
+) -> tuple[str, dict]:
+    """Extract one span. Returns (clean_text, meta).
+
+    meta: {"quality": float|-1, "retried": bool, "confs": list[float]}
+    (quality/-confidence only meaningful for media spans).
+    """
+    st = stats if stats is not None else CleanStats()
+    if kind == "text":
+        raw = extract_main_text(text)
+        cleaned, _ = clean_lines(
+            raw,
+            min_line_length=cfg.min_line_length,
+            percent_max_numeric=cfg.percent_max_numeric,
+            percent_max_non_ascii=cfg.percent_max_non_ascii,
+            stats=st,
+        )
+        return cleaned, {"quality": -1.0, "retried": False, "confs": []}
+
+    # media span: OCR -> clean -> quality gate -> maybe force-rotate retry
+    raw, confs = run_ocr(media_ref)
+    pass_stats = CleanStats()
+    cleaned, _ = clean_lines(
+        raw,
+        min_line_length=cfg.min_line_length,
+        percent_max_numeric=cfg.percent_max_numeric,
+        percent_max_non_ascii=cfg.percent_max_non_ascii,
+        stats=pass_stats,
+    )
+    q = estimate_quality(cleaned)
+    retried = False
+    if q < cfg.min_quality:
+        retried = True
+        raw, confs = run_ocr(media_ref, force_rotate=True)
+        pass_stats = CleanStats()
+        cleaned, _ = clean_lines(
+            raw,
+            min_line_length=cfg.min_line_length,
+            percent_max_numeric=cfg.percent_max_numeric,
+            percent_max_non_ascii=cfg.percent_max_non_ascii,
+            stats=pass_stats,
+        )
+        q = estimate_quality(cleaned)
+    st.merge(pass_stats)  # only the winning pass lands in the metrics
+    return cleaned, {"quality": q, "retried": retried, "confs": confs}
+
+
+def conf_histogram(confs: list[float], bins: int = 10) -> list[int]:
+    """Confidence histogram, bins over [0, 1]."""
+    hist = [0] * bins
+    for c in confs:
+        idx = min(int(c * bins), bins - 1)
+        hist[idx] += 1
+    return hist
+
+
+def extract_doc(
+    doc_id: str,
+    spans,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> dict:
+    """Full per-document extraction.
+
+    Returns a dict with either ``{"ok": True, "spans": [...], "metrics": {...}}``
+    (spans ordered by offset) or ``{"ok": False, "reason": str}``.
+    """
+    reason = validate_spans(spans, cfg)
+    if reason is not None:
+        return {"ok": False, "doc_id": doc_id, "reason": reason}
+
+    ordered = sorted(spans, key=lambda s: s["offset"])
+    out_spans = []
+    st = CleanStats()
+    qualities: list[float] = []
+    all_confs: list[float] = []
+    retries = 0
+    for s in ordered:
+        cleaned, meta = extract_span(s["kind"], s["text"], s["media_ref"], cfg, stats=st)
+        out_spans.append({
+            "kind": s["kind"],
+            "text": cleaned,
+            "media_ref": s["media_ref"],
+            "offset": s["offset"],
+        })
+        if s["kind"] == "media":
+            qualities.append(meta["quality"])
+            all_confs.extend(meta["confs"])
+            retries += int(meta["retried"])
+
+    metrics = {
+        "n_spans": len(out_spans),
+        "media_spans": len(qualities),
+        "blocks_kept": st.kept_lines,
+        "blocks_dropped": st.dropped_lines,
+        "clean_chars": st.total_clean_chars,
+        "original_chars": st.total_original_chars,
+        "min_length_lines": st.min_length_lines,
+        "forbidden_lines": st.forbidden_lines,
+        "low_alpha_lines": st.low_alpha_lines,
+        "high_digit_lines": st.high_digit_lines,
+        "non_ascii_lines": st.non_ascii_lines,
+        "quality_mean": round(sum(qualities) / len(qualities), 4) if qualities else -1.0,
+        "retried_spans": retries,
+        "conf_hist": conf_histogram(all_confs, cfg.ocr_conf_bins),
+    }
+    return {"ok": True, "doc_id": doc_id, "spans": out_spans, "metrics": metrics}
