@@ -30,7 +30,11 @@ class PipelineConfig:
     # --- Ray execution knobs
     extract_batch_size: int = 64          # docs per actor call (nested path)
     span_batch_size: int = 256            # spans per actor call (exploded path)
-    extract_concurrency: int | tuple = (2, 16)  # actor pool size
+    # actor pool (min, max): min MUST stay small — the nested-path and
+    # exploded-path pools coexist in one execution, and min actors reserve
+    # CPUs up front; a min of 2+2 on a 4-CPU test node starves the task
+    # operators (read/validate) and the pipeline deadlocks.
+    extract_concurrency: int | tuple = (1, 16)
     ocr_conf_bins: int = 10               # confidence histogram 0..100 step 10
 
     # --- output layout

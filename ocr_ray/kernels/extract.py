@@ -39,30 +39,43 @@ R_NO_CONTENT = "no_content"
 
 
 def validate_spans(spans, cfg: PipelineConfig = DEFAULT_CONFIG) -> str | None:
-    """Return a reject reason or None if the document is processable."""
+    """Return a reject reason or None if the document is processable.
+
+    Reason priority (fixed, so the scalar kernel and the vectorized stage
+    in stages/validate.py agree regardless of span position):
+    empty > too_many_spans > malformed > duplicate_offsets > no_content.
+    """
     if spans is None or len(spans) == 0:
         return R_EMPTY
     if len(spans) > cfg.max_spans_per_doc:
         return R_TOO_MANY
     seen_offsets = set()
+    malformed = dup = False
     any_content = False
     for s in spans:
         if s is None:
-            return R_MALFORMED
+            malformed = True
+            continue
         kind, text, media_ref, offset = (
             s.get("kind"), s.get("text"), s.get("media_ref"), s.get("offset"),
         )
-        if kind not in VALID_KINDS or text is None or media_ref is None or offset is None:
-            return R_MALFORMED
+        if (kind not in VALID_KINDS or text is None or media_ref is None
+                or offset is None):
+            malformed = True
+            continue
         if kind == "text" and media_ref != "":
-            return R_MALFORMED
+            malformed = True
         if kind == "media" and media_ref == "":
-            return R_MALFORMED
+            malformed = True
         if offset in seen_offsets:
-            return R_DUP_OFFSET
+            dup = True
         seen_offsets.add(offset)
         if (kind == "text" and text.strip()) or kind == "media":
             any_content = True
+    if malformed:
+        return R_MALFORMED
+    if dup:
+        return R_DUP_OFFSET
     if not any_content:
         return R_NO_CONTENT
     return None

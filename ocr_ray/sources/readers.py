@@ -1,0 +1,80 @@
+"""Input readers — Lance-first contract with a Parquet fallback.
+
+The north rule targets Lance tables of interleaved documents.  ``pylance``
+is not installed in this sandbox, so the reader probes for it and falls
+back to Parquet with the identical nested Arrow schema (SURVEY.md §1.2);
+on a cluster with pylance installed the Lance path activates untouched.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _has_lance() -> bool:
+    try:
+        import lance  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def read_documents(path: str, *, columns: list[str] | None = None):
+    """Read a documents table (doc_id, spans) as a ray.data.Dataset.
+
+    ``path`` may be a parquet file/directory or a Lance dataset URI
+    (``.lance`` suffix or lance:// scheme).
+    """
+    import ray.data as rd
+
+    if path.endswith(".lance") or path.startswith("lance://"):
+        if not _has_lance():
+            raise RuntimeError(
+                "Lance input requested but pylance is not installed; "
+                "use the Parquet layout (same schema) instead."
+            )
+        return rd.read_lance(path.removeprefix("lance://"), columns=columns)
+    return rd.read_parquet(path, columns=columns)
+
+
+def write_table(ds, path: str, **kwargs):
+    """Write a Dataset to the pluggable storage layer (Parquet here;
+    swap for write_lance on clusters with pylance)."""
+    ds.write_parquet(path, **kwargs)
+
+
+def _wrap_flat_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id:int64, text, ...) -> (doc_id:string, spans:[1 text span])."""
+    n = batch.num_rows
+    doc_ids = pc.cast(batch.column("doc_id"), pa.string())
+    text = batch.column("text").combine_chunks()
+    if isinstance(text, pa.ChunkedArray):
+        text = pa.concat_arrays(text.chunks) if text.num_chunks else pa.array([], pa.string())
+    offsets = pa.array(range(n + 1), type=pa.int32())
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(["text"] * n),
+            text,
+            pa.array([""] * n),
+            pa.array([0] * n, type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(offsets, struct)
+    return pa.Table.from_arrays(
+        [doc_ids.combine_chunks() if isinstance(doc_ids, pa.ChunkedArray) else doc_ids,
+         spans],
+        names=["doc_id", "spans"],
+    )
+
+
+def adapt_flat_documents(sf_dir: str):
+    """Adapter over the driver testdata ``documents`` table
+    (doc_id:int64, text, lang, source, n_chars — TESTDATA.md): wraps each
+    row into span form (one text span, offset 0) so the span pipeline runs
+    over it (FIXTURES.md §4). Columns are pruned at the read."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_wrap_flat_batch, batch_format="pyarrow")

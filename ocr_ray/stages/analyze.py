@@ -1,0 +1,78 @@
+"""Keyword analysis stage — the broadcast small-side join.
+
+The reference joins a ≤365-term keyword list against every document with
+multi-variant phrase matching and groups hits per keyword with counts
+(doc_analysis.py:168-178, 298-306).  Ray-native form: the keyword list is
+tiny, so it is NOT a shuffle join — the compiled matcher is actor state,
+built once per actor in ``__init__`` and version-keyed by the keywords
+hash (the LAST_KEYWORDS_HASH cache, doc_analysis.py:28,321-335): a new
+list version means new ``fn_constructor_kwargs``, which Ray maps to a
+fresh actor pool.
+
+Output: KEYWORD_HITS_SCHEMA rows — pixel rects of the reference replaced
+by (span_idx, start, end) char offsets (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..kernels.keywords import KeywordMatcher
+from ..kernels.wordpool import keyword_list, keywords_hash
+from ..schema import KEYWORD_HITS_SCHEMA
+
+
+class KeywordAnalyzer:
+    """Actor-pool callable over extracted documents (doc_id, spans)."""
+
+    def __init__(self, keywords: list[str] | None = None, version_hash: str = ""):
+        kws = list(keywords) if keywords is not None else list(keyword_list())
+        self.matcher = KeywordMatcher(kws, version_hash or keywords_hash(kws))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.select(["doc_id", "spans"]).to_pylist():
+            per_kw: dict[str, list] = {}
+            for span_idx, span in enumerate(row["spans"]):
+                if not span["text"]:
+                    continue
+                for h in self.matcher.find(span["text"]):
+                    per_kw.setdefault(h["keyword"], []).append({
+                        "span_idx": span_idx,
+                        "start": h["start"],
+                        "end": h["end"],
+                    })
+            for kw, occs in sorted(per_kw.items()):
+                out.append({
+                    "doc_id": row["doc_id"],
+                    "keyword": kw,
+                    "occs": occs,
+                    "total_occs": len(occs),
+                })
+        return pa.Table.from_pylist(out, schema=KEYWORD_HITS_SCHEMA)
+
+
+def keyword_hits(extracted_ds, keywords=None, *, concurrency=(2, 8), batch_size=32):
+    """extracted (doc_id, spans) -> keyword_hits Dataset."""
+    kws = list(keywords) if keywords is not None else list(keyword_list())
+    return extracted_ds.map_batches(
+        KeywordAnalyzer,
+        fn_constructor_kwargs={"keywords": kws,
+                               "version_hash": keywords_hash(kws)},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def corpus_keyword_counts(hits_ds):
+    """Cross-corpus rollup: keyword -> total occurrences, doc frequency.
+    Pre-aggregated per batch implicitly (hits rows are already per-doc);
+    the groupby shuffles only (keyword, count) sized data."""
+    from ray.data.aggregate import Count, Sum
+
+    return hits_ds.groupby("keyword").aggregate(
+        Sum("total_occs", alias_name="total_occs"),
+        Count(alias_name="doc_freq"),
+    )

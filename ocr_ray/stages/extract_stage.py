@@ -1,0 +1,177 @@
+"""Extraction stages — the heavy compute of the pipeline.
+
+Two physical strategies over the same kernel (SURVEY.md §7.4):
+
+* **nested path** (default, no shuffle): documents stay one-row-per-doc;
+  an actor pool maps ``extract_doc`` over batches of docs.  Order is free
+  because each row carries its whole span list.
+* **exploded path** (skew/mega docs): spans become rows, processed by an
+  actor pool one span at a time (so a 900-span mega doc parallelizes
+  across the cluster instead of stalling one actor — the Ray answer to
+  the reference's page-level ``--jobs`` fan-out, ocr_service.py:37-39),
+  then ONE ``groupby(doc_id)`` shuffle reassembles ordered span lists.
+
+Both paths emit the same ``RESULT_SCHEMA``: (doc_id, spans) + flat per-doc
+metric columns, so their union is seamless and metrics reproduce the
+golden extractor's values bit for bit (summation happens in offset order).
+
+Stateful setup (compiled regexes, vocabulary set, keyword structures) is
+done once per actor in ``__init__`` — the reference's module-global
+singletons (doc_analysis.py:25-49, ocr_evaluation.py:13-38) become actor
+state.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..kernels.cleaner import CleanStats
+from ..kernels.extract import conf_histogram, extract_doc, extract_span
+from ..schema import METRICS_FIELDS, SPANS_TYPE
+
+# (doc_id, spans) + per-doc metrics, identical on both physical paths
+RESULT_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("spans", SPANS_TYPE)]
+    + [(n, t) for n, t in METRICS_FIELDS if n != "doc_id"]
+)
+
+# intermediate schema of the exploded path
+SPAN_RESULT_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+    ("quality", pa.float64()),
+    ("retried", pa.int64()),
+    ("confs", pa.list_(pa.float64())),
+    ("kept_lines", pa.int64()),
+    ("min_length_lines", pa.int64()),
+    ("forbidden_lines", pa.int64()),
+    ("low_alpha_lines", pa.int64()),
+    ("high_digit_lines", pa.int64()),
+    ("non_ascii_lines", pa.int64()),
+    ("clean_chars", pa.int64()),
+    ("original_chars", pa.int64()),
+])
+
+
+def _result_row(doc_id: str, spans: list, metrics: dict) -> dict:
+    return {"doc_id": doc_id, "spans": spans, **metrics}
+
+
+class ExtractDocs:
+    """Actor-pool callable for the nested path (whole docs per row)."""
+
+    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        # warm the per-actor state once: vocabulary set + regex compilation
+        from ..kernels.wordpool import vocabulary
+        vocabulary()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.select(["doc_id", "spans"]).to_pylist()
+        out = []
+        for row in rows:
+            res = extract_doc(row["doc_id"], row["spans"], self.cfg)
+            if res["ok"]:  # invalid rows were routed out before this stage
+                out.append(_result_row(res["doc_id"], res["spans"], res["metrics"]))
+        return pa.Table.from_pylist(out, schema=RESULT_SCHEMA)
+
+
+def explode_spans(batch: pa.Table) -> pa.Table:
+    """Zero-copy-ish flatten: one row per span, doc_id repeated via
+    list_parent_indices (pyarrow kernels, no Python loop)."""
+    spans = batch.column("spans").combine_chunks()
+    flat = pc.list_flatten(spans)
+    parent = pc.list_parent_indices(spans)
+    doc_ids = pc.take(batch.column("doc_id"), parent)
+    return pa.Table.from_arrays(
+        [doc_ids.combine_chunks() if isinstance(doc_ids, pa.ChunkedArray) else doc_ids,
+         flat.field("kind"), flat.field("text"),
+         flat.field("media_ref"), flat.field("offset")],
+        names=["doc_id", "kind", "text", "media_ref", "offset"],
+    )
+
+
+class ExtractSpans:
+    """Actor-pool callable for the exploded path (one span per row)."""
+
+    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG):
+        self.cfg = cfg
+        from ..kernels.wordpool import vocabulary
+        vocabulary()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = []
+        for r in rows:
+            st = CleanStats()
+            cleaned, meta = extract_span(
+                r["kind"], r["text"], r["media_ref"], self.cfg, stats=st)
+            out.append({
+                "doc_id": r["doc_id"],
+                "kind": r["kind"],
+                "text": cleaned,
+                "media_ref": r["media_ref"],
+                "offset": r["offset"],
+                "quality": meta["quality"],
+                "retried": int(meta["retried"]),
+                "confs": meta["confs"],
+                "kept_lines": st.kept_lines,
+                "min_length_lines": st.min_length_lines,
+                "forbidden_lines": st.forbidden_lines,
+                "low_alpha_lines": st.low_alpha_lines,
+                "high_digit_lines": st.high_digit_lines,
+                "non_ascii_lines": st.non_ascii_lines,
+                "clean_chars": st.total_clean_chars,
+                "original_chars": st.total_original_chars,
+            })
+        return pa.Table.from_pylist(out, schema=SPAN_RESULT_SCHEMA)
+
+
+def reassemble_group(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Rebuild one document from its processed spans (sorted by offset).
+
+    Metric aggregation mirrors extract_doc exactly — including summing
+    media qualities in offset order so float means match bit for bit.
+    """
+    rows = sorted(group.to_pylist(), key=lambda r: r["offset"])
+    doc_id = rows[0]["doc_id"]
+    spans, qualities, confs = [], [], []
+    retries = 0
+    agg = {k: 0 for k in ("kept_lines", "min_length_lines", "forbidden_lines",
+                          "low_alpha_lines", "high_digit_lines",
+                          "non_ascii_lines", "clean_chars", "original_chars")}
+    for r in rows:
+        spans.append({"kind": r["kind"], "text": r["text"],
+                      "media_ref": r["media_ref"], "offset": r["offset"]})
+        for k in agg:
+            agg[k] += r[k]
+        if r["kind"] == "media":
+            qualities.append(r["quality"])
+            confs.extend(r["confs"])
+            retries += r["retried"]
+    dropped = (agg["min_length_lines"] + agg["forbidden_lines"] +
+               agg["low_alpha_lines"] + agg["high_digit_lines"] +
+               agg["non_ascii_lines"])
+    metrics = {
+        "n_spans": len(spans),
+        "media_spans": len(qualities),
+        "blocks_kept": agg["kept_lines"],
+        "blocks_dropped": dropped,
+        "clean_chars": agg["clean_chars"],
+        "original_chars": agg["original_chars"],
+        "min_length_lines": agg["min_length_lines"],
+        "forbidden_lines": agg["forbidden_lines"],
+        "low_alpha_lines": agg["low_alpha_lines"],
+        "high_digit_lines": agg["high_digit_lines"],
+        "non_ascii_lines": agg["non_ascii_lines"],
+        "quality_mean": round(sum(qualities) / len(qualities), 4) if qualities else -1.0,
+        "retried_spans": retries,
+        "conf_hist": conf_histogram(confs, cfg.ocr_conf_bins),
+    }
+    return pa.Table.from_pylist([_result_row(doc_id, spans, metrics)],
+                                schema=RESULT_SCHEMA)

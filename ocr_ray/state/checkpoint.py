@@ -1,0 +1,168 @@
+"""Resumable sharded execution with per-partition lineage.
+
+The reference's checkpointing is the job API's status machine
+(downloaded -> locked -> ocr_in_progress -> ocr_done|ocr_failed,
+app/constants.py:35-54, transitions ocr_worker.py:293-330): a crashed
+worker's document is re-polled and re-done.  The batch-engine rendition
+(SURVEY.md §4 "Checkpoint / resume") is a partition manifest:
+
+* input fragments are grouped into SHARDS (disjoint file sets);
+* each shard runs the full pipeline and writes its outputs to a temp
+  directory, atomically renamed into place, THEN a lineage marker
+  ``_lineage/shard-<k>.json`` is written (marker last => a marker proves
+  the shard's data is complete);
+* on resume, committed shards are skipped by listing markers — a killed
+  job re-does only its in-flight shard (whose temp dir is discarded), so
+  output is exactly-once without any dedup shuffle.
+
+The marker doubles as the per-partition metrics record (doc counts,
+Cleaner drop counters, OCR confidence histogram, quality mean, timings) —
+the Arrow/JSON rendition of the Cleaner stats dict + perf JSONL row
+(text_processing.py:202-211, tests/test_performance.py:59-69).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+_METRIC_SUM_COLS = (
+    "n_spans", "media_spans", "blocks_kept", "blocks_dropped",
+    "clean_chars", "original_chars", "min_length_lines", "forbidden_lines",
+    "low_alpha_lines", "high_digit_lines", "non_ascii_lines", "retried_spans",
+)
+
+
+def list_input_files(input_path: str) -> list[str]:
+    """Deterministic (sorted) fragment enumeration — the reference sorts
+    its corpus walk the same way (tests/test_performance.py:16-33)."""
+    if os.path.isfile(input_path):
+        return [input_path]
+    return sorted(
+        os.path.join(input_path, f)
+        for f in os.listdir(input_path)
+        if f.endswith(".parquet")
+    )
+
+
+def make_shards(files: list[str], n_shards: int) -> list[list[str]]:
+    n_shards = max(1, min(n_shards, len(files)))
+    return [files[i::n_shards] for i in range(n_shards)]
+
+
+class CheckpointedRunner:
+    """Runs the extraction pipeline shard by shard with commit markers."""
+
+    def __init__(self, input_path: str, output_dir: str, cfg=None, n_shards: int = 4):
+        from ..config import DEFAULT_CONFIG
+
+        self.cfg = cfg or DEFAULT_CONFIG
+        self.input_path = input_path
+        self.output_dir = output_dir
+        self.files = list_input_files(input_path)
+        self.shards = make_shards(self.files, n_shards)
+        self.lineage_dir = os.path.join(output_dir, "_lineage")
+        os.makedirs(self.lineage_dir, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------
+    def marker_path(self, k: int) -> str:
+        return os.path.join(self.lineage_dir, f"shard-{k:05d}.json")
+
+    def committed_shards(self) -> set:
+        out = set()
+        for f in os.listdir(self.lineage_dir):
+            if f.startswith("shard-") and f.endswith(".json"):
+                out.add(int(f[len("shard-"):-len(".json")]))
+        return out
+
+    # -- metrics -------------------------------------------------------
+    def _aggregate_metrics(self, extracted_dir: str) -> dict:
+        """Per-shard rollup read back from the written (columnar) output —
+        column-pruned, so this re-read touches only the small metric
+        columns, never the span text."""
+        import pyarrow.dataset as pads
+        import pyarrow.compute as pc
+
+        cols = list(_METRIC_SUM_COLS) + ["quality_mean", "conf_hist"]
+        tbl = pads.dataset(extracted_dir).to_table(columns=cols)
+        agg = {c: pc.sum(tbl.column(c)).as_py() or 0 for c in _METRIC_SUM_COLS}
+        q = [v for v in tbl.column("quality_mean").to_pylist() if v >= 0]
+        agg["quality_mean"] = round(sum(q) / len(q), 4) if q else -1.0
+        hists = tbl.column("conf_hist").to_pylist()
+        agg["conf_hist"] = [sum(h[i] for h in hists) for i in range(
+            len(hists[0]))] if hists else []
+        return agg
+
+    # -- execution -----------------------------------------------------
+    def run_shard(self, k: int) -> dict:
+        from ..pipelines.extract_pipeline import build_extracted, build_failed
+        import ray.data as rd
+
+        started = time.time()
+        tmp = os.path.join(self.output_dir, f".tmp-shard-{k:05d}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        ds = rd.read_parquet(self.shards[k])
+        # an empty dataset writes no files at all — pre-create the dirs so
+        # all-valid / all-invalid shards still publish a (possibly empty)
+        # partition and the read-back below never 404s
+        os.makedirs(f"{tmp}/extracted", exist_ok=True)
+        os.makedirs(f"{tmp}/failed", exist_ok=True)
+        build_extracted(ds, self.cfg).write_parquet(f"{tmp}/extracted")
+        build_failed(ds, self.cfg).write_parquet(f"{tmp}/failed")
+
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        from ..schema import FAILED_SCHEMA
+
+        n_docs = pads.dataset(f"{tmp}/extracted").count_rows()
+        failed_frag = pads.dataset(f"{tmp}/failed")
+        failed_tbl = (failed_frag.to_table() if failed_frag.files
+                      else pa.Table.from_pylist([], schema=FAILED_SCHEMA))
+        metrics = (self._aggregate_metrics(f"{tmp}/extracted")
+                   if n_docs else {})
+
+        # atomic publish: rename data dirs into place, marker LAST
+        for sub in ("extracted", "failed"):
+            dest = os.path.join(self.output_dir, sub, f"shard={k:05d}")
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.rmtree(dest, ignore_errors=True)
+            os.rename(os.path.join(tmp, sub), dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        marker = {
+            "shard": k,
+            "files": self.shards[k],
+            "doc_count": n_docs,
+            "failed_count": failed_tbl.num_rows,
+            "failed_reasons": sorted(
+                {r["reason"] for r in failed_tbl.to_pylist()}),
+            "metrics": metrics,
+            "started_at": started,
+            "committed_at": time.time(),
+        }
+        tmp_marker = self.marker_path(k) + ".tmp"
+        with open(tmp_marker, "w") as f:
+            json.dump(marker, f)
+        os.rename(tmp_marker, self.marker_path(k))
+        return marker
+
+    def run(self, resume: bool = True) -> dict:
+        done = self.committed_shards() if resume else set()
+        ran, skipped = [], sorted(done)
+        for k in range(len(self.shards)):
+            if k in done:
+                continue
+            self.run_shard(k)
+            ran.append(k)
+        return {
+            "shards_total": len(self.shards),
+            "shards_run": ran,
+            "shards_skipped": skipped,
+            "doc_count": sum(
+                json.load(open(self.marker_path(k)))["doc_count"]
+                for k in range(len(self.shards))),
+        }

@@ -1,0 +1,77 @@
+"""Resumable execution: atomic shard commits, exactly-once on resume.
+
+Mirrors the reference's crash-resume contract (a killed worker's doc is
+re-done; completed docs are never re-done — ocr_worker.py:293-330) at
+partition granularity."""
+
+import json
+import os
+import shutil
+
+import pyarrow.dataset as pads
+import pytest
+
+from ocr_ray.golden import assert_span_equal
+from ocr_ray.state.checkpoint import CheckpointedRunner, list_input_files, make_shards
+
+
+class TestSharding:
+    def test_deterministic_file_order(self, small_corpus_path):
+        files = list_input_files(small_corpus_path)
+        assert files == sorted(files) and len(files) == 2
+
+    def test_shards_partition_files(self, small_corpus_path):
+        files = list_input_files(small_corpus_path)
+        shards = make_shards(files, 2)
+        assert sorted(sum(shards, [])) == sorted(files)
+        assert make_shards(files, 10) == [[files[0]], [files[1]]]
+
+
+class TestResume:
+    def test_full_run_then_resume_skips_all(self, ray_session, small_corpus_path,
+                                            golden_result, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("ckpt"))
+        runner = CheckpointedRunner(small_corpus_path, out, n_shards=2)
+        s1 = runner.run()
+        assert s1["shards_run"] == [0, 1] and s1["shards_skipped"] == []
+
+        actual = pads.dataset(f"{out}/extracted").to_table(
+            columns=["doc_id", "spans"])
+        assert_span_equal(actual, golden_result["extracted"])
+
+        # resume: nothing re-runs, counts stable
+        s2 = CheckpointedRunner(small_corpus_path, out, n_shards=2).run()
+        assert s2["shards_run"] == [] and s2["shards_skipped"] == [0, 1]
+        assert s2["doc_count"] == s1["doc_count"]
+
+    def test_crash_between_shards_resumes_exactly_once(
+            self, ray_session, small_corpus_path, golden_result,
+            tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("ckpt_crash"))
+        runner = CheckpointedRunner(small_corpus_path, out, n_shards=2)
+        runner.run_shard(0)  # "crash" after shard 0 committed
+
+        # simulate an in-flight temp dir from the dying run
+        os.makedirs(f"{out}/.tmp-shard-00001/extracted", exist_ok=True)
+
+        s = CheckpointedRunner(small_corpus_path, out, n_shards=2).run()
+        assert s["shards_run"] == [1] and s["shards_skipped"] == [0]
+
+        actual = pads.dataset(f"{out}/extracted").to_table(
+            columns=["doc_id", "spans"])
+        assert_span_equal(actual, golden_result["extracted"])
+        # no doc appears twice
+        ids = actual.column("doc_id").to_pylist()
+        assert len(ids) == len(set(ids))
+
+    def test_lineage_marker_contents(self, ray_session, small_corpus_path,
+                                     tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("ckpt_marker"))
+        runner = CheckpointedRunner(small_corpus_path, out, n_shards=1)
+        marker = runner.run_shard(0)
+        on_disk = json.load(open(runner.marker_path(0)))
+        assert on_disk["doc_count"] == marker["doc_count"] > 0
+        assert on_disk["metrics"]["blocks_kept"] > 0
+        assert len(on_disk["metrics"]["conf_hist"]) == 10
+        assert on_disk["committed_at"] >= on_disk["started_at"]
+        assert on_disk["failed_count"] > 0  # archetype corpus has rejects

@@ -1,0 +1,85 @@
+"""Distributed pipeline vs golden oracle — the north-rule invariant:
+span-sequence equality (kind, text, media_ref, order) per doc_id."""
+
+import pyarrow.dataset as pads
+import pytest
+
+from ocr_ray.config import PipelineConfig
+from ocr_ray.golden import assert_span_equal, spans_fingerprint
+from ocr_ray.pipelines.extract_pipeline import build_extracted, build_failed, run_extraction
+from ocr_ray.stages.validate import validate_batch
+from ocr_ray.kernels.extract import validate_spans
+
+
+@pytest.fixture(scope="module")
+def pipeline_output(ray_session, small_corpus_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe_out"))
+    summary = run_extraction(small_corpus_path, out)
+    return out, summary
+
+
+class TestPipelineEquality:
+    def test_span_sequence_equality(self, pipeline_output, golden_result):
+        out, _ = pipeline_output
+        actual = pads.dataset(f"{out}/extracted").to_table(
+            columns=["doc_id", "spans"])
+        assert_span_equal(actual, golden_result["extracted"])
+
+    def test_failed_docs_match_golden(self, pipeline_output, golden_result):
+        out, _ = pipeline_output
+        actual = sorted(pads.dataset(f"{out}/failed").to_table().to_pylist(),
+                        key=lambda r: r["doc_id"])
+        expected = sorted(golden_result["failed"].to_pylist(),
+                          key=lambda r: r["doc_id"])
+        assert actual == expected
+
+    def test_metrics_match_golden(self, pipeline_output, golden_result):
+        out, _ = pipeline_output
+        cols = [c for c in golden_result["metrics"].column_names]
+        actual = {r["doc_id"]: r for r in pads.dataset(f"{out}/extracted")
+                  .to_table(columns=cols).to_pylist()}
+        for exp in golden_result["metrics"].to_pylist():
+            act = actual[exp["doc_id"]]
+            assert act == exp, f"metrics differ for {exp['doc_id']}"
+
+    def test_counts(self, pipeline_output, golden_result):
+        _, summary = pipeline_output
+        assert summary["extracted"] == golden_result["extracted"].num_rows
+        assert summary["failed"] == golden_result["failed"].num_rows
+
+
+class TestExplodedPathEquality:
+    """Force EVERY doc through explode -> span extract -> groupby
+    reassembly and re-assert equality: proves order lives in the data."""
+
+    def test_all_exploded_equals_golden(self, ray_session, small_corpus_path,
+                                        golden_result, tmp_path_factory):
+        from ocr_ray.sources.readers import read_documents
+
+        cfg = PipelineConfig(explode_threshold=0, span_batch_size=64)
+        ds = read_documents(small_corpus_path)
+        result = build_extracted(ds, cfg)
+        tbl = result.to_pandas()
+        import pyarrow as pa
+        from ocr_ray.schema import EXTRACTED_SCHEMA
+        actual = pa.Table.from_pylist(
+            tbl[["doc_id", "spans"]].to_dict("records"), schema=EXTRACTED_SCHEMA)
+        assert_span_equal(actual, golden_result["extracted"])
+
+
+class TestValidateVectorized:
+    def test_vector_scalar_agreement(self, small_corpus):
+        """stages.validate must agree row-for-row with the scalar kernel."""
+        out = validate_batch(small_corpus)
+        reasons = out.column("reject_reason").to_pylist()
+        for i, row in enumerate(small_corpus.to_pylist()):
+            expected = validate_spans(row["spans"]) or ""
+            assert reasons[i] == expected, (
+                f"row {i} ({row['doc_id']}): vector={reasons[i]!r} "
+                f"scalar={expected!r}")
+
+    def test_n_spans_column(self, small_corpus):
+        out = validate_batch(small_corpus)
+        ns = out.column("n_spans").to_pylist()
+        for i, row in enumerate(small_corpus.to_pylist()):
+            assert ns[i] == (len(row["spans"]) if row["spans"] is not None else 0)
