@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here (or
+in ocr_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``      — flagship span-extraction pipeline on sf0.001
+* ``queries()``    — one callable per implemented operator (SURVEY.md §2
+                     + the training-data ops: dedup, knn, text analysis)
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+                     query (column names match exactly; floats derived
+                     via identical integer-exact arithmetic both sides)
 """
 
 from __future__ import annotations
@@ -20,25 +18,118 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: adapt the flat sf0.001 documents table into span form,
+    run the full extraction pipeline, return extracted (doc_id, spans,
+    metric columns) as a pandas DataFrame."""
+    from ocr_ray.pipelines.extract_pipeline import build_extracted
+    from ocr_ray.sources.readers import adapt_flat_documents
+
+    ds = adapt_flat_documents("/root/testdata/sf0.001")
+    return build_extracted(ds).to_pandas()
+
+
+def _span_extraction(sf_dir: str):
+    """Span pipeline over the adapted flat documents (rows-only check)."""
+    from ocr_ray.pipelines.extract_pipeline import build_extracted
+    from ocr_ray.sources.readers import adapt_flat_documents
+
+    return build_extracted(adapt_flat_documents(sf_dir)).select_columns(
+        ["doc_id", "n_spans", "blocks_kept", "blocks_dropped",
+         "clean_chars", "original_chars"])
+
+
+FLAT_CORPUS_KEYWORDS = [
+    "spark", "vector", "query", "shuffle", "join", "hash join",
+    "window", "batch", "column", "table scan", "data",
+]
+
+
+def _keyword_hits_corpus(sf_dir: str):
+    """Extracted spans -> keyword hits rollup (rows-only: multi-variant
+    matching is not SQL-expressible)."""
+    from ocr_ray.pipelines.extract_pipeline import build_extracted
+    from ocr_ray.sources.readers import adapt_flat_documents
+    from ocr_ray.stages.analyze import corpus_keyword_counts, keyword_hits
+
+    extracted = build_extracted(adapt_flat_documents(sf_dir)) \
+        .select_columns(["doc_id", "spans"])
+    return corpus_keyword_counts(
+        keyword_hits(extracted, keywords=FLAT_CORPUS_KEYWORDS))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocr_ray.functions import events as ev
+    from ocr_ray.functions import relational as rel
+    from ocr_ray.functions import similarity as sim
+    from ocr_ray.functions import textops as tx
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational (SURVEY.md §2.5-2.6 shapes)
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_top_order_revenue": rel.q3_top_order_revenue,
+        "q5_supplier_region_revenue": rel.q5_supplier_region_revenue,
+        "q6_revenue_delta": rel.q6_revenue_delta,
+        "mktsegment_stats": rel.mktsegment_stats,
+        "topk_orders_by_price": rel.topk_orders_by_price,
+        "order_priority_counts": rel.order_priority_counts,
+        "part_type_stats": rel.part_type_stats,
+        "distinct_order_statuses": rel.distinct_order_statuses,
+        # events / streaming-shaped (§2.9)
+        "events_by_type": ev.events_by_type,
+        "events_daily": ev.events_daily,
+        "top_users_by_value": ev.top_users_by_value,
+        "sessionize": ev.sessionize,
+        # text analysis
+        "doc_lang_stats": tx.doc_lang_stats,
+        "doc_token_counts": tx.doc_token_counts,
+        "doc_char_quality": tx.doc_char_quality,
+        "doc_line_stats": tx.doc_line_stats,
+        "keyword_doc_freq": tx.keyword_doc_freq,
+        "doc_quality_scores": tx.doc_quality_scores,
+        "lang_id": tx.lang_id,
+        "doc_fingerprints": tx.doc_fingerprints,
+        # dedup family
+        "exact_dedup_groups": tx.exact_dedup_groups,
+        # similarity search
+        "knn_bruteforce": sim.knn_bruteforce,
+        "knn_ivf": sim.knn_ivf,
+        "embedding_label_centroids": sim.embedding_label_centroids,
+        # the extraction engine itself
+        "span_extraction": _span_extraction,
+        "keyword_hits_corpus": _keyword_hits_corpus,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_ray.functions import events as ev
+    from ocr_ray.functions import relational as rel
+    from ocr_ray.functions import similarity as sim
+    from ocr_ray.functions import textops as tx
+
+    return {
+        "q1_pricing_summary": rel.Q1_SQL,
+        "q3_top_order_revenue": rel.Q3_SQL,
+        "q5_supplier_region_revenue": rel.Q5_SQL,
+        "q6_revenue_delta": rel.Q6_SQL,
+        "mktsegment_stats": rel.MKTSEGMENT_SQL,
+        "topk_orders_by_price": rel.TOPK_ORDERS_SQL,
+        "order_priority_counts": rel.ORDER_PRIORITY_SQL,
+        "part_type_stats": rel.PART_TYPE_SQL,
+        "distinct_order_statuses": rel.DISTINCT_STATUS_SQL,
+        "events_by_type": ev.EVENTS_BY_TYPE_SQL,
+        "events_daily": ev.EVENTS_DAILY_SQL,
+        "top_users_by_value": ev.TOP_USERS_SQL,
+        "sessionize": ev.SESSIONIZE_SQL,
+        "doc_lang_stats": tx.DOC_LANG_STATS_SQL,
+        "doc_token_counts": tx.DOC_TOKEN_COUNTS_SQL,
+        "doc_char_quality": tx.DOC_CHAR_QUALITY_SQL,
+        "doc_line_stats": tx.DOC_LINE_STATS_SQL,
+        "keyword_doc_freq": tx.KEYWORD_DOC_FREQ_SQL,
+        "doc_quality_scores": tx.DOC_QUALITY_SQL,
+        "exact_dedup_groups": tx.EXACT_DEDUP_SQL,
+        "knn_bruteforce": sim.KNN_BRUTE_SQL,
+        "embedding_label_centroids": sim.EMBEDDING_LABEL_SQL,
+        # rows-only (non-SQL-expressible): lang_id, doc_fingerprints,
+        # knn_ivf (approximate), span_extraction, keyword_hits_corpus,
+        # sessionize is SQL-expressible and included above.
+    }

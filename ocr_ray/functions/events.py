@@ -1,0 +1,167 @@
+"""Stream-shaped operators over the ``events`` table.
+
+Ray Data has no event-time windows (ray guide "Streaming-shaped
+workloads"); the pattern is: partition by key, sort by ts within the
+group, window with pandas inside ``groupby(key).map_groups``.  Tumbling
+windows reduce to a groupby on the truncated timestamp.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._num import round_half_up, np_round_half_up
+
+
+def _read(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _val_milli(arr) -> pa.Array:
+    """value (float) -> exact int64 millis for order-free summation."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(arr, pa.scalar(1000.0)),
+                                   pa.scalar(0.5))), pa.int64())
+
+
+def events_by_type(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch["event_type"],
+                      "v": _val_milli(batch["value"])})
+        df = t.to_pandas().groupby("event_type", as_index=False).agg(
+            v=("v", "sum"), n=("v", "size"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type").aggregate(Sum("v", alias_name="v"),
+                                Sum("n", alias_name="n_events"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_events": batch["n_events"],
+            "sum_value": round_half_up(pc.divide(pc.cast(
+                batch["v"], pa.float64()), pa.scalar(1000.0)), 3),
+            "avg_value": round_half_up(pc.divide(pc.divide(pc.cast(
+                batch["v"], pa.float64()), pa.scalar(1000.0)),
+                pc.cast(batch["n_events"], pa.float64())), 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type, count(*) AS n_events,
+       floor((sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) / 1000.0) * 1000.0 + 0.5) / 1000.0 AS sum_value,
+       floor((sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) / 1000.0
+             / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_daily(sf_dir: str):
+    """Tumbling daily window = groupby the truncated timestamp (emitted as
+    a string so both engines hash the same value)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "day": batch["ts"].to_pandas().dt.strftime("%Y-%m-%d"),
+            "v": _val_milli(batch["value"]).to_numpy(),
+        })
+        g = df.groupby("day", as_index=False).agg(v=("v", "sum"), n=("v", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("day") \
+        .aggregate(Sum("v", alias_name="v"), Sum("n", alias_name="n_events"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": batch["day"],
+            "n_events": batch["n_events"],
+            "sum_value": round_half_up(pc.divide(pc.cast(
+                batch["v"], pa.float64()), pa.scalar(1000.0)), 3),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+       floor((sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) / 1000.0) * 1000.0 + 0.5) / 1000.0 AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def top_users_by_value(sf_dir: str, k: int = 20):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, ["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch["user_id"], "v": _val_milli(batch["value"])})
+        df = t.to_pandas().groupby("user_id", as_index=False)["v"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("user_id") \
+        .aggregate(Sum("v", alias_name="v"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "total_value": round_half_up(pc.divide(pc.cast(
+                batch["v"], pa.float64()), pa.scalar(1000.0)), 3),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(["total_value", "user_id"], descending=[True, False]).limit(k))
+
+
+TOP_USERS_SQL = """
+SELECT user_id,
+       floor((sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) / 1000.0) * 1000.0 + 0.5) / 1000.0 AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id ASC LIMIT 20
+"""
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: sort the group by ts, a new session
+    starts when the gap to the previous event exceeds ``gap_minutes``.
+    The one shuffle is groupby(user_id); within-group logic is pandas.
+    """
+    ds = _read(sf_dir, ["user_id", "ts"])
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        gaps = g["ts"].diff()
+        new_sess = (gaps.isna() | (gaps > pd.Timedelta(minutes=gap_minutes)))
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [len(g)],
+            "n_sessions": [int(new_sess.sum())],
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, count(*) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+) GROUP BY user_id
+"""

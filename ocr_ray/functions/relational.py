@@ -1,0 +1,395 @@
+"""Relational operators over the TPC-H-ish testdata (SURVEY.md §2.4-2.6).
+
+Patterns demonstrated, each annotated with its shuffle footprint:
+
+* partial aggregation inside map_batches before a small groupby (Q1);
+* broadcast small-side joins (dimensions shipped once via fn_kwargs, no
+  shuffle) — the engine's default join for dim tables (ray guide:
+  "small side -> broadcast");
+* hash-partitioned Dataset.join only where both sides are large;
+* sort + limit top-k on pre-aggregated (small) data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._num import round_half_up, np_round_half_up
+import pyarrow.parquet as pq
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """float money -> exact int64 cents via floor(x*100 + 0.5): identical
+    IEEE ops on both engines (pyarrow round() is half-to-even, DuckDB's is
+    half-away — floor+0.5 sidesteps the disagreement; values positive)."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(arr, pa.scalar(100.0)),
+                                   pa.scalar(0.5))), pa.int64())
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ------------------------------------------------------------------ Q1
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary.
+
+    Partial aggregation: each batch collapses to <=6 rows before the
+    groupby, so the all-to-all exchange moves a few KB regardless of
+    input size."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        charge = pc.multiply(disc_price,
+                             pc.add(pa.scalar(1.0), batch["l_tax"]))
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": batch["l_quantity"],
+            "base_cents": _cents(batch["l_extendedprice"]),
+            "disc_cents": _cents(disc_price),
+            "charge_cents": _cents(charge),
+            "disc_bps": pc.cast(pc.floor(pc.add(pc.multiply(
+                batch["l_discount"], pa.scalar(10000.0)), pa.scalar(0.5))),
+                pa.int64()),
+        })
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_cents=("base_cents", "sum"),
+            sum_disc_cents=("disc_cents", "sum"),
+            sum_charge_cents=("charge_cents", "sum"),
+            sum_disc_bps=("disc_bps", "sum"),
+            count_order=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+        Sum("sum_charge_cents", alias_name="sum_charge_cents"),
+        Sum("sum_disc_bps", alias_name="sum_disc_bps"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["count_order"], pa.float64())
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": batch["sum_qty"],
+            "sum_base_price": round_half_up(pc.divide(pc.cast(
+                batch["sum_base_cents"], pa.float64()), pa.scalar(100.0)), 2),
+            "sum_disc_price": round_half_up(pc.divide(pc.cast(
+                batch["sum_disc_cents"], pa.float64()), pa.scalar(100.0)), 2),
+            "sum_charge": round_half_up(pc.divide(pc.cast(
+                batch["sum_charge_cents"], pa.float64()), pa.scalar(100.0)), 2),
+            "avg_qty": round_half_up(pc.divide(batch["sum_qty"], n), 6),
+            "avg_disc": round_half_up(pc.divide(pc.divide(pc.cast(
+                batch["sum_disc_bps"], pa.float64()), pa.scalar(10000.0)), n), 6),
+            "count_order": batch["count_order"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       floor((sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+       floor((sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+       floor((sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS sum_charge,
+       floor((sum(l_quantity) / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+       floor((sum(CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT)) / 10000.0 / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------ Q6 filter+sum
+
+def q6_revenue_delta(sf_dir: str):
+    """Filter + global sum (no groupby shuffle at all: per-batch partials
+    union to one row)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(batch["l_discount"], 0.05),
+                    pc.less_equal(batch["l_discount"], 0.07)),
+            pc.less(batch["l_quantity"], 24.0),
+        )
+        sel = batch.filter(mask)
+        rev = pc.multiply(sel["l_extendedprice"], sel["l_discount"])
+        total = pc.sum(_cents(rev)).as_py() or 0
+        return pa.table({"rev_cents": pa.array([total], pa.int64())})
+
+    total = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+              .aggregate(Sum("rev_cents", alias_name="c"))
+    revenue = round((total["c"] or 0) / 100.0, 2)
+    return pa.table({"revenue": pa.array([revenue], pa.float64())})
+
+
+Q6_SQL = """
+SELECT floor((sum(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ------------------------------------- broadcast dim joins (Q5 shape)
+
+def q5_supplier_region_revenue(sf_dir: str):
+    """Revenue by supplier region: three dimension tables broadcast into
+    the lineitem scan (supplier -> nation -> region), then a tiny groupby.
+    Zero shuffle on the fact table."""
+    from ray.data.aggregate import Sum
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    n2r = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
+    r2name = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    supp2region = np.array([
+        r2name[n2r[nk]] for nk in sup["s_nationkey"].to_pylist()
+    ])  # indexed by s_suppkey (dense 0..N-1)
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table, supp2region=None) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        cents = _cents(rev).to_numpy()
+        regions = supp2region[batch["l_suppkey"].to_numpy()]
+        df = pd.DataFrame({"r_name": regions, "c": cents})
+        g = df.groupby("r_name", as_index=False)["c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536,
+                         fn_kwargs={"supp2region": supp2region}) \
+            .groupby("r_name").aggregate(Sum("c", alias_name="c"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": batch["r_name"],
+            "revenue": round_half_up(pc.divide(pc.cast(
+                batch["c"], pa.float64()), pa.scalar(100.0)), 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q5_SQL = """
+SELECT r.r_name,
+       floor((sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+# ------------------------------------------- large-large hash join (Q3)
+
+def q3_top_order_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    """Top-k orders by revenue for one customer segment.
+
+    customer (small) is broadcast as a key-set semi-join filter on orders;
+    orders⋈lineitem is the genuinely large-large side and uses the
+    hash-partitioned Dataset.join. Top-k runs on the aggregated (small)
+    result."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_keys = frozenset(
+        pc.filter(cust["c_custkey"],
+                  pc.equal(cust["c_mktsegment"], segment)).to_pylist())
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def semi(batch: pa.Table, keys=None) -> pa.Table:
+        mask = pc.is_in(batch["o_custkey"],
+                        value_set=pa.array(sorted(keys), pa.int64()))
+        return batch.filter(mask).select(["o_orderkey", "o_orderdate"])
+
+    orders_f = orders.map_batches(semi, batch_format="pyarrow",
+                                  fn_kwargs={"keys": seg_keys})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "c": _cents(rev)})
+        df = t.to_pandas().groupby("l_orderkey", as_index=False)["c"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    li_agg = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+              .groupby("l_orderkey").aggregate(Sum("c", alias_name="c")))
+
+    joined = li_agg.join(orders_f, join_type="inner", num_partitions=8,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "revenue": round_half_up(pc.divide(pc.cast(
+                batch["c"], pa.float64()), pa.scalar(100.0)), 2),
+        })
+
+    out = joined.map_batches(finalize, batch_format="pyarrow")
+    return out.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+Q3_SQL = """
+SELECT o.o_orderkey AS o_orderkey,
+       floor((sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# -------------------------------------------------- simple aggregates
+
+def mktsegment_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_mktsegment": batch["c_mktsegment"],
+                      "bal": _cents(batch["c_acctbal"])})
+        df = t.to_pandas().groupby("c_mktsegment", as_index=False).agg(
+            bal=("bal", "sum"), n=("bal", "size"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "c_mktsegment").aggregate(Sum("bal", alias_name="bal"),
+                                  Sum("n", alias_name="n_customers"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": batch["c_mktsegment"],
+            "n_customers": batch["n_customers"],
+            "avg_acctbal": round_half_up(pc.divide(pc.divide(pc.cast(
+                batch["bal"], pa.float64()), pa.scalar(100.0)),
+                pc.cast(batch["n_customers"], pa.float64())), 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+MKTSEGMENT_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       floor((sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) / 100.0
+             / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_acctbal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+def topk_orders_by_price(sf_dir: str, k: int = 15):
+    """Plain distributed sort + limit."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(k)
+
+
+TOPK_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+"""
+
+
+def order_priority_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY o_orderpriority
+"""
+
+
+def part_type_stats(sf_dir: str):
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "part", ["p_type", "p_size", "p_retailprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"p_type": batch["p_type"], "p_size": batch["p_size"],
+                      "price_cents": _cents(batch["p_retailprice"])})
+        df = t.to_pandas().groupby("p_type", as_index=False).agg(
+            n_parts=("p_size", "size"), max_size=("p_size", "max"),
+            min_size=("p_size", "min"), price_cents=("price_cents", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("p_type") \
+        .aggregate(Sum("n_parts", alias_name="n_parts"),
+                   Max("max_size", alias_name="max_size"),
+                   Min("min_size", alias_name="min_size"),
+                   Sum("price_cents", alias_name="price_cents"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_type": batch["p_type"],
+            "n_parts": batch["n_parts"],
+            "max_size": batch["max_size"],
+            "min_size": batch["min_size"],
+            "sum_retailprice": round_half_up(pc.divide(pc.cast(
+                batch["price_cents"], pa.float64()), pa.scalar(100.0)), 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+PART_TYPE_SQL = """
+SELECT p_type, count(*) AS n_parts, CAST(max(p_size) AS BIGINT) AS max_size,
+       CAST(min(p_size) AS BIGINT) AS min_size,
+       floor((sum(CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS sum_retailprice
+FROM part GROUP BY p_type
+"""
+
+
+def distinct_order_statuses(sf_dir: str):
+    """Distinct via groupby (shuffle of the key column only)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus"])
+    return ds.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+
+
+DISTINCT_STATUS_SQL = """
+SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus
+"""

@@ -1,0 +1,174 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding:
+list<float>, label).
+
+* brute-force cosine top-k: the baseline — per-batch numpy matmul against
+  a broadcast query matrix, per-batch top-k, final tiny sort;
+* IVF-bucketed variant: deterministic k-means-ish centroids fit on a
+  sample driver-side, inverted lists via a partitioned groupby, probe
+  nearest ``nprobe`` lists — the scale path (only probed buckets are
+  scanned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ._num import np_round_half_up, round_half_up
+
+
+def _read(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+
+
+def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    idx = tbl["vec_id"].to_pylist().index(vec_id)
+    return np.asarray(tbl["embedding"].to_pylist()[idx], dtype=np.float64)
+
+
+def _batch_matrix(batch: pa.Table) -> np.ndarray:
+    flat = batch["embedding"].combine_chunks()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = pa.concat_arrays(flat.chunks)
+    dim = len(flat[0])
+    vals = flat.flatten().to_numpy(zero_copy_only=False)
+    return vals.reshape(-1, dim).astype(np.float64)
+
+
+def knn_bruteforce(sf_dir: str, query_vec_id: int = 0, k: int = 10):
+    """Exact cosine top-k vs one query vector.
+
+    Per batch: one matmul + local top-k (so only ``k`` rows per batch
+    reach the final sort — the classic distributed-top-k reduction)."""
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    ds = _read(sf_dir, ["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table, qn=None, k=10) -> pa.Table:
+        m = _batch_matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cos = np_round_half_up((m @ qn) / norms, 6)
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
+        take = min(k, len(ids))
+        part = np.argpartition(-cos, take - 1)[:take]
+        return pa.table({"vec_id": pa.array(ids[part], pa.int64()),
+                         "cosine": pa.array(cos[part], pa.float64())})
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=4096, fn_kwargs={"qn": qn, "k": k})
+            .sort(["cosine", "vec_id"], descending=[True, False]).limit(k))
+
+
+KNN_BRUTE_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       floor((list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q))) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _fit_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd iterations; init = first n distinct rows."""
+    cent = sample[:n_clusters].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(0)
+    return cent
+
+
+def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+            n_clusters: int = 16, nprobe: int = 4):
+    """IVF approximate top-k: assign vectors to centroid buckets, scan
+    only the ``nprobe`` buckets nearest the query.  Centroids are fit
+    driver-side on a deterministic sample and broadcast; the bucket
+    assignment is a vectorized map, so the only wide op is the final
+    (tiny) top-k sort.  Rows-only oracle (approximate by design)."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    sample = np.asarray(tbl["embedding"].to_pylist()[:512], dtype=np.float64)
+    cent = _fit_centroids(sample, min(n_clusters, len(sample)))
+
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(((cent - q) ** 2).sum(1))[:nprobe]
+    probe_set = frozenset(int(p) for p in probe)
+
+    ds = _read(sf_dir, ["vec_id", "embedding"])
+
+    def probe_topk(batch: pa.Table, cent=None, probe_set=None, qn=None, k=10):
+        m = _batch_matrix(batch)
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        mask = np.isin(assign, list(probe_set))
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        m = m[mask]
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))[mask]
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cos = np_round_half_up((m @ qn) / norms, 6)
+        take = min(k, len(ids))
+        part = np.argpartition(-cos, take - 1)[:take]
+        return pa.table({"vec_id": pa.array(ids[part], pa.int64()),
+                         "cosine": pa.array(cos[part], pa.float64())})
+
+    return (ds.map_batches(probe_topk, batch_format="pyarrow", batch_size=4096,
+                           fn_kwargs={"cent": cent, "probe_set": probe_set,
+                                      "qn": qn, "k": k})
+            .sort(["cosine", "vec_id"], descending=[True, False]).limit(k))
+
+
+def embedding_label_centroids(sf_dir: str):
+    """Mean embedding norm + count per label — groupby aggregate over a
+    vector column (demonstrates nested-column aggregation)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        df = pd.DataFrame({
+            "label": batch["label"].to_numpy(zero_copy_only=False),
+            "norm_micros": np.floor(norms * 1e6 + 0.5).astype(np.int64),
+        })
+        g = df.groupby("label", as_index=False).agg(
+            norm_micros=("norm_micros", "sum"), n=("norm_micros", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("label") \
+        .aggregate(Sum("norm_micros", alias_name="nm"),
+                   Sum("n", alias_name="n_vectors"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": batch["label"],
+            "n_vectors": batch["n_vectors"],
+            "avg_norm": round_half_up(pc.divide(pc.divide(pc.cast(
+                batch["nm"], pa.float64()), pa.scalar(1e6)),
+                pc.cast(batch["n_vectors"], pa.float64())), 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+EMBEDDING_LABEL_SQL = """
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors,
+       floor((sum(CAST(floor(sqrt(list_dot_product(embedding, embedding)) * 1000000.0 + 0.5) AS BIGINT))
+             / 1000000.0 / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_norm
+FROM embeddings GROUP BY label
+"""

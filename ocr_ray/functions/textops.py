@@ -1,0 +1,306 @@
+"""Text-analysis operators over the flat ``documents`` table
+(doc_id:int64, text, lang, source, n_chars) — the engine's text-quality /
+token / language / fingerprint family (SURVEY.md "text analysis"), each
+vectorized per batch and, where expressible, with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._num import round_half_up, np_round_half_up
+
+
+def _read(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ----------------------------------------------------------- lang stats
+
+def doc_lang_stats(sf_dir: str):
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, ["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"),
+            max_chars=("n_chars", "max"), min_chars=("n_chars", "min"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("lang") \
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("sum_chars", alias_name="sum_chars"),
+                   Max("max_chars", alias_name="max_chars"),
+                   Min("min_chars", alias_name="min_chars"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"],
+            "n_docs": batch["n_docs"],
+            "sum_chars": batch["sum_chars"],
+            "max_chars": batch["max_chars"],
+            "min_chars": batch["min_chars"],
+            "avg_chars": round_half_up(pc.divide(pc.cast(
+                batch["sum_chars"], pa.float64()),
+                pc.cast(batch["n_docs"], pa.float64())), 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+DOC_LANG_STATS_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       max(n_chars) AS max_chars, min(n_chars) AS min_chars,
+       floor((sum(n_chars) / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------- token counts
+
+def doc_token_counts(sf_dir: str):
+    """Whitespace token count per doc (the num_wds statistic,
+    doc_analysis.py:203)."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().str.strip()
+        n = s.str.split(r"\s+", regex=True).map(
+            lambda t: 0 if t == [""] else len(t)).astype("int64")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow", batch_size=4096)
+
+
+DOC_TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+# ------------------------------------------------------ char plausibility
+
+def doc_char_quality(sf_dir: str):
+    """CER-style plausible-character ratio per doc
+    (ocr_evaluation.py:50-57 semantics, ascii-safe char class so the SQL
+    oracle is byte-identical)."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().str.lower()
+        good = s.str.count(r"[a-z0-9 ]")
+        total = s.str.len()
+        ratio = np_round_half_up((good / total).where(total > 0, 0.0).to_numpy(), 6)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "char_quality": pa.array(ratio, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
+DOC_CHAR_QUALITY_SQL = """
+SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE floor((length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+                       / CAST(length(text) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 END AS char_quality
+FROM documents
+"""
+
+
+# ------------------------------------------------------ line-level stats
+
+def doc_line_stats(sf_dir: str, min_len: int = 10):
+    """Per-doc kept/short line counts — the SQL-checkable core of the
+    Cleaner's min-length rule (text_processing.py:100-101)."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        out_id, out_lines, out_short = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            lines = text.split("\n")
+            short = sum(1 for ln in lines if len(ln.strip()) < min_len)
+            out_id.append(doc_id)
+            out_lines.append(len(lines))
+            out_short.append(short)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "n_lines": pa.array(out_lines, pa.int64()),
+                         "short_lines": pa.array(out_short, pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+DOC_LINE_STATS_SQL = """
+SELECT doc_id, count(*) AS n_lines,
+       count(*) FILTER (WHERE length(trim(line)) < 10) AS short_lines
+FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents)
+GROUP BY doc_id
+"""
+
+
+# -------------------------------------------------------- keyword match
+
+ANALYTICS_KEYWORDS = ("spark", "vector", "query", "shuffle", "join")
+
+
+def keyword_doc_freq(sf_dir: str, keywords=ANALYTICS_KEYWORDS):
+    """Document frequency per keyword — broadcast keyword list matched
+    per batch (substring semantics to stay oracle-exact)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, ["text"])
+
+    def partial(batch: pa.Table, kws=None) -> pa.Table:
+        s = batch["text"].to_pandas()
+        rows = [{"keyword": kw, "n_docs": int(s.str.contains(kw, regex=False).sum())}
+                for kw in kws]
+        return pa.Table.from_pylist(rows)
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192,
+                           fn_kwargs={"kws": list(keywords)})
+            .groupby("keyword").aggregate(Sum("n_docs", alias_name="n_docs")))
+
+
+KEYWORD_DOC_FREQ_SQL = """
+SELECT kw AS keyword, count(*) FILTER (WHERE contains(text, kw)) AS n_docs
+FROM documents, (SELECT unnest(['spark','vector','query','shuffle','join']) AS kw)
+GROUP BY kw
+"""
+
+
+# ---------------------------------------------------------- exact dedup
+
+def _md5_col(texts: pd.Series) -> list[str]:
+    return [hashlib.md5(t.encode()).hexdigest() for t in texts]
+
+
+def exact_dedup_groups(sf_dir: str):
+    """Exact dedup: content hash -> (survivor, copy count).  The classic
+    hash-partition + per-group-first (SURVEY.md §2.7): hashing is a
+    vectorized map; the groupby shuffles only (hash, doc_id)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_md5": pa.array(_md5_col(batch["text"].to_pandas()), pa.string()),
+            "doc_id": batch["doc_id"],
+        })
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
+            .groupby("text_md5")
+            .aggregate(Min("doc_id", alias_name="keep_doc_id"),
+                       Count(alias_name="n_copies")))
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ------------------------------------------------- language ID heuristic
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "for", "on", "with"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"},
+    "fr": {"le", "la", "les", "et", "de", "est", "pour", "dans", "un", "une"},
+    "es": {"el", "la", "los", "las", "y", "de", "es", "para", "en", "un"},
+}
+
+
+def lang_id(sf_dir: str):
+    """Stopword-vote language ID (n-gram-free heuristic; deterministic).
+    Not SQL-expressible -> rows-only oracle check."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+    word_re = re.compile(r"[a-zà-ÿä-ü]+")
+
+    def predict(batch: pa.Table) -> pa.Table:
+        preds = []
+        for text in batch["text"].to_pylist():
+            toks = word_re.findall(text.lower())
+            votes = {lang: sum(t in sw for t in toks)
+                     for lang, sw in _STOPWORDS.items()}
+            best = max(sorted(votes), key=lambda k: votes[k])
+            preds.append(best if votes[best] > 0 else "unk")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "pred_lang": pa.array(preds, pa.string())})
+
+    return ds.map_batches(predict, batch_format="pyarrow", batch_size=4096)
+
+
+# ------------------------------------------------------- fingerprinting
+
+def doc_fingerprints(sf_dir: str, window: int = 8):
+    """Winnowing-style rolling-hash fingerprint: min 64-bit token-window
+    hash per doc (deterministic; rows-only oracle)."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch["text"].to_pylist():
+            toks = text.split()
+            if len(toks) < window:
+                h = hashlib.sha256(" ".join(toks).encode()).digest()
+                out.append(int.from_bytes(h[:8], "big") >> 1)
+                continue
+            best = None
+            for i in range(len(toks) - window + 1):
+                h = hashlib.sha256(" ".join(toks[i:i + window]).encode()).digest()
+                v = int.from_bytes(h[:8], "big") >> 1
+                best = v if best is None or v < best else best
+            out.append(best)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "fingerprint": pa.array(out, pa.int64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=2048)
+
+
+# --------------------------------------------------- composite quality
+
+def doc_quality_scores(sf_dir: str):
+    """Length/alpha/space composite quality score, fully SQL-expressible."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas()
+        length = s.str.len()
+        alpha = s.str.count(r"[a-zA-Z]")
+        space = s.str.count(r" ")
+        len_score = np.minimum(length / 500.0, 1.0)
+        alpha_ratio = (alpha / length).where(length > 0, 0.0)
+        space_ratio = (space / length).where(length > 0, 0.0)
+        q = np_round_half_up((0.4 * len_score + 0.4 * alpha_ratio
+                              + 0.2 * space_ratio).to_numpy(), 6)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "quality": pa.array(q, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
+DOC_QUALITY_SQL = """
+WITH parts AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS len,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS spaces
+  FROM documents
+)
+SELECT doc_id,
+       floor((0.4 * least(len / 500.0, 1.0)
+           + 0.4 * CASE WHEN len = 0 THEN 0.0 ELSE alpha / len END
+           + 0.2 * CASE WHEN len = 0 THEN 0.0 ELSE spaces / len END) * 1000000.0 + 0.5) / 1000000.0 AS quality
+FROM parts
+"""
