@@ -58,6 +58,7 @@ def _keyword_hits_corpus(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from ocr_ray.functions import dedup as dd
     from ocr_ray.functions import events as ev
     from ocr_ray.functions import relational as rel
     from ocr_ray.functions import similarity as sim
@@ -90,6 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": tx.doc_fingerprints,
         # dedup family
         "exact_dedup_groups": tx.exact_dedup_groups,
+        "minhash_lsh_pairs": dd.minhash_lsh_pairs,
+        "simhash_pairs": dd.simhash_pairs,
+        "embedding_dup_pairs": dd.embedding_dup_pairs,
+        "ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
         # similarity search
         "knn_bruteforce": sim.knn_bruteforce,
         "knn_ivf": sim.knn_ivf,
@@ -101,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_ray.functions import dedup as dd
     from ocr_ray.functions import events as ev
     from ocr_ray.functions import relational as rel
     from ocr_ray.functions import similarity as sim
@@ -127,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_doc_freq": tx.KEYWORD_DOC_FREQ_SQL,
         "doc_quality_scores": tx.DOC_QUALITY_SQL,
         "exact_dedup_groups": tx.EXACT_DEDUP_SQL,
+        "ngram_jaccard_pairs": dd.NGRAM_JACCARD_SQL,
         "knn_bruteforce": sim.KNN_BRUTE_SQL,
         "embedding_label_centroids": sim.EMBEDDING_LABEL_SQL,
         # rows-only (non-SQL-expressible): lang_id, doc_fingerprints,

@@ -23,9 +23,24 @@ class PipelineConfig:
     # --- quality gate (app/config.py:17 MIN_QUALITY; ocr_worker.py:214-222)
     min_quality: float = 77.0
 
-    # --- skew handling: docs with more spans than this take the
-    # explode -> per-span process -> groupby(doc_id) reassembly path
-    explode_threshold: int = 64
+    # --- physical strategy:
+    # "nested"   (default) one lineage, docs stay whole rows; right when
+    #            per-doc work is bounded (max_spans_per_doc caps it, the
+    #            MAX_NUM_PAGES analog) — zero shuffle.
+    # "exploded" one lineage, EVERY doc -> span rows -> actor pool ->
+    #            groupby(doc_id) reassembly; right when per-span work is
+    #            heavy (real OCR at seconds/page) so one doc must spread
+    #            across the cluster.
+    # "hybrid"   both, split at explode_threshold via a union of two
+    #            filtered branches; NOTE Ray's UnionOperator does not
+    #            overlap branch execution well (measured 2x wall on an
+    #            empty big branch), so prefer pre-bucketing the input by
+    #            size and running nested+exploded jobs instead.
+    pipeline_mode: str = "nested"
+    # hybrid-mode split point. Tuned to per-span COST, not count: at
+    # ~0.6 ms/span (simulated OCR) a 1000-span doc is 0.6 s of work —
+    # not a straggler; with real Tesseract (~s/page) drop this to ~32.
+    explode_threshold: int = 1000
 
     # --- Ray execution knobs
     extract_batch_size: int = 64          # docs per actor call (nested path)
@@ -33,8 +48,10 @@ class PipelineConfig:
     # actor pool (min, max): min MUST stay small — the nested-path and
     # exploded-path pools coexist in one execution, and min actors reserve
     # CPUs up front; a min of 2+2 on a 4-CPU test node starves the task
-    # operators (read/validate) and the pipeline deadlocks.
-    extract_concurrency: int | tuple = (1, 16)
+    # operators (read/validate) and the pipeline deadlocks.  max is high:
+    # the autoscaler stops at available CPUs anyway, and a low cap idles
+    # large clusters (observed: 16 capped the 32-CPU bench at 8-CPU speed).
+    extract_concurrency: int | tuple = (1, 128)
     ocr_conf_bins: int = 10               # confidence histogram 0..100 step 10
 
     # --- output layout

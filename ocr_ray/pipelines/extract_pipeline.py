@@ -33,40 +33,104 @@ from ..stages.extract_stage import (
 from ..stages.validate import validate_batch
 
 
-def build_extracted(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
-    """Lazy Dataset of extraction results (RESULT_SCHEMA rows: doc_id,
-    spans, per-doc metric columns) for the valid documents of ``ds``."""
-    validated = ds.map_batches(
-        validate_batch, batch_format="pyarrow", fn_kwargs={"cfg": cfg})
+def _pool_and_blocks(cfg: PipelineConfig) -> tuple[tuple, int]:
+    """Size the actor pools and block granularity from the cluster.
 
-    ok = validated.filter(expr="reject_reason == ''")
-    small = ok.filter(expr=f"n_spans <= {cfg.explode_threshold}")
-    big = ok.filter(expr=f"n_spans > {cfg.explode_threshold}")
+    Measured on the 32-CPU bench: an autoscaling (1, N) pool ramps so
+    slowly that the exploded stage ran ~1-core (23 s for a 23-CPU-second
+    workload); pre-starting min = CPUs/2 - 2 actors per branch cut it to
+    4.3 s.  Two branches coexist, so each pool's floor leaves headroom
+    for the task operators (read/validate/write) — the starvation rule.
+    Blocks are split to ~4x CPUs before the heavy stages so every actor
+    has work from the first scheduling tick.
+    """
+    import ray
 
-    small_res = small.map_batches(
+    total = int(ray.cluster_resources().get("CPU", 8))
+    if isinstance(cfg.extract_concurrency, int):
+        pool = cfg.extract_concurrency
+    else:
+        # floor: most of the cluster, but always leave >=2 CPUs for the
+        # task operators (read/write) — on tiny clusters total//2-2
+        # degenerates to 1 actor and the job runs serial (measured 2x
+        # loss at num_cpus=4)
+        floor = max(1, min(total - 2, max(2, total * 2 // 3)))
+        pool = (floor, max(total, 2))
+    return pool, max(16, total * 4)
+
+
+def _big_pool(cfg: PipelineConfig):
+    """The exploded branch is usually near-empty (only true monster docs
+    route here), so it autoscales from 1 instead of pre-reserving CPUs."""
+    import ray
+
+    total = int(ray.cluster_resources().get("CPU", 8))
+    if isinstance(cfg.extract_concurrency, int):
+        return cfg.extract_concurrency
+    return (1, max(total, 2))
+
+
+def _nested_branch(ok, cfg: PipelineConfig, pool):
+    # no repartition barrier: read-fragment granularity + batch_size
+    # slicing feed the pool evenly (measured equal to an explicit
+    # repartition at 12k docs, minus the barrier)
+    return ok.map_batches(
         ExtractDocs,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
-        concurrency=cfg.extract_concurrency,
+        concurrency=pool,
         num_cpus=1,
     )
 
-    big_res = (
-        big.map_batches(explode_spans, batch_format="pyarrow")
+
+def _exploded_branch(ok, cfg: PipelineConfig, pool, nblocks):
+    return (
+        ok.map_batches(explode_spans, batch_format="pyarrow")
+        .repartition(nblocks)  # a monster doc arrives as ONE huge block;
+                               # this spreads its spans across the cluster
         .map_batches(
             ExtractSpans,
             fn_constructor_kwargs={"cfg": cfg},
             batch_format="pyarrow",
-            batch_size=cfg.span_batch_size,
-            concurrency=cfg.extract_concurrency,
+            batch_size=None,
+            concurrency=pool,
             num_cpus=1,
         )
         .groupby("doc_id")
         .map_groups(
             reassemble_group, batch_format="pyarrow", fn_kwargs={"cfg": cfg})
     )
-    return small_res.union(big_res)
+
+
+def build_extracted(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Lazy Dataset of extraction results (RESULT_SCHEMA rows: doc_id,
+    spans, per-doc metric columns) for the valid documents of ``ds``.
+
+    Physical strategy per cfg.pipeline_mode (see config.py): "nested"
+    and "exploded" are single-lineage; "hybrid" unions a filtered pair.
+    """
+    pool, nblocks = _pool_and_blocks(cfg)
+
+    if cfg.pipeline_mode == "nested":
+        # single lineage, validation fused INSIDE the extract actor
+        # (ExtractDocs.__call__): read -> actor, no intermediate
+        # materialization; rejected rows flow through as zero-metric rows
+        # with reject_reason set — no second pass
+        return _nested_branch(ds, cfg, pool)
+
+    validated = ds.map_batches(
+        validate_batch, batch_format="pyarrow", fn_kwargs={"cfg": cfg})
+    ok = validated.filter(expr="reject_reason == ''")
+    if cfg.pipeline_mode == "exploded":
+        return _exploded_branch(ok, cfg, pool, nblocks)
+    if cfg.pipeline_mode != "hybrid":
+        raise ValueError(f"unknown pipeline_mode {cfg.pipeline_mode!r}")
+
+    small = ok.filter(expr=f"n_spans <= {cfg.explode_threshold}")
+    big = ok.filter(expr=f"n_spans > {cfg.explode_threshold}")
+    return _nested_branch(small, cfg, pool).union(
+        _exploded_branch(big, cfg, _big_pool(cfg), nblocks))
 
 
 def build_failed(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
@@ -79,6 +143,29 @@ def build_failed(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     )
 
 
+def derive_failed_sidecar(extracted_dir: str, failed_dir: str) -> int:
+    """Project the (tiny) failed rows out of a written extracted dataset
+    into the ``failed`` sidecar — a column-pruned read-back of
+    (doc_id, reject_reason) only, no recompute."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..schema import FAILED_SCHEMA
+
+    tbl = pads.dataset(extracted_dir).to_table(
+        columns=["doc_id", "reject_reason"])
+    bad = tbl.filter(pc.not_equal(tbl["reject_reason"], ""))
+    failed = pa.Table.from_arrays([bad["doc_id"], bad["reject_reason"]],
+                                  schema=FAILED_SCHEMA)
+    os.makedirs(failed_dir, exist_ok=True)
+    pq.write_table(failed, os.path.join(failed_dir, "failed.parquet"))
+    return failed.num_rows
+
+
 def run_extraction(
     input_path: str,
     output_dir: str,
@@ -86,21 +173,36 @@ def run_extraction(
 ) -> dict:
     """Execute the pipeline end to end, writing:
 
-        {output_dir}/extracted/   doc_id, spans, per-doc metric columns
-        {output_dir}/failed/      doc_id, reason
+        {output_dir}/extracted/   RESULT_SCHEMA rows; reject_reason == ''
+                                  marks successfully extracted docs (nested
+                                  mode carries rejected docs inline as
+                                  zero-metric rows — single execution)
+        {output_dir}/failed/      doc_id, reason sidecar
 
     Returns summary counts. For the resumable sharded runner see
     ocr_ray.state.checkpoint.CheckpointedRunner.
     """
-    ds = read_documents(input_path)
-    result = build_extracted(ds, cfg)
-    result.write_parquet(f"{output_dir}/extracted")
+    import os
 
-    failed = build_failed(ds, cfg)
-    failed.write_parquet(f"{output_dir}/failed")
-
+    import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
-    n_ok = pads.dataset(f"{output_dir}/extracted").count_rows()
-    n_failed = pads.dataset(f"{output_dir}/failed").count_rows()
+    ds = read_documents(input_path)
+    result = build_extracted(ds, cfg)
+    os.makedirs(f"{output_dir}/extracted", exist_ok=True)
+    result.write_parquet(f"{output_dir}/extracted")
+
+    if cfg.pipeline_mode == "nested":
+        n_failed = derive_failed_sidecar(f"{output_dir}/extracted",
+                                         f"{output_dir}/failed")
+    else:
+        os.makedirs(f"{output_dir}/failed", exist_ok=True)
+        build_failed(ds, cfg).write_parquet(f"{output_dir}/failed")
+        frag = pads.dataset(f"{output_dir}/failed")
+        n_failed = frag.count_rows() if frag.files else 0
+
+    reasons = pads.dataset(f"{output_dir}/extracted").to_table(
+        columns=["reject_reason"])
+    n_ok = reasons.filter(
+        pc.equal(reasons["reject_reason"], "")).num_rows
     return {"extracted": n_ok, "failed": n_failed, "output_dir": output_dir}

@@ -31,11 +31,24 @@ from ..kernels.cleaner import CleanStats
 from ..kernels.extract import conf_histogram, extract_doc, extract_span
 from ..schema import METRICS_FIELDS, SPANS_TYPE
 
-# (doc_id, spans) + per-doc metrics, identical on both physical paths
+# (doc_id, spans) + per-doc metrics + reject_reason ('' = extracted OK),
+# identical on every physical path.  Carrying rejects as rows (instead of
+# a second validate pass) keeps the pipeline single-lineage — the Ray
+# analog of the reference marking docs ocr_failed in place
+# (ocr_worker.py:322-330).
 RESULT_SCHEMA = pa.schema(
     [("doc_id", pa.string()), ("spans", SPANS_TYPE)]
     + [(n, t) for n, t in METRICS_FIELDS if n != "doc_id"]
+    + [("reject_reason", pa.string())]
 )
+
+_ZERO_METRICS = {
+    "n_spans": 0, "media_spans": 0, "blocks_kept": 0, "blocks_dropped": 0,
+    "clean_chars": 0, "original_chars": 0, "min_length_lines": 0,
+    "forbidden_lines": 0, "low_alpha_lines": 0, "high_digit_lines": 0,
+    "non_ascii_lines": 0, "quality_mean": -1.0, "retried_spans": 0,
+    "conf_hist": [],
+}
 
 # intermediate schema of the exploded path
 SPAN_RESULT_SCHEMA = pa.schema([
@@ -58,26 +71,58 @@ SPAN_RESULT_SCHEMA = pa.schema([
 ])
 
 
-def _result_row(doc_id: str, spans: list, metrics: dict) -> dict:
-    return {"doc_id": doc_id, "spans": spans, **metrics}
+def _result_row(doc_id: str, spans: list, metrics: dict,
+                reason: str = "") -> dict:
+    return {"doc_id": doc_id, "spans": spans, **metrics,
+            "reject_reason": reason}
 
 
 class ExtractDocs:
-    """Actor-pool callable for the nested path (whole docs per row)."""
+    """Actor-pool callable for the nested path (whole docs per row).
+
+    Rows the validate stage rejected (reject_reason != '') pass through
+    as zero-metric rows — no extraction attempted, nothing dropped."""
 
     def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG):
         self.cfg = cfg
         # warm the per-actor state once: vocabulary set + regex compilation
         from ..kernels.wordpool import vocabulary
         vocabulary()
+        # the kernel churns millions of short-lived acyclic objects per
+        # batch; the cyclic GC's scans serialize badly across 32 procs
+        # (measured +11% at 32 CPUs with it off).  Disable it and sweep
+        # manually every N batches as cycle insurance.
+        import gc
+        gc.disable()
+        self._calls = 0
+
+    def _maybe_collect(self):
+        self._calls += 1
+        if self._calls % 50 == 0:
+            import gc
+            gc.collect()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch.select(["doc_id", "spans"]).to_pylist()
+        self._maybe_collect()
+        if "reject_reason" not in batch.column_names:
+            # validation fused into the actor: one less task hop and one
+            # less full materialization of the corpus in the object store
+            from .validate import validate_batch
+
+            batch = validate_batch(batch, self.cfg)
+        cols = ["doc_id", "spans", "reject_reason"]
         out = []
-        for row in rows:
+        for row in batch.select(cols).to_pylist():
+            reason = row.get("reject_reason", "")
+            if reason:
+                out.append(_result_row(row["doc_id"], [], _ZERO_METRICS, reason))
+                continue
             res = extract_doc(row["doc_id"], row["spans"], self.cfg)
-            if res["ok"]:  # invalid rows were routed out before this stage
+            if res["ok"]:
                 out.append(_result_row(res["doc_id"], res["spans"], res["metrics"]))
+            else:  # defense in depth if validate was skipped upstream
+                out.append(_result_row(res["doc_id"], [], _ZERO_METRICS,
+                                       res["reason"]))
         return pa.Table.from_pylist(out, schema=RESULT_SCHEMA)
 
 
@@ -103,8 +148,15 @@ class ExtractSpans:
         self.cfg = cfg
         from ..kernels.wordpool import vocabulary
         vocabulary()
+        import gc
+        gc.disable()  # see ExtractDocs.__init__
+        self._calls = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._calls += 1
+        if self._calls % 50 == 0:
+            import gc
+            gc.collect()
         rows = batch.to_pylist()
         out = []
         for r in rows:
@@ -173,5 +225,5 @@ def reassemble_group(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> p
         "retried_spans": retries,
         "conf_hist": conf_histogram(confs, cfg.ocr_conf_bins),
     }
-    return pa.Table.from_pylist([_result_row(doc_id, spans, metrics)],
+    return pa.Table.from_pylist([_result_row(doc_id, spans, metrics, "")],
                                 schema=RESULT_SCHEMA)

@@ -82,11 +82,13 @@ class CheckpointedRunner:
         """Per-shard rollup read back from the written (columnar) output —
         column-pruned, so this re-read touches only the small metric
         columns, never the span text."""
-        import pyarrow.dataset as pads
         import pyarrow.compute as pc
+        import pyarrow.dataset as pads
 
-        cols = list(_METRIC_SUM_COLS) + ["quality_mean", "conf_hist"]
+        cols = list(_METRIC_SUM_COLS) + ["quality_mean", "conf_hist",
+                                         "reject_reason"]
         tbl = pads.dataset(extracted_dir).to_table(columns=cols)
+        tbl = tbl.filter(pc.equal(tbl["reject_reason"], ""))
         agg = {c: pc.sum(tbl.column(c)).as_py() or 0 for c in _METRIC_SUM_COLS}
         q = [v for v in tbl.column("quality_mean").to_pylist() if v >= 0]
         agg["quality_mean"] = round(sum(q) / len(q), 4) if q else -1.0
@@ -111,17 +113,26 @@ class CheckpointedRunner:
         os.makedirs(f"{tmp}/extracted", exist_ok=True)
         os.makedirs(f"{tmp}/failed", exist_ok=True)
         build_extracted(ds, self.cfg).write_parquet(f"{tmp}/extracted")
-        build_failed(ds, self.cfg).write_parquet(f"{tmp}/failed")
 
         import pyarrow as pa
         import pyarrow.dataset as pads
 
+        from ..pipelines.extract_pipeline import build_failed, derive_failed_sidecar
         from ..schema import FAILED_SCHEMA
 
-        n_docs = pads.dataset(f"{tmp}/extracted").count_rows()
+        if self.cfg.pipeline_mode == "nested":
+            derive_failed_sidecar(f"{tmp}/extracted", f"{tmp}/failed")
+        else:
+            build_failed(ds, self.cfg).write_parquet(f"{tmp}/failed")
+
         failed_frag = pads.dataset(f"{tmp}/failed")
         failed_tbl = (failed_frag.to_table() if failed_frag.files
                       else pa.Table.from_pylist([], schema=FAILED_SCHEMA))
+        import pyarrow.compute as pc
+        reasons = pads.dataset(f"{tmp}/extracted").to_table(
+            columns=["reject_reason"])
+        n_docs = reasons.filter(
+            pc.equal(reasons["reject_reason"], "")).num_rows
         metrics = (self._aggregate_metrics(f"{tmp}/extracted")
                    if n_docs else {})
 

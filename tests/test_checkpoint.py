@@ -15,6 +15,15 @@ from ocr_ray.golden import assert_span_equal
 from ocr_ray.state.checkpoint import CheckpointedRunner, list_input_files, make_shards
 
 
+def _ok_spans(out):
+    import pyarrow.compute as pc
+
+    tbl = pads.dataset(f"{out}/extracted").to_table(
+        columns=["doc_id", "spans", "reject_reason"])
+    return tbl.filter(pc.equal(tbl["reject_reason"], "")).select(
+        ["doc_id", "spans"])
+
+
 class TestSharding:
     def test_deterministic_file_order(self, small_corpus_path):
         files = list_input_files(small_corpus_path)
@@ -35,8 +44,7 @@ class TestResume:
         s1 = runner.run()
         assert s1["shards_run"] == [0, 1] and s1["shards_skipped"] == []
 
-        actual = pads.dataset(f"{out}/extracted").to_table(
-            columns=["doc_id", "spans"])
+        actual = _ok_spans(out)
         assert_span_equal(actual, golden_result["extracted"])
 
         # resume: nothing re-runs, counts stable
@@ -57,8 +65,7 @@ class TestResume:
         s = CheckpointedRunner(small_corpus_path, out, n_shards=2).run()
         assert s["shards_run"] == [1] and s["shards_skipped"] == [0]
 
-        actual = pads.dataset(f"{out}/extracted").to_table(
-            columns=["doc_id", "spans"])
+        actual = _ok_spans(out)
         assert_span_equal(actual, golden_result["extracted"])
         # no doc appears twice
         ids = actual.column("doc_id").to_pylist()

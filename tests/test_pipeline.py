@@ -20,9 +20,13 @@ def pipeline_output(ray_session, small_corpus_path, tmp_path_factory):
 
 class TestPipelineEquality:
     def test_span_sequence_equality(self, pipeline_output, golden_result):
+        import pyarrow.compute as pc
+
         out, _ = pipeline_output
-        actual = pads.dataset(f"{out}/extracted").to_table(
-            columns=["doc_id", "spans"])
+        tbl = pads.dataset(f"{out}/extracted").to_table(
+            columns=["doc_id", "spans", "reject_reason"])
+        actual = tbl.filter(pc.equal(tbl["reject_reason"], "")).select(
+            ["doc_id", "spans"])
         assert_span_equal(actual, golden_result["extracted"])
 
     def test_failed_docs_match_golden(self, pipeline_output, golden_result):
@@ -34,10 +38,14 @@ class TestPipelineEquality:
         assert actual == expected
 
     def test_metrics_match_golden(self, pipeline_output, golden_result):
+        import pyarrow.compute as pc
+
         out, _ = pipeline_output
-        cols = [c for c in golden_result["metrics"].column_names]
-        actual = {r["doc_id"]: r for r in pads.dataset(f"{out}/extracted")
-                  .to_table(columns=cols).to_pylist()}
+        cols = list(golden_result["metrics"].column_names)
+        tbl = pads.dataset(f"{out}/extracted").to_table(
+            columns=cols + ["reject_reason"])
+        tbl = tbl.filter(pc.equal(tbl["reject_reason"], "")).select(cols)
+        actual = {r["doc_id"]: r for r in tbl.to_pylist()}
         for exp in golden_result["metrics"].to_pylist():
             act = actual[exp["doc_id"]]
             assert act == exp, f"metrics differ for {exp['doc_id']}"
@@ -48,23 +56,32 @@ class TestPipelineEquality:
         assert summary["failed"] == golden_result["failed"].num_rows
 
 
-class TestExplodedPathEquality:
-    """Force EVERY doc through explode -> span extract -> groupby
-    reassembly and re-assert equality: proves order lives in the data."""
+class TestPhysicalModeEquality:
+    """All three physical strategies must produce identical span
+    sequences: proves order lives in the data, not the execution."""
 
-    def test_all_exploded_equals_golden(self, ray_session, small_corpus_path,
-                                        golden_result, tmp_path_factory):
+    def _run(self, corpus_path, cfg, golden):
+        import pyarrow as pa
+
+        from ocr_ray.schema import EXTRACTED_SCHEMA
         from ocr_ray.sources.readers import read_documents
 
-        cfg = PipelineConfig(explode_threshold=0, span_batch_size=64)
-        ds = read_documents(small_corpus_path)
-        result = build_extracted(ds, cfg)
-        tbl = result.to_pandas()
-        import pyarrow as pa
-        from ocr_ray.schema import EXTRACTED_SCHEMA
+        tbl = build_extracted(read_documents(corpus_path), cfg).to_pandas()
         actual = pa.Table.from_pylist(
             tbl[["doc_id", "spans"]].to_dict("records"), schema=EXTRACTED_SCHEMA)
-        assert_span_equal(actual, golden_result["extracted"])
+        assert_span_equal(actual, golden["extracted"])
+
+    def test_all_exploded_equals_golden(self, ray_session, small_corpus_path,
+                                        golden_result):
+        self._run(small_corpus_path,
+                  PipelineConfig(pipeline_mode="exploded", span_batch_size=64),
+                  golden_result)
+
+    def test_hybrid_equals_golden(self, ray_session, small_corpus_path,
+                                  golden_result):
+        self._run(small_corpus_path,
+                  PipelineConfig(pipeline_mode="hybrid", explode_threshold=64),
+                  golden_result)
 
 
 class TestValidateVectorized:
