@@ -57,6 +57,18 @@ def _keyword_hits_corpus(sf_dir: str):
         keyword_hits(extracted, keywords=FLAT_CORPUS_KEYWORDS))
 
 
+def _media_features(sf_dir: str):
+    """Decode/feature-extract over a deterministic synthetic media table
+    (binary payload column) — rows-only; see ocr_ray/stages/multimodal.py."""
+    import ray.data as rd
+
+    from ocr_ray.stages.multimodal import media_features, synth_media_table
+
+    n = 200 if "0.01" in sf_dir else 500
+    media = rd.from_arrow(synth_media_table(n))
+    return media_features(media)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.functions import dedup as dd
     from ocr_ray.functions import events as ev
@@ -80,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": ev.events_daily,
         "top_users_by_value": ev.top_users_by_value,
         "sessionize": ev.sessionize,
+        "props_k_stats": ev.props_k_stats,
+        "user_activity_join": ev.user_activity_join,
         # text analysis
         "doc_lang_stats": tx.doc_lang_stats,
         "doc_token_counts": tx.doc_token_counts,
@@ -89,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": tx.doc_quality_scores,
         "lang_id": tx.lang_id,
         "doc_fingerprints": tx.doc_fingerprints,
+        "doc_summaries": tx.doc_summaries,
+        "semantic_keyword_hits": tx.semantic_keyword_hits,
         # dedup family
         "exact_dedup_groups": tx.exact_dedup_groups,
         "minhash_lsh_pairs": dd.minhash_lsh_pairs,
@@ -99,6 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": sim.knn_bruteforce,
         "knn_ivf": sim.knn_ivf,
         "embedding_label_centroids": sim.embedding_label_centroids,
+        # multimodal plumbing (deterministic fake codec; real codecs
+        # plug in via MediaFeatureExtractor(codec=...))
+        "media_features": _media_features,
         # the extraction engine itself
         "span_extraction": _span_extraction,
         "keyword_hits_corpus": _keyword_hits_corpus,
@@ -126,6 +145,8 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": ev.EVENTS_DAILY_SQL,
         "top_users_by_value": ev.TOP_USERS_SQL,
         "sessionize": ev.SESSIONIZE_SQL,
+        "props_k_stats": ev.PROPS_K_SQL,
+        "user_activity_join": ev.USER_ACTIVITY_SQL,
         "doc_lang_stats": tx.DOC_LANG_STATS_SQL,
         "doc_token_counts": tx.DOC_TOKEN_COUNTS_SQL,
         "doc_char_quality": tx.DOC_CHAR_QUALITY_SQL,

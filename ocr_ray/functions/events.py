@@ -165,3 +165,96 @@ FROM (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ) GROUP BY user_id
 """
+
+
+def props_k_stats(sf_dir: str):
+    """Parse the JSON ``props`` column and aggregate the ``k`` field per
+    event type — the scalar-function-library JSON op (SURVEY.md §2.8)."""
+    import json
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, ["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = [json.loads(p_)["k"] for p_ in batch["props"].to_pylist()]
+        t = pa.table({"event_type": batch["event_type"],
+                      "k": pa.array(ks, pa.int64())})
+        df = t.to_pandas().groupby("event_type", as_index=False).agg(
+            sum_k=("k", "sum"), max_k=("k", "max"), min_k=("k", "min"),
+            n=("k", "size"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = ds.map_batches(parse, batch_format="pyarrow").groupby("event_type") \
+        .aggregate(Sum("sum_k", alias_name="sum_k"),
+                   Max("max_k", alias_name="max_k"),
+                   Min("min_k", alias_name="min_k"),
+                   Sum("n", alias_name="n_events"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "sum_k": batch["sum_k"],
+            "max_k": batch["max_k"],
+            "min_k": batch["min_k"],
+            "n_events": batch["n_events"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+PROPS_K_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def user_activity_join(sf_dir: str):
+    """events x customer broadcast semi-join: per-mktsegment event value
+    (user_id maps to c_custkey).  Small side broadcast, no shuffle on
+    events (SURVEY.md §2.4 J-family)."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust["c_custkey"].to_pylist(),
+                      cust["c_mktsegment"].to_pylist()))
+
+    ds = _read(sf_dir, ["user_id", "value"])
+
+    def partial(batch: pa.Table, seg_of=seg_of) -> pa.Table:
+        segs = [seg_of.get(u) for u in batch["user_id"].to_pylist()]
+        t = pa.table({"c_mktsegment": pa.array(segs, pa.string()),
+                      "v": _val_milli(batch["value"])})
+        t = t.filter(pa.compute.is_valid(t["c_mktsegment"]))
+        df = t.to_pandas().groupby("c_mktsegment", as_index=False).agg(
+            v=("v", "sum"), n=("v", "size"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "c_mktsegment").aggregate(Sum("v", alias_name="v"),
+                                  Sum("n", alias_name="n_events"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": batch["c_mktsegment"],
+            "n_events": batch["n_events"],
+            "sum_value": round_half_up(pc.divide(pc.cast(
+                batch["v"], pa.float64()), pa.scalar(1000.0)), 3),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+USER_ACTIVITY_SQL = """
+SELECT c.c_mktsegment, count(*) AS n_events,
+       floor((sum(CAST(floor(e.value * 1000.0 + 0.5) AS BIGINT)) / 1000.0) * 1000.0 + 0.5) / 1000.0 AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""

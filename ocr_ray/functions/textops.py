@@ -304,3 +304,48 @@ SELECT doc_id,
            + 0.2 * CASE WHEN len = 0 THEN 0.0 ELSE spaces / len END) * 1000000.0 + 0.5) / 1000000.0 AS quality
 FROM parts
 """
+
+
+# ----------------------------------------------------- summarization
+
+def doc_summaries(sf_dir: str):
+    """Extractive top-5-sentence summaries (A7 parity, summarization.py
+    semantics; deterministic scorer — rows-only oracle)."""
+    from ..kernels.summarize import summarize
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        outs = [summarize(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "summary": pa.array(outs, pa.string()),
+                         "summary_chars": pa.array(
+                             [len(o) for o in outs], pa.int64())})
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=2048)
+
+
+def semantic_keyword_hits(sf_dir: str):
+    """Vector (one-class) keyword search over documents — A6/J2 parity
+    (vector_searcher.py semantics, deterministic hash embeddings;
+    rows-only oracle).  Searcher is built once per actor from the
+    broadcast keyword list."""
+    from ray.data.aggregate import Count, Sum
+
+    class Searcher:
+        def __init__(self):
+            from ..kernels.vecsearch import VectorKeywordSearcher
+            self.model = VectorKeywordSearcher(list(ANALYTICS_KEYWORDS))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                    batch["text"].to_pylist()):
+                hits = self.model.search(text)
+                rows.append({"doc_id": doc_id, "n_hits": len(hits)})
+            return pa.Table.from_pylist(rows, schema=pa.schema([
+                ("doc_id", pa.int64()), ("n_hits", pa.int64())]))
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(Searcher, batch_format="pyarrow", batch_size=256,
+                          concurrency=(1, 8), num_cpus=1)

@@ -23,6 +23,8 @@ state.
 
 from __future__ import annotations
 
+import time
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -39,7 +41,7 @@ from ..schema import METRICS_FIELDS, SPANS_TYPE
 RESULT_SCHEMA = pa.schema(
     [("doc_id", pa.string()), ("spans", SPANS_TYPE)]
     + [(n, t) for n, t in METRICS_FIELDS if n != "doc_id"]
-    + [("reject_reason", pa.string())]
+    + [("reject_reason", pa.string()), ("proc_ms", pa.float64())]
 )
 
 _ZERO_METRICS = {
@@ -68,13 +70,14 @@ SPAN_RESULT_SCHEMA = pa.schema([
     ("non_ascii_lines", pa.int64()),
     ("clean_chars", pa.int64()),
     ("original_chars", pa.int64()),
+    ("span_ms", pa.float64()),
 ])
 
 
 def _result_row(doc_id: str, spans: list, metrics: dict,
-                reason: str = "") -> dict:
+                reason: str = "", proc_ms: float = 0.0) -> dict:
     return {"doc_id": doc_id, "spans": spans, **metrics,
-            "reject_reason": reason}
+            "reject_reason": reason, "proc_ms": round(proc_ms, 3)}
 
 
 class ExtractDocs:
@@ -117,12 +120,15 @@ class ExtractDocs:
             if reason:
                 out.append(_result_row(row["doc_id"], [], _ZERO_METRICS, reason))
                 continue
+            t0 = time.monotonic()
             res = extract_doc(row["doc_id"], row["spans"], self.cfg)
+            ms = (time.monotonic() - t0) * 1000.0
             if res["ok"]:
-                out.append(_result_row(res["doc_id"], res["spans"], res["metrics"]))
+                out.append(_result_row(res["doc_id"], res["spans"],
+                                       res["metrics"], proc_ms=ms))
             else:  # defense in depth if validate was skipped upstream
                 out.append(_result_row(res["doc_id"], [], _ZERO_METRICS,
-                                       res["reason"]))
+                                       res["reason"], proc_ms=ms))
         return pa.Table.from_pylist(out, schema=RESULT_SCHEMA)
 
 
@@ -161,8 +167,10 @@ class ExtractSpans:
         out = []
         for r in rows:
             st = CleanStats()
+            t0 = time.monotonic()
             cleaned, meta = extract_span(
                 r["kind"], r["text"], r["media_ref"], self.cfg, stats=st)
+            span_ms = (time.monotonic() - t0) * 1000.0
             out.append({
                 "doc_id": r["doc_id"],
                 "kind": r["kind"],
@@ -180,6 +188,7 @@ class ExtractSpans:
                 "non_ascii_lines": st.non_ascii_lines,
                 "clean_chars": st.total_clean_chars,
                 "original_chars": st.total_original_chars,
+                "span_ms": span_ms,
             })
         return pa.Table.from_pylist(out, schema=SPAN_RESULT_SCHEMA)
 
@@ -194,10 +203,12 @@ def reassemble_group(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> p
     doc_id = rows[0]["doc_id"]
     spans, qualities, confs = [], [], []
     retries = 0
+    total_ms = 0.0
     agg = {k: 0 for k in ("kept_lines", "min_length_lines", "forbidden_lines",
                           "low_alpha_lines", "high_digit_lines",
                           "non_ascii_lines", "clean_chars", "original_chars")}
     for r in rows:
+        total_ms += r["span_ms"]
         spans.append({"kind": r["kind"], "text": r["text"],
                       "media_ref": r["media_ref"], "offset": r["offset"]})
         for k in agg:
@@ -225,5 +236,6 @@ def reassemble_group(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> p
         "retried_spans": retries,
         "conf_hist": conf_histogram(confs, cfg.ocr_conf_bins),
     }
-    return pa.Table.from_pylist([_result_row(doc_id, spans, metrics, "")],
-                                schema=RESULT_SCHEMA)
+    return pa.Table.from_pylist(
+        [_result_row(doc_id, spans, metrics, "", proc_ms=total_ms)],
+        schema=RESULT_SCHEMA)

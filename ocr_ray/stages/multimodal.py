@@ -1,0 +1,147 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+A large-scale training-data pipeline carries media as ``binary`` columns
+with typed metadata and runs decode / feature-extract / resize /
+frame-sample as actor-pool map_batches stages.  The actual codecs
+(Pillow/ffmpeg/torchaudio) are NOT in this container, so the decode step
+is pluggable: ``codec="stub"`` raises NotImplementedError (the production
+hook), ``codec="fake"`` is a deterministic pure-function decoder used to
+make the Ray-side plumbing — schema, batch sizing for large binary rows,
+actor signature, output layout — real and testable.
+
+Schema:
+    media_ref: string, media_type: "image"|"audio", payload: binary,
+    meta: struct<width int32, height int32, sample_rate int32,
+                 n_frames int32>
+
+Scale notes: binary rows are WIDE — batch_size stays small (default 32)
+so batch x concurrency fits worker heaps, and DataContext
+target_max_block_size should be raised for very large payloads rather
+than letting blocks split absurdly small (ray guide "Memory-aware").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_ref", pa.string()),
+    ("media_type", pa.string()),
+    ("payload", pa.binary()),
+    ("meta", pa.struct([
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("n_frames", pa.int32()),
+    ])),
+])
+
+FEATURE_SCHEMA = pa.schema([
+    ("media_ref", pa.string()),
+    ("media_type", pa.string()),
+    ("feature", pa.list_(pa.float32())),
+    ("thumb_w", pa.int32()),
+    ("thumb_h", pa.int32()),
+    ("frames_sampled", pa.int32()),
+])
+
+
+def synth_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic media fixture: payload bytes + metadata per ref."""
+    rows = []
+    for i in range(n):
+        h = hashlib.sha256(f"media:{seed}:{i}".encode()).digest()
+        is_image = h[0] % 2 == 0
+        size = 2000 + int.from_bytes(h[1:3], "big") % 30000
+        payload = (h * (size // len(h) + 1))[:size]
+        if is_image:
+            meta = {"width": 64 + h[3] % 192 * 8, "height": 64 + h[4] % 192 * 8,
+                    "sample_rate": 0, "n_frames": 1}
+        else:
+            meta = {"width": 0, "height": 0,
+                    "sample_rate": 16000, "n_frames": 16000 * (1 + h[5] % 30)}
+        rows.append({
+            "media_ref": f"mm-{seed}-{i}",
+            "media_type": "image" if is_image else "audio",
+            "payload": payload,
+            "meta": meta,
+        })
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, media_type: str, meta: dict) -> np.ndarray:
+    """Deterministic stand-in decoder: payload bytes -> small float array
+    (pure function, any cluster reproduces it)."""
+    raw = np.frombuffer(payload[:4096], dtype=np.uint8).astype(np.float32)
+    return raw / 255.0
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode -> (resize | frame-sample) -> feature.
+
+    ``codec="stub"`` marks exactly where a real decoder plugs in
+    (Pillow / torchaudio on a production image); everything around it —
+    batching, actor state, zero-copy binary access, output schema — is
+    the real pipeline.
+    """
+
+    def __init__(self, codec: str = "fake", feature_dim: int = 32,
+                 thumb: tuple = (32, 32), frame_stride: int = 4000):
+        if codec not in ("fake", "stub"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.codec = codec
+        self.feature_dim = feature_dim
+        self.thumb = thumb
+        self.frame_stride = frame_stride
+
+    def _decode(self, payload: bytes, media_type: str, meta: dict) -> np.ndarray:
+        if self.codec == "stub":
+            raise NotImplementedError(
+                "real media decoding requires Pillow/ffmpeg — install them "
+                "and register a codec; the 'fake' codec exercises the "
+                "pipeline plumbing deterministically")
+        return _fake_decode(payload, media_type, meta)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        refs = batch["media_ref"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        metas = batch["meta"].to_pylist()
+        out = []
+        for i in range(batch.num_rows):
+            data = self._decode(payloads[i].as_py(), types[i], metas[i])
+            if types[i] == "image":
+                thumb_w, thumb_h = self.thumb
+                frames = 1
+            else:
+                thumb_w = thumb_h = 0
+                frames = max(1, metas[i]["n_frames"] // self.frame_stride)
+            # feature: fixed-dim energy histogram of the decoded signal
+            idx = (np.arange(len(data)) * self.feature_dim // max(1, len(data)))
+            feat = np.zeros(self.feature_dim, dtype=np.float32)
+            np.add.at(feat, idx, data)
+            out.append({
+                "media_ref": refs[i],
+                "media_type": types[i],
+                "feature": feat.tolist(),
+                "thumb_w": thumb_w,
+                "thumb_h": thumb_h,
+                "frames_sampled": frames,
+            })
+        return pa.Table.from_pylist(out, schema=FEATURE_SCHEMA)
+
+
+def media_features(media_ds, *, codec: str = "fake", batch_size: int = 32,
+                   concurrency=(1, 8)):
+    """media table -> feature table (actor pool, small batches: wide rows)."""
+    return media_ds.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"codec": codec},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,100 @@
+"""Tests for summarization, vector keyword search, multimodal plumbing,
+and the corpus perf report."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from ocr_ray.kernels.summarize import split_sentences, summarize
+from ocr_ray.kernels.vecsearch import VectorKeywordSearcher, _embed
+from ocr_ray.stages.multimodal import (
+    FEATURE_SCHEMA,
+    MediaFeatureExtractor,
+    media_features,
+    synth_media_table,
+)
+
+
+class TestSummarize:
+    def test_short_text_passthrough(self):
+        t = "Prima propoziție. A doua propoziție."
+        assert summarize(t) == t
+
+    def test_topk_in_reading_order(self):
+        sents = [f"Propoziția numărul {i} despre contract lege decizie." for i in range(12)]
+        out = summarize(" ".join(sents), max_sentences=5)
+        out_sents = split_sentences(out)
+        assert len(out_sents) == 5
+        idx = [sents.index(s) for s in out_sents]
+        assert idx == sorted(idx)
+
+    def test_deterministic(self):
+        text = " ".join(f"Cuvinte diverse {i} lege contract." for i in range(30))
+        assert summarize(text) == summarize(text)
+
+
+class TestVectorSearch:
+    def test_keyword_matches_itself(self):
+        m = VectorKeywordSearcher(["achiziție publică", "contract cadru"])
+        hits = m.search("S-a semnat un contract cadru important ieri.")
+        assert any("contract cadru" in h["phrase"] for h in hits)
+
+    def test_near_variant_matches(self):
+        m = VectorKeywordSearcher(["achiziție publică"])
+        # diacritic-free near-variant should still fall inside the
+        # one-class boundary (embedding folds diacritics)
+        hits = m.search("procedura de achizitie publica a fost lansată")
+        assert hits
+
+    def test_unrelated_text_scores_below(self):
+        m = VectorKeywordSearcher(["achiziție publică", "licitație deschisă"])
+        hits = m.search("zzz qqq www eee rrr ttt yyy uuu")
+        assert hits == []
+
+    def test_embedding_unit_norm(self):
+        v = _embed("contract")
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+
+class TestMultimodal:
+    def test_synth_table_deterministic(self):
+        a, b = synth_media_table(10), synth_media_table(10)
+        assert a.equals(b)
+
+    def test_fake_codec_features(self, ray_session):
+        media = rd.from_arrow(synth_media_table(40))
+        feats = media_features(media).to_pandas()
+        assert len(feats) == 40
+        assert set(feats.columns) == {f.name for f in FEATURE_SCHEMA}
+        img = feats[feats["media_type"] == "image"]
+        aud = feats[feats["media_type"] == "audio"]
+        assert (img["thumb_w"] == 32).all() and (img["frames_sampled"] == 1).all()
+        assert (aud["thumb_w"] == 0).all() and (aud["frames_sampled"] > 1).all()
+        assert all(len(f) == 32 for f in feats["feature"])
+
+    def test_stub_codec_raises(self):
+        ex = MediaFeatureExtractor(codec="stub")
+        with pytest.raises(NotImplementedError):
+            ex(synth_media_table(2))
+
+    def test_unknown_codec_rejected(self):
+        with pytest.raises(ValueError):
+            MediaFeatureExtractor(codec="jpeg")
+
+
+class TestPerfReport:
+    def test_report_over_run(self, ray_session, small_corpus_path,
+                             tmp_path_factory):
+        from ocr_ray.functions.perfstats import corpus_report
+        from ocr_ray.pipelines.extract_pipeline import run_extraction
+
+        out = str(tmp_path_factory.mktemp("perf_out"))
+        run_extraction(small_corpus_path, out)
+        rep = corpus_report(f"{out}/extracted", top_k=5)
+        assert rep["docs_ok"] == 57 and rep["docs_failed"] == 3
+        assert set(rep["failure_reasons"]) == {
+            "empty_document", "malformed_span", "too_many_spans"}
+        assert len(rep["slowest_docs"]) == 5
+        assert rep["slowest_docs"][0]["proc_ms"] >= rep["slowest_docs"][-1]["proc_ms"]
+        assert all(d["quality_mean"] >= 0 for d in rep["worst_quality_docs"])
+        assert rep["mean_ms_per_span"] > 0
