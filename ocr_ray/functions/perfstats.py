@@ -29,7 +29,10 @@ def corpus_report(extracted_dir: str, top_k: int = 10) -> dict:
         "docs_ok": int(len(ok)),
         "docs_failed": int(len(failed)),
         "failure_reasons": failed["reject_reason"].value_counts().to_dict(),
-        "describe": ok[_DESCRIBE_COLS].describe().round(4).to_dict(),
+        # quality_mean uses -1 as the "no media spans" sentinel — mask it
+        # out of the describe so the quality stats cover media docs only
+        "describe": ok[_DESCRIBE_COLS].mask(
+            ok[_DESCRIBE_COLS] == -1.0).describe().round(4).to_dict(),
         # T1: top-K slowest (performance_analysis.py:41-43)
         "slowest_docs": ok.nlargest(top_k, "proc_ms")[
             ["doc_id", "proc_ms", "n_spans"]].to_dict("records"),

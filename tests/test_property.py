@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis): the vectorized validate stage is
+semantics-equal to the scalar kernel on arbitrary inputs; filter_spans
+and the cleaner obey their invariants on generated data."""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_ray.kernels.cleaner import CleanStats, clean_lines
+from ocr_ray.kernels.extract import validate_spans
+from ocr_ray.kernels.keywords import filter_spans
+from ocr_ray.schema import DOCUMENTS_SCHEMA
+from ocr_ray.stages.validate import validate_batch
+
+# arrow-safe text (no surrogates)
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=60,
+)
+
+_span = st.fixed_dictionaries({
+    "kind": st.sampled_from(["text", "media", "video", ""]) | st.none(),
+    "text": _text | st.none(),
+    "media_ref": st.sampled_from(["", "m-x-1", "m-y-2"]) | st.none(),
+    "offset": st.integers(min_value=-5, max_value=8) | st.none(),
+})
+
+_doc = st.lists(_span, max_size=8) | st.none()
+
+
+class TestValidateEquivalence:
+    @given(st.lists(_doc, min_size=1, max_size=12))
+    @settings(max_examples=150, deadline=None)
+    def test_vector_equals_scalar(self, docs):
+        rows = [{"doc_id": f"d{i}", "spans": spans}
+                for i, spans in enumerate(docs)]
+        tbl = pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+        out = validate_batch(tbl)
+        vec = out.column("reject_reason").to_pylist()
+        # arrow round-trip normalizes the python input the same way the
+        # scalar kernel will see it in the golden path
+        normalized = tbl.column("spans").to_pylist()
+        for i, spans in enumerate(normalized):
+            assert vec[i] == (validate_spans(spans) or ""), (i, spans)
+
+
+class TestFilterSpans:
+    @given(st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 8), st.sampled_from("abc")),
+        max_size=20))
+    @settings(max_examples=200, deadline=None)
+    def test_invariants(self, raw):
+        spans = [(s, s + l, lab) for s, l, lab in raw]
+        out = filter_spans(spans)
+        # sorted by start, pairwise non-overlapping
+        for (s1, e1, _), (s2, e2, _) in zip(out, out[1:]):
+            assert s1 <= s2 and e1 <= s2
+        # every output span was an input span
+        assert all(s in spans for s in out)
+        # maximality: no rejected span fits in the remaining gaps
+        occupied = set()
+        for s, e, _ in out:
+            occupied.update(range(s, e))
+        for s, e, lab in spans:
+            if (s, e, lab) not in out:
+                assert any(i in occupied for i in range(s, e))
+
+
+class TestCleanerProperties:
+    @given(_text)
+    @settings(max_examples=200, deadline=None)
+    def test_deterministic_and_counters_consistent(self, text):
+        out1, st1 = clean_lines(text)
+        out2, st2 = clean_lines(text)
+        assert out1 == out2 and st1.as_dict() == st2.as_dict()
+        n_lines = len(text.split("\n"))
+        assert st1.kept_lines + st1.dropped_lines == n_lines
+        if out1:
+            assert out1.endswith("\n")
+            for line in out1.rstrip("\n").split("\n"):
+                assert len(line) >= 10
+
+    @given(_text, _text)
+    @settings(max_examples=100, deadline=None)
+    def test_merge_matches_concatenation(self, a, b):
+        _, sa = clean_lines(a)
+        _, sb = clean_lines(b)
+        merged = CleanStats().merge(sa).merge(sb)
+        _, s_all = clean_lines(a + "\n" + b)
+        assert merged.as_dict() == s_all.as_dict()
