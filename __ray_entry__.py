@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": rel.order_priority_counts,
         "part_type_stats": rel.part_type_stats,
         "distinct_order_statuses": rel.distinct_order_statuses,
+        "orders_by_year": rel.orders_by_year,
+        "q4_high_quantity_orders": rel.q4_high_quantity_orders,
+        "nation_customer_balance": rel.nation_customer_balance,
+        "brand_size_matrix": rel.brand_size_matrix,
         # events / streaming-shaped (§2.9)
         "events_by_type": ev.events_by_type,
         "events_daily": ev.events_daily,
@@ -94,8 +98,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": ev.sessionize,
         "props_k_stats": ev.props_k_stats,
         "user_activity_join": ev.user_activity_join,
+        "events_hourly_histogram": ev.events_hourly_histogram,
         # text analysis
         "doc_lang_stats": tx.doc_lang_stats,
+        "doc_source_stats": tx.doc_source_stats,
         "doc_token_counts": tx.doc_token_counts,
         "doc_char_quality": tx.doc_char_quality,
         "doc_line_stats": tx.doc_line_stats,
@@ -141,13 +147,19 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": rel.ORDER_PRIORITY_SQL,
         "part_type_stats": rel.PART_TYPE_SQL,
         "distinct_order_statuses": rel.DISTINCT_STATUS_SQL,
+        "orders_by_year": rel.ORDERS_BY_YEAR_SQL,
+        "q4_high_quantity_orders": rel.Q4_SQL,
+        "nation_customer_balance": rel.NATION_BALANCE_SQL,
+        "brand_size_matrix": rel.BRAND_SIZE_SQL,
         "events_by_type": ev.EVENTS_BY_TYPE_SQL,
         "events_daily": ev.EVENTS_DAILY_SQL,
         "top_users_by_value": ev.TOP_USERS_SQL,
         "sessionize": ev.SESSIONIZE_SQL,
         "props_k_stats": ev.PROPS_K_SQL,
         "user_activity_join": ev.USER_ACTIVITY_SQL,
+        "events_hourly_histogram": ev.EVENTS_HOURLY_SQL,
         "doc_lang_stats": tx.DOC_LANG_STATS_SQL,
+        "doc_source_stats": tx.DOC_SOURCE_SQL,
         "doc_token_counts": tx.DOC_TOKEN_COUNTS_SQL,
         "doc_char_quality": tx.DOC_CHAR_QUALITY_SQL,
         "doc_line_stats": tx.DOC_LINE_STATS_SQL,

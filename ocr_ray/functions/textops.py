@@ -349,3 +349,26 @@ def semantic_keyword_hits(sf_dir: str):
     ds = _read(sf_dir, ["doc_id", "text"])
     return ds.map_batches(Searcher, batch_format="pyarrow", batch_size=256,
                           concurrency=(1, 8), num_cpus=1)
+
+
+def doc_source_stats(sf_dir: str):
+    """Per-source doc counts + char totals (second grouping key of the
+    flat corpus)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, ["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "source").aggregate(Sum("n_docs", alias_name="n_docs"),
+                            Sum("sum_chars", alias_name="sum_chars"))
+
+
+DOC_SOURCE_SQL = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source
+"""
