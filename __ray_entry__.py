@@ -57,6 +57,17 @@ def _keyword_hits_corpus(sf_dir: str):
         keyword_hits(extracted, keywords=FLAT_CORPUS_KEYWORDS))
 
 
+def _approx_distinct_orderkeys(sf_dir: str):
+    """KMV sketch distinct-count of lineitem.l_orderkey (rows-only: the
+    estimator is deterministic but not SQL-replicable)."""
+    import ray.data as rd
+
+    from ocr_ray.functions.sketches import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    return approx_distinct(ds, "l_orderkey")
+
+
 def _media_features(sf_dir: str):
     """Decode/feature-extract over a deterministic synthetic media table
     (binary payload column) — rows-only; see ocr_ray/stages/multimodal.py."""
@@ -99,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": ev.props_k_stats,
         "user_activity_join": ev.user_activity_join,
         "events_hourly_histogram": ev.events_hourly_histogram,
+        "events_daily_moving_avg": ev.events_daily_moving_avg,
         # text analysis
         "doc_lang_stats": tx.doc_lang_stats,
         "doc_source_stats": tx.doc_source_stats,
@@ -117,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dd.simhash_pairs,
         "embedding_dup_pairs": dd.embedding_dup_pairs,
         "ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
+        # sketches (mergeable approx aggregates; deterministic hash-based)
+        "approx_distinct_orderkeys": _approx_distinct_orderkeys,
         # similarity search
         "knn_bruteforce": sim.knn_bruteforce,
         "knn_ivf": sim.knn_ivf,
@@ -158,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "props_k_stats": ev.PROPS_K_SQL,
         "user_activity_join": ev.USER_ACTIVITY_SQL,
         "events_hourly_histogram": ev.EVENTS_HOURLY_SQL,
+        "events_daily_moving_avg": ev.EVENTS_MOVING_AVG_SQL,
         "doc_lang_stats": tx.DOC_LANG_STATS_SQL,
         "doc_source_stats": tx.DOC_SOURCE_SQL,
         "doc_token_counts": tx.DOC_TOKEN_COUNTS_SQL,

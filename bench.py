@@ -125,7 +125,7 @@ def main_single():
         "value": flag["sec"],
         "unit": "sec",
         "queries": queries,
-        "sf": SF_DIR.rstrip("/").split("/")[-1],
+        "sf": float(SF_DIR.rstrip("/").split("/")[-1].removeprefix("sf") or 0),
         "num_cpus": NUM_CPUS,
         "bench_docs": BENCH_DOCS,
         "docs_extracted": flag["docs"],

@@ -8,6 +8,7 @@ windows reduce to a groupby on the truncated timestamp.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -279,4 +280,34 @@ def events_hourly_histogram(sf_dir: str):
 EVENTS_HOURLY_SQL = """
 SELECT CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n_events
 FROM events GROUP BY 1
+"""
+
+
+def events_daily_moving_avg(sf_dir: str, window: int = 7):
+    """Sliding window over the tumbling daily rollup: 7-day moving average
+    of daily event counts.  The heavy part is the (already small) daily
+    aggregate; the window pass runs over ~30 rows."""
+    daily = events_daily(sf_dir)
+
+    def moving(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values("day").reset_index(drop=True)
+        ma = df["n_events"].rolling(window, min_periods=1).mean()
+        df["ma7_events"] = np.floor(ma * 1e6 + 0.5) / 1e6
+        return pa.Table.from_pandas(
+            df[["day", "n_events", "ma7_events"]], preserve_index=False)
+
+    # single small batch: coalesce so the window sees all days together
+    return daily.repartition(1).map_batches(moving, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+EVENTS_MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+         floor((sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) / 1000.0) * 1000.0 + 0.5) / 1000.0 AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT day, n_events,
+       floor(avg(n_events) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1000000.0 + 0.5) / 1000000.0 AS ma7_events
+FROM daily
 """

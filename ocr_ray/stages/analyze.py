@@ -72,7 +72,19 @@ def corpus_keyword_counts(hits_ds):
     the groupby shuffles only (keyword, count) sized data."""
     from ray.data.aggregate import Count, Sum
 
-    return hits_ds.groupby("keyword").aggregate(
+    agg = hits_ds.groupby("keyword").aggregate(
         Sum("total_occs", alias_name="total_occs"),
         Count(alias_name="doc_freq"),
     )
+
+    def finalize(batch):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        # G8: mean occurrences per matching doc (test_performance.py:66-68)
+        avg = _pc.divide(_pc.cast(batch["total_occs"], _pa.float64()),
+                         _pc.cast(batch["doc_freq"], _pa.float64()))
+        return batch.append_column(
+            "avg_occs", _pc.divide(_pc.floor(_pc.add(_pc.multiply(
+                avg, _pa.scalar(1e4)), _pa.scalar(0.5))), _pa.scalar(1e4)))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

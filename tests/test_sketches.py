@@ -1,0 +1,68 @@
+"""KMV sketch accuracy/merge properties and pathsafe table-driven cases
+(reference style: tests_app/test_utils.py:4-22)."""
+
+import numpy as np
+import pytest
+
+from ocr_ray.functions.sketches import kmv_estimate, kmv_merge, kmv_sketch
+from ocr_ray.kernels.pathsafe import safe_name
+
+
+class TestKMV:
+    def test_exact_below_k(self):
+        sk = kmv_sketch(range(100), k=1024)
+        assert kmv_estimate(sk, 1024) == 100.0
+
+    def test_estimate_within_error(self):
+        n = 50_000
+        sk = kmv_sketch(range(n), k=1024)
+        est = kmv_estimate(sk, 1024)
+        assert abs(est - n) / n < 0.15  # ~3 sigma of 1/sqrt(k-1)
+
+    def test_merge_equals_union(self):
+        a = kmv_sketch(range(0, 30_000), k=512)
+        b = kmv_sketch(range(20_000, 50_000), k=512)
+        merged = kmv_merge([a, b], k=512)
+        whole = kmv_sketch(range(50_000), k=512)
+        assert (merged == whole).all()
+
+    def test_deterministic(self):
+        assert (kmv_sketch(["a", "b", "c"]) == kmv_sketch(["c", "b", "a"])).all()
+
+    def test_distributed_matches_exact_order_of_magnitude(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import approx_distinct
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                             columns=["l_orderkey"])
+        est = approx_distinct(ds, "l_orderkey")["approx_distinct"][0].as_py()
+        import duckdb
+        exact = duckdb.sql(
+            "SELECT count(DISTINCT l_orderkey) FROM "
+            "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+        ).fetchone()[0]
+        assert abs(est - exact) / exact < 0.15
+
+
+class TestSafeName:
+    @pytest.mark.parametrize("raw,expect", [
+        ("simple.txt", "simple.txt"),
+        ("spaţiu şi ţară.pdf", "spatiu_si_tara.pdf"),
+        ("a/b\\c:d", "a_b_c_d"),
+        ("..hidden..", "hidden"),
+        ("weird  --  name", "weird_--_name"),
+    ])
+    def test_table(self, raw, expect):
+        assert safe_name(raw) == expect
+
+    def test_unsafe_falls_back_to_hash(self):
+        out = safe_name("¤¥¦§")
+        assert out.startswith("f-") and len(out) == 18
+        assert out == safe_name("¤¥¦§")  # deterministic
+
+    def test_reserved_name(self):
+        assert safe_name("CON").startswith("f-")
+
+    def test_truncation(self):
+        assert len(safe_name("x" * 500)) == 120
