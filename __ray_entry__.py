@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_stats": tx.doc_lang_stats,
         "doc_source_stats": tx.doc_source_stats,
         "doc_token_counts": tx.doc_token_counts,
+        "doc_bpe_token_counts": tx.doc_bpe_token_counts,
         "doc_char_quality": tx.doc_char_quality,
         "doc_line_stats": tx.doc_line_stats,
         "keyword_doc_freq": tx.keyword_doc_freq,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_stats": tx.DOC_LANG_STATS_SQL,
         "doc_source_stats": tx.DOC_SOURCE_SQL,
         "doc_token_counts": tx.DOC_TOKEN_COUNTS_SQL,
+        "doc_bpe_token_counts": tx.DOC_BPE_TOKEN_SQL,
         "doc_char_quality": tx.DOC_CHAR_QUALITY_SQL,
         "doc_line_stats": tx.DOC_LINE_STATS_SQL,
         "keyword_doc_freq": tx.KEYWORD_DOC_FREQ_SQL,

@@ -372,3 +372,32 @@ DOC_SOURCE_SQL = """
 SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY source
 """
+
+
+# BPE-ish subword-style tokenization: letter runs, digit runs, and single
+# punctuation marks each count as a token (ascii classes so the Python
+# and RE2/DuckDB regex engines agree byte for byte).
+_BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def doc_bpe_token_counts(sf_dir: str):
+    """Subword-style token counts per doc (brief: "token counting —
+    whitespace + a BPE-ish regex"; whitespace variant: doc_token_counts)."""
+    import re
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+    rx = re.compile(_BPE_RE)
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = [len(rx.findall(t)) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bpe_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow", batch_size=4096)
+
+
+DOC_BPE_TOKEN_SQL = """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
