@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_join": ev.user_activity_join,
         "events_hourly_histogram": ev.events_hourly_histogram,
         "events_daily_moving_avg": ev.events_daily_moving_avg,
+        "error_click_asof": ev.error_click_asof,
         # text analysis
         "doc_lang_stats": tx.doc_lang_stats,
         "doc_source_stats": tx.doc_source_stats,
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_join": ev.USER_ACTIVITY_SQL,
         "events_hourly_histogram": ev.EVENTS_HOURLY_SQL,
         "events_daily_moving_avg": ev.EVENTS_MOVING_AVG_SQL,
+        "error_click_asof": ev.ERROR_CLICK_ASOF_SQL,
         "doc_lang_stats": tx.DOC_LANG_STATS_SQL,
         "doc_source_stats": tx.DOC_SOURCE_SQL,
         "doc_token_counts": tx.DOC_TOKEN_COUNTS_SQL,

@@ -311,3 +311,64 @@ SELECT day, n_events,
        floor(avg(n_events) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1000000.0 + 0.5) / 1000000.0 AS ma7_events
 FROM daily
 """
+
+
+def error_click_asof(sf_dir: str, max_gap_minutes: int = 60):
+    """As-of join (custom operator, SURVEY.md §2 "custom operators"):
+    for every 'error' event, the most recent preceding 'click' by the
+    same user within a tolerance.  Ray Data has no asof join; the
+    composition is groupby(user_id) + pandas merge_asof inside
+    map_groups — partitioning assumption: one user's events fit in one
+    group (true for keyed event streams; salt users hotter than that).
+    Oracle: DuckDB ASOF JOIN."""
+    ds = _read(sf_dir, ["user_id", "ts", "event_type"])
+
+    def per_user(group: pd.DataFrame, tol=max_gap_minutes) -> pd.DataFrame:
+        errors = group[group["event_type"] == "error"].sort_values("ts")
+        clicks = group[group["event_type"] == "click"].sort_values("ts")
+        uid = group["user_id"].iloc[0]
+        if errors.empty:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_errors": pd.Series([], dtype="int64"),
+                                 "n_matched": pd.Series([], dtype="int64"),
+                                 "avg_gap_s": pd.Series([], dtype="float64")})
+        if clicks.empty:
+            matched = pd.Series([], dtype="float64")
+            n_matched = 0
+        else:
+            m = pd.merge_asof(errors[["ts"]], clicks[["ts"]].rename(
+                columns={"ts": "click_ts"}), left_on="ts", right_on="click_ts",
+                direction="backward", tolerance=pd.Timedelta(minutes=tol))
+            matched = (m["ts"] - m["click_ts"]).dt.total_seconds().dropna()
+            n_matched = int(matched.notna().sum())
+        avg = (np.floor(matched.mean() * 1e3 + 0.5) / 1e3
+               if n_matched else -1.0)
+        return pd.DataFrame({"user_id": [uid], "n_errors": [len(errors)],
+                             "n_matched": [n_matched], "avg_gap_s": [avg]})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+ERROR_CLICK_ASOF_SQL = """
+WITH e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+     c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+     j AS (
+       SELECT e.user_id, e.ts, c.click_ts
+       FROM e ASOF LEFT JOIN c
+         ON e.user_id = c.user_id AND e.ts >= c.click_ts
+     ),
+     jj AS (
+       SELECT user_id, ts,
+              CASE WHEN click_ts IS NOT NULL
+                        AND ts - click_ts <= INTERVAL 60 MINUTE
+                   THEN date_diff('microsecond', click_ts, ts) / 1000000.0
+              END AS gap_s
+       FROM j
+     )
+SELECT user_id,
+       count(*) AS n_errors,
+       CAST(count(gap_s) AS BIGINT) AS n_matched,
+       CASE WHEN count(gap_s) = 0 THEN -1.0
+            ELSE floor(avg(gap_s) * 1000.0 + 0.5) / 1000.0 END AS avg_gap_s
+FROM jj GROUP BY user_id
+"""
