@@ -156,11 +156,14 @@ def derive_failed_sidecar(extracted_dir: str, failed_dir: str) -> int:
 
     from ..schema import FAILED_SCHEMA
 
-    tbl = pads.dataset(extracted_dir).to_table(
-        columns=["doc_id", "reject_reason"])
-    bad = tbl.filter(pc.not_equal(tbl["reject_reason"], ""))
-    failed = pa.Table.from_arrays([bad["doc_id"], bad["reject_reason"]],
-                                  schema=FAILED_SCHEMA)
+    frag = pads.dataset(extracted_dir)
+    if frag.files:
+        tbl = frag.to_table(columns=["doc_id", "reject_reason"])
+        bad = tbl.filter(pc.not_equal(tbl["reject_reason"], ""))
+        failed = pa.Table.from_arrays([bad["doc_id"], bad["reject_reason"]],
+                                      schema=FAILED_SCHEMA)
+    else:  # empty input shard
+        failed = pa.Table.from_pylist([], schema=FAILED_SCHEMA)
     os.makedirs(failed_dir, exist_ok=True)
     pq.write_table(failed, os.path.join(failed_dir, "failed.parquet"))
     return failed.num_rows
@@ -201,8 +204,12 @@ def run_extraction(
         frag = pads.dataset(f"{output_dir}/failed")
         n_failed = frag.count_rows() if frag.files else 0
 
-    reasons = pads.dataset(f"{output_dir}/extracted").to_table(
-        columns=["reject_reason"])
-    n_ok = reasons.filter(
-        pc.equal(reasons["reject_reason"], "")).num_rows
+    frag = pads.dataset(f"{output_dir}/extracted")
+    if frag.files:  # empty when every doc was rejected (e.g. a bucket of
+        # only over-cap monsters) — write_parquet emits no files then
+        reasons = frag.to_table(columns=["reject_reason"])
+        n_ok = reasons.filter(
+            pc.equal(reasons["reject_reason"], "")).num_rows
+    else:
+        n_ok = 0
     return {"extracted": n_ok, "failed": n_failed, "output_dir": output_dir}

@@ -34,8 +34,12 @@ def main():
     ap.add_argument("--shards", type=int, default=16)
     ap.add_argument("--resume", action="store_true", default=True)
     ap.add_argument("--no-resume", dest="resume", action="store_false")
-    ap.add_argument("--mode", choices=["nested", "exploded", "hybrid"],
-                    default="nested")
+    ap.add_argument("--mode",
+                    choices=["nested", "exploded", "hybrid", "auto"],
+                    default="nested",
+                    help="auto = one-pass size bucketing, then a nested "
+                         "job over small docs and an exploded job over "
+                         "monsters (see pipelines/bucketize.py)")
     ap.add_argument("--max-spans", type=int, default=4000)
     ap.add_argument("--report", action="store_true",
                     help="print the corpus perf report at the end")
@@ -55,16 +59,28 @@ def main():
     from ocr_ray.config import PipelineConfig
     from ocr_ray.state.checkpoint import CheckpointedRunner
 
-    cfg = PipelineConfig(pipeline_mode=args.mode,
-                         max_spans_per_doc=args.max_spans)
     t0 = time.time()
-    runner = CheckpointedRunner(args.input, args.output, cfg=cfg,
-                                n_shards=args.shards)
-    summary = runner.run(resume=args.resume)
+    if args.mode == "auto":
+        from ocr_ray.pipelines.bucketize import (
+            bucketize_corpus,
+            run_bucketed_extraction,
+        )
+
+        cfg = PipelineConfig(max_spans_per_doc=args.max_spans)
+        bucketed = os.path.join(args.output, "_bucketed")
+        counts = bucketize_corpus(args.input, bucketed, cfg=cfg)
+        summary = run_bucketed_extraction(bucketed, args.output, cfg)
+        summary["bucket_counts"] = counts
+    else:
+        cfg = PipelineConfig(pipeline_mode=args.mode,
+                             max_spans_per_doc=args.max_spans)
+        runner = CheckpointedRunner(args.input, args.output, cfg=cfg,
+                                    n_shards=args.shards)
+        summary = runner.run(resume=args.resume)
     summary["wall_sec"] = round(time.time() - t0, 1)
     print(json.dumps(summary))
 
-    if args.report:
+    if args.report and args.mode != "auto":
         from ocr_ray.functions.perfstats import corpus_report
 
         print(json.dumps(corpus_report(os.path.join(args.output, "extracted"))))
