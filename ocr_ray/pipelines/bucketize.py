@@ -33,7 +33,15 @@ def bucketize_corpus(input_path: str, bucketed_dir: str,
     """One streaming pass: annotate span counts, route rows to hive
     partitions by size. No shuffle — every task writes its own rows into
     the matching partition directory."""
+    import shutil
+
     from ..sources.readers import read_documents
+
+    # fresh-run semantics: write_parquet APPENDS by default, so a rerun
+    # over an existing layout would silently duplicate every document
+    # (observed 3x counts) — clear first.  Resumable execution is the
+    # CheckpointedRunner's job, not this one-pass layout step's.
+    shutil.rmtree(bucketed_dir, ignore_errors=True)
 
     thr = threshold if threshold is not None else cfg.explode_threshold
 
@@ -64,9 +72,13 @@ def run_bucketed_extraction(bucketed_dir: str, output_dir: str,
 
     from .extract_pipeline import run_extraction
 
+    import shutil
+
     summaries = {}
     small_dir = os.path.join(bucketed_dir, "size_bucket=small")
     big_dir = os.path.join(bucketed_dir, "size_bucket=big")
+    for sub in ("small", "big"):  # fresh-run semantics, see bucketize_corpus
+        shutil.rmtree(os.path.join(output_dir, sub), ignore_errors=True)
 
     if os.path.isdir(small_dir):
         summaries["small"] = run_extraction(

@@ -190,8 +190,15 @@ def run_extraction(
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
+    import shutil
+
     ds = read_documents(input_path)
     result = build_extracted(ds, cfg)
+    # fresh-run semantics: write_parquet APPENDS into existing dirs, so a
+    # rerun would silently duplicate docs; resumability lives in the
+    # CheckpointedRunner (atomic shard publish), not here
+    shutil.rmtree(f"{output_dir}/extracted", ignore_errors=True)
+    shutil.rmtree(f"{output_dir}/failed", ignore_errors=True)
     os.makedirs(f"{output_dir}/extracted", exist_ok=True)
     result.write_parquet(f"{output_dir}/extracted")
 
