@@ -82,3 +82,16 @@ class TestResume:
         assert len(on_disk["metrics"]["conf_hist"]) == 10
         assert on_disk["committed_at"] >= on_disk["started_at"]
         assert on_disk["failed_count"] > 0  # archetype corpus has rejects
+
+
+class TestResumeExplodedMode:
+    def test_runner_with_exploded_cfg(self, ray_session, small_corpus_path,
+                                      golden_result, tmp_path_factory):
+        from ocr_ray.config import PipelineConfig
+
+        out = str(tmp_path_factory.mktemp("ckpt_exploded"))
+        cfg = PipelineConfig(pipeline_mode="exploded", span_batch_size=64)
+        runner = CheckpointedRunner(small_corpus_path, out, cfg=cfg, n_shards=2)
+        runner.run()
+        actual = _ok_spans(out)
+        assert_span_equal(actual, golden_result["extracted"])
