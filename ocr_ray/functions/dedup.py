@@ -104,8 +104,11 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(group["doc_id"].to_pylist())
-        pairs = [{"doc_a": x, "doc_b": y}
-                 for i, x in enumerate(ids) for y in ids[i + 1:]]
+        # STAR pairs (min-id hub -> member), not all-pairs: a hot bucket of
+        # n identical docs would otherwise emit O(n^2) rows in one task and
+        # OOM the worker. Star edges are enough to link every member to a
+        # survivor (connected components still form through the hub).
+        pairs = [{"doc_a": ids[0], "doc_b": y} for y in ids[1:]]
         return pa.Table.from_pylist(pairs, schema=pa.schema([
             ("doc_a", pa.int64()), ("doc_b", pa.int64())]))
 
@@ -187,8 +190,11 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(group["doc_id"].to_pylist())
-        pairs = [{"doc_a": x, "doc_b": y}
-                 for i, x in enumerate(ids) for y in ids[i + 1:]]
+        # STAR pairs (min-id hub -> member), not all-pairs: a hot bucket of
+        # n identical docs would otherwise emit O(n^2) rows in one task and
+        # OOM the worker. Star edges are enough to link every member to a
+        # survivor (connected components still form through the hub).
+        pairs = [{"doc_a": ids[0], "doc_b": y} for y in ids[1:]]
         return pa.Table.from_pylist(pairs, schema=pa.schema([
             ("doc_a", pa.int64()), ("doc_b", pa.int64())]))
 
@@ -250,8 +256,8 @@ def embedding_dup_pairs(sf_dir: str, cosine_threshold: float = 0.95,
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(group["vec_id"].to_pylist())
-        pairs = [{"vec_a": x, "vec_b": y}
-                 for i, x in enumerate(ids) for y in ids[i + 1:]]
+        # star pairs — see minhash_lsh_pairs.bucket_pairs
+        pairs = [{"vec_a": ids[0], "vec_b": y} for y in ids[1:]]
         return pa.Table.from_pylist(pairs, schema=pa.schema([
             ("vec_a", pa.int64()), ("vec_b", pa.int64())]))
 

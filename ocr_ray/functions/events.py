@@ -333,15 +333,18 @@ def error_click_asof(sf_dir: str, max_gap_minutes: int = 60):
                                  "n_matched": pd.Series([], dtype="int64"),
                                  "avg_gap_s": pd.Series([], dtype="float64")})
         if clicks.empty:
-            matched = pd.Series([], dtype="float64")
             n_matched = 0
         else:
             m = pd.merge_asof(errors[["ts"]], clicks[["ts"]].rename(
                 columns={"ts": "click_ts"}), left_on="ts", right_on="click_ts",
                 direction="backward", tolerance=pd.Timedelta(minutes=tol))
-            matched = (m["ts"] - m["click_ts"]).dt.total_seconds().dropna()
-            n_matched = int(matched.notna().sum())
-        avg = (np.floor(matched.mean() * 1e3 + 0.5) / 1e3
+            # exact integer microseconds: float-seconds summed in pandas
+            # order would differ from the oracle's sum order in the last
+            # ulp (the repo's no-float-accumulation rule)
+            gap_us = (m["ts"] - m["click_ts"]).dropna().dt.total_seconds()
+            gap_us = (gap_us * 1e6).round().astype("int64")
+            n_matched = int(len(gap_us))
+        avg = (np.floor((gap_us.sum() / 1e6 / n_matched) * 1e3 + 0.5) / 1e3
                if n_matched else -1.0)
         return pd.DataFrame({"user_id": [uid], "n_errors": [len(errors)],
                              "n_matched": [n_matched], "avg_gap_s": [avg]})
@@ -361,14 +364,15 @@ WITH e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
        SELECT user_id, ts,
               CASE WHEN click_ts IS NOT NULL
                         AND ts - click_ts <= INTERVAL 60 MINUTE
-                   THEN date_diff('microsecond', click_ts, ts) / 1000000.0
-              END AS gap_s
+                   THEN date_diff('microsecond', click_ts, ts)
+              END AS gap_us
        FROM j
      )
 SELECT user_id,
        count(*) AS n_errors,
-       CAST(count(gap_s) AS BIGINT) AS n_matched,
-       CASE WHEN count(gap_s) = 0 THEN -1.0
-            ELSE floor(avg(gap_s) * 1000.0 + 0.5) / 1000.0 END AS avg_gap_s
+       CAST(count(gap_us) AS BIGINT) AS n_matched,
+       CASE WHEN count(gap_us) = 0 THEN -1.0
+            ELSE floor((sum(gap_us) / 1000000.0 / count(gap_us)) * 1000.0 + 0.5)
+                 / 1000.0 END AS avg_gap_s
 FROM jj GROUP BY user_id
 """

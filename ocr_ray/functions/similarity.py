@@ -58,9 +58,11 @@ def knn_bruteforce(sf_dir: str, query_vec_id: int = 0, k: int = 10):
         cos = np_round_half_up((m @ qn) / norms, 6)
         ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
         take = min(k, len(ids))
-        part = np.argpartition(-cos, take - 1)[:take]
-        return pa.table({"vec_id": pa.array(ids[part], pa.int64()),
-                         "cosine": pa.array(cos[part], pa.float64())})
+        # lexsort (not argpartition): ties at the k-th cosine must break
+        # by vec_id ASC to match the oracle's ORDER BY exactly
+        order = np.lexsort((ids, -cos))[:take]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "cosine": pa.array(cos[order], pa.float64())})
 
     return (ds.map_batches(local_topk, batch_format="pyarrow",
                            batch_size=4096, fn_kwargs={"qn": qn, "k": k})
@@ -122,9 +124,9 @@ def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10,
         norms[norms == 0] = 1.0
         cos = np_round_half_up((m @ qn) / norms, 6)
         take = min(k, len(ids))
-        part = np.argpartition(-cos, take - 1)[:take]
-        return pa.table({"vec_id": pa.array(ids[part], pa.int64()),
-                         "cosine": pa.array(cos[part], pa.float64())})
+        order = np.lexsort((ids, -cos))[:take]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "cosine": pa.array(cos[order], pa.float64())})
 
     return (ds.map_batches(probe_topk, batch_format="pyarrow", batch_size=4096,
                            fn_kwargs={"cent": cent, "probe_set": probe_set,

@@ -34,8 +34,10 @@ def kmv_sketch(values, k: int = 1024) -> np.ndarray:
 
 
 def kmv_merge(sketches: list[np.ndarray], k: int = 1024) -> np.ndarray:
-    merged = np.unique(np.concatenate([s for s in sketches if len(s)]))
-    return merged[:k]
+    parts = [s for s in sketches if len(s)]
+    if not parts:
+        return np.array([], dtype=np.uint64)
+    return np.unique(np.concatenate(parts))[:k]
 
 
 def kmv_estimate(sketch: np.ndarray, k: int = 1024) -> float:

@@ -99,9 +99,12 @@ def doc_char_quality(sf_dir: str):
     ds = _read(sf_dir, ["doc_id", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
-        s = batch["text"].to_pandas().str.lower()
+        raw = batch["text"].to_pandas()
+        s = raw.str.lower()
         good = s.str.count(r"[a-z0-9 ]")
-        total = s.str.len()
+        # denominator = ORIGINAL length: Unicode lower() can change the
+        # code-point count and the oracle divides by length(text)
+        total = raw.str.len()
         ratio = np_round_half_up((good / total).where(total > 0, 0.0).to_numpy(), 6)
         return pa.table({"doc_id": batch["doc_id"],
                          "char_quality": pa.array(ratio, pa.float64())})
@@ -377,7 +380,8 @@ FROM documents GROUP BY source
 # BPE-ish subword-style tokenization: letter runs, digit runs, and single
 # punctuation marks each count as a token (ascii classes so the Python
 # and RE2/DuckDB regex engines agree byte for byte).
-_BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+# explicit ASCII whitespace: Python's \s is Unicode-wide, RE2's is ASCII
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f\\v]"
 
 
 def doc_bpe_token_counts(sf_dir: str):

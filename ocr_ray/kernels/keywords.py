@@ -72,7 +72,9 @@ class KeywordMatcher:
         tok_variant = [token_variants(t) for t, _, _ in toks]
         raw: list[tuple[int, int, str]] = []  # (tok_start, tok_end, keyword)
         for i, tv in enumerate(tok_variant):
-            for var in tv:
+            # sorted: frozenset iteration order is hash-seed dependent and
+            # would make tie-breaks differ across worker processes
+            for var in sorted(tv):
                 for kw, vsets in self._index.get(var, ()):
                     n = len(vsets)
                     if i + n > len(toks):

@@ -21,6 +21,14 @@ import pyarrow.compute as pc
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..kernels.extract import R_DUP_OFFSET, R_EMPTY, R_MALFORMED, R_NO_CONTENT, R_TOO_MANY
 
+# every char where Python's str.isspace() is True — Arrow's
+# utf8_trim_whitespace strips only Unicode White_Space, which EXCLUDES
+# \x1c-\x1f (+ \x85 handling differs), so the vectorized no_content
+# check would disagree with the scalar kernel's str.strip()
+_PY_WHITESPACE = (" \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+                  "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+                  "\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000")
+
 
 def _np(arr, fill=None):
     if fill is not None:
@@ -70,7 +78,8 @@ def validate_batch(batch: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.
     has_content_span = _np(pc.coalesce(
         pc.or_kleene(
             is_media,
-            pc.and_kleene(is_text, pc.invert(pc.equal(pc.utf8_trim_whitespace(text), ""))),
+            pc.and_kleene(is_text, pc.invert(pc.equal(
+                pc.utf8_trim(text, characters=_PY_WHITESPACE), ""))),
         ),
         pa.scalar(False),
     ))

@@ -129,10 +129,13 @@ class CheckpointedRunner:
         failed_tbl = (failed_frag.to_table() if failed_frag.files
                       else pa.Table.from_pylist([], schema=FAILED_SCHEMA))
         import pyarrow.compute as pc
-        reasons = pads.dataset(f"{tmp}/extracted").to_table(
-            columns=["reject_reason"])
-        n_docs = reasons.filter(
-            pc.equal(reasons["reject_reason"], "")).num_rows
+        ext_frag = pads.dataset(f"{tmp}/extracted")
+        if ext_frag.files:
+            reasons = ext_frag.to_table(columns=["reject_reason"])
+            n_docs = reasons.filter(
+                pc.equal(reasons["reject_reason"], "")).num_rows
+        else:  # all docs rejected (exploded mode) or empty shard
+            n_docs = 0
         metrics = (self._aggregate_metrics(f"{tmp}/extracted")
                    if n_docs else {})
 
@@ -163,6 +166,24 @@ class CheckpointedRunner:
 
     def run(self, resume: bool = True) -> dict:
         done = self.committed_shards() if resume else set()
+        # a marker is only valid for the shard composition it was written
+        # for: changing --shards or the input file set between runs would
+        # otherwise silently drop/duplicate documents
+        import json as _json
+
+        for k in sorted(done):
+            if k >= len(self.shards):
+                raise RuntimeError(
+                    f"marker shard-{k} exceeds current shard count "
+                    f"{len(self.shards)}; rerun with the original --shards "
+                    "or clear the output directory")
+            marker_files = _json.load(open(self.marker_path(k)))["files"]
+            if marker_files != self.shards[k]:
+                raise RuntimeError(
+                    f"shard {k} composition changed since its commit "
+                    f"(marker has {len(marker_files)} files, current plan "
+                    f"has {len(self.shards[k])}); rerun with the original "
+                    "--shards and input set, or clear the output directory")
         ran, skipped = [], sorted(done)
         for k in range(len(self.shards)):
             if k in done:
