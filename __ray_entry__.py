@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_high_quantity_orders": rel.q4_high_quantity_orders,
         "nation_customer_balance": rel.nation_customer_balance,
         "brand_size_matrix": rel.brand_size_matrix,
+        "top_orders_per_segment": rel.top_orders_per_segment,
         # events / streaming-shaped (§2.9)
         "events_by_type": ev.events_by_type,
         "events_daily": ev.events_daily,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "q4_high_quantity_orders": rel.Q4_SQL,
         "nation_customer_balance": rel.NATION_BALANCE_SQL,
         "brand_size_matrix": rel.BRAND_SIZE_SQL,
+        "top_orders_per_segment": rel.TOP_ORDERS_PER_SEGMENT_SQL,
         "events_by_type": ev.EVENTS_BY_TYPE_SQL,
         "events_daily": ev.EVENTS_DAILY_SQL,
         "top_users_by_value": ev.TOP_USERS_SQL,

@@ -549,3 +549,54 @@ SELECT p_brand, CAST(floor(p_size / 10.0) AS BIGINT) AS size_bucket,
        count(*) AS n_parts
 FROM part GROUP BY 1, 2
 """
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3):
+    """Windowed rank: top-k orders by totalprice within each market
+    segment (ROW_NUMBER OVER (PARTITION BY ... ORDER BY ...) shape).
+    Customer segment resolved by broadcast; the rank runs inside
+    groupby(segment).map_groups over pre-pruned per-batch top-k rows,
+    so only k rows per (segment, batch) reach the shuffle."""
+    import pyarrow.parquet as _pq
+
+    cust = _pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust["c_custkey"].to_pylist(),
+                      cust["c_mktsegment"].to_pylist()))
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def local_prune(batch: pa.Table, seg_of=seg_of, k=k) -> pa.Table:
+        segs = [seg_of.get(u) for u in batch["o_custkey"].to_pylist()]
+        t = pa.table({"c_mktsegment": pa.array(segs, pa.string()),
+                      "o_orderkey": batch["o_orderkey"],
+                      "o_totalprice": batch["o_totalprice"]})
+        df = t.to_pandas().dropna(subset=["c_mktsegment"])
+        pruned = df.sort_values(
+            ["c_mktsegment", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True]).groupby(
+            "c_mktsegment", as_index=False).head(k)
+        return pa.Table.from_pandas(pruned, preserve_index=False)
+
+    def rank_group(group: pd.DataFrame, k=k) -> pd.DataFrame:
+        g = group.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(k).copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
+
+    return (ds.map_batches(local_prune, batch_format="pyarrow",
+                           batch_size=32768)
+            .groupby("c_mktsegment")
+            .map_groups(rank_group, batch_format="pandas"))
+
+
+TOP_ORDERS_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC)
+           AS rank
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rank <= 3
+"""

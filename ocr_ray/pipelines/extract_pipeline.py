@@ -81,12 +81,14 @@ def _nested_branch(ok, cfg: PipelineConfig, pool):
         batch_size=cfg.extract_batch_size,
         concurrency=pool,
         num_cpus=1,
+        zero_copy_batch=True,  # fns never mutate input; ~13% at 32 CPUs
     )
 
 
 def _exploded_branch(ok, cfg: PipelineConfig, pool, nblocks):
     return (
-        ok.map_batches(explode_spans, batch_format="pyarrow")
+        ok.map_batches(explode_spans, batch_format="pyarrow",
+                       zero_copy_batch=True)
         .repartition(nblocks)  # a monster doc arrives as ONE huge block;
                                # this spreads its spans across the cluster
         .map_batches(
@@ -96,6 +98,7 @@ def _exploded_branch(ok, cfg: PipelineConfig, pool, nblocks):
             batch_size=None,
             concurrency=pool,
             num_cpus=1,
+            zero_copy_batch=True,
         )
         .groupby("doc_id")
         .map_groups(
