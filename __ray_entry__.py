@@ -57,6 +57,18 @@ def _keyword_hits_corpus(sf_dir: str):
         keyword_hits(extracted, keywords=FLAT_CORPUS_KEYWORDS))
 
 
+def _running_user_totals(sf_dir: str):
+    """Incremental per-user aggregation in bucket actors (the raw-actor
+    streaming escape hatch, ocr_ray/stages/streaming.py); final state is
+    oracle-equal to a plain groupby."""
+    from ocr_ray.stages.streaming import running_user_totals
+
+    return running_user_totals(sf_dir)
+
+
+from ocr_ray.stages.streaming import RUNNING_USER_TOTALS_SQL as _RUNNING_USER_TOTALS_SQL
+
+
 def _approx_distinct_orderkeys(sf_dir: str):
     """KMV sketch distinct-count of lineitem.l_orderkey (rows-only: the
     estimator is deterministic but not SQL-replicable)."""
@@ -113,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_histogram": ev.events_hourly_histogram,
         "events_daily_moving_avg": ev.events_daily_moving_avg,
         "error_click_asof": ev.error_click_asof,
+        "running_user_totals": _running_user_totals,
         # text analysis
         "doc_lang_stats": tx.doc_lang_stats,
         "doc_source_stats": tx.doc_source_stats,
@@ -178,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_histogram": ev.EVENTS_HOURLY_SQL,
         "events_daily_moving_avg": ev.EVENTS_MOVING_AVG_SQL,
         "error_click_asof": ev.ERROR_CLICK_ASOF_SQL,
+        "running_user_totals": _RUNNING_USER_TOTALS_SQL,
         "doc_lang_stats": tx.DOC_LANG_STATS_SQL,
         "doc_source_stats": tx.DOC_SOURCE_SQL,
         "doc_token_counts": tx.DOC_TOKEN_COUNTS_SQL,
