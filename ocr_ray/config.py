@@ -23,6 +23,14 @@ class PipelineConfig:
     # --- quality gate (app/config.py:17 MIN_QUALITY; ocr_worker.py:214-222)
     min_quality: float = 77.0
 
+    # --- per-span straggler bound (tesseract-timeout analog,
+    # ocr_service.py:40-41: 600 s/page). The simulated engine cannot
+    # hang, so the enforceable contract here is a soft deadline: when the
+    # first OCR pass has already consumed the budget, the force-rotate
+    # retry is skipped (the doc ships with its first-pass text), bounding
+    # worst-case per-span work at ~2x the budget for real engines.
+    span_soft_timeout_ms: float = 600_000.0
+
     # --- physical strategy:
     # "nested"   (default) one lineage, docs stay whole rows; right when
     #            per-doc work is bounded (max_spans_per_doc caps it, the

@@ -106,7 +106,11 @@ def extract_span(
         return cleaned, {"quality": -1.0, "retried": False, "confs": []}
 
     # media span: OCR -> clean -> quality gate -> maybe force-rotate retry
+    import time as _time
+
+    t0 = _time.monotonic()
     raw, confs = run_ocr(media_ref)
+    first_pass_ms = (_time.monotonic() - t0) * 1000.0
     pass_stats = CleanStats()
     cleaned, _ = clean_lines(
         raw,
@@ -117,7 +121,9 @@ def extract_span(
     )
     q = estimate_quality(cleaned)
     retried = False
-    if q < cfg.min_quality:
+    # straggler bound: skip the retry when the first pass already blew the
+    # per-span budget (ocr_service.py:40-41 timeout analog)
+    if q < cfg.min_quality and first_pass_ms <= cfg.span_soft_timeout_ms:
         retried = True
         raw, confs = run_ocr(media_ref, force_rotate=True)
         pass_stats = CleanStats()

@@ -190,3 +190,23 @@ class TestKeywords:
         hits = m.find("lege nouă și lege veche")
         g = m.group_hits(hits)
         assert g[0]["total_occs"] == 2
+
+
+class TestSpanSoftTimeout:
+    """Straggler bound: a blown first-pass budget suppresses the
+    force-rotate retry (tesseract-timeout analog, ocr_service.py:40-41)."""
+
+    def test_tiny_budget_suppresses_retry(self):
+        from ocr_ray.config import PipelineConfig
+        from ocr_ray.kernels.extract import extract_span
+
+        mref = None
+        for i in range(200):
+            _, meta = extract_span("media", "", f"m-t-{i}", PipelineConfig())
+            if meta["retried"]:
+                mref = f"m-t-{i}"
+                break
+        assert mref is not None
+        _, meta = extract_span("media", "", mref,
+                               PipelineConfig(span_soft_timeout_ms=0.0))
+        assert not meta["retried"]
