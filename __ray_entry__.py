@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "doc_lang_stats": tx.doc_lang_stats,
         "doc_source_stats": tx.doc_source_stats,
+        "doc_sample_stats": tx.doc_sample_stats,
         "doc_token_counts": tx.doc_token_counts,
         "doc_bpe_token_counts": tx.doc_bpe_token_counts,
         "doc_char_quality": tx.doc_char_quality,
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "running_user_totals": _RUNNING_USER_TOTALS_SQL,
         "doc_lang_stats": tx.DOC_LANG_STATS_SQL,
         "doc_source_stats": tx.DOC_SOURCE_SQL,
+        "doc_sample_stats": tx.DOC_SAMPLE_SQL,
         "doc_token_counts": tx.DOC_TOKEN_COUNTS_SQL,
         "doc_bpe_token_counts": tx.DOC_BPE_TOKEN_SQL,
         "doc_char_quality": tx.DOC_CHAR_QUALITY_SQL,

@@ -405,3 +405,34 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
+
+
+def doc_sample_stats(sf_dir: str):
+    """Deterministic 1/16 sample (docs whose md5(doc_id) starts with '0')
+    + rollup — reproducible sampling both engines can express, the
+    hash-sample analog of ds.random_sample for auditable subsets."""
+    ds = _read(sf_dir, ["doc_id", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = [hashlib.md5(str(d).encode()).hexdigest().startswith("0")
+                for d in batch["doc_id"].to_pylist()]
+        sel = batch.filter(pa.array(keep))
+        n = sel.num_rows
+        total = sum(sel["n_chars"].to_pylist()) if n else 0
+        return pa.table({"n_docs": pa.array([n], pa.int64()),
+                         "sum_chars": pa.array([total], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    # global aggregate() returns a plain dict -> wrap as a one-row table
+    agg = (ds.map_batches(pick, batch_format="pyarrow", batch_size=8192)
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_chars", alias_name="sum_chars")))
+    return pa.table({"n_docs": pa.array([agg["n_docs"] or 0], pa.int64()),
+                     "sum_chars": pa.array([agg["sum_chars"] or 0], pa.int64())})
+
+
+DOC_SAMPLE_SQL = """
+SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) LIKE '0%'
+"""

@@ -66,6 +66,16 @@ class TestFilterSpans:
                 assert any(i in occupied for i in range(s, e))
 
 
+class TestHtmlFuzz:
+    @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",),
+                                          max_codepoint=0x2FFF), max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def test_parser_never_raises_and_is_deterministic(self, html):
+        from ocr_ray.kernels.htmlx import html_to_blocks
+
+        assert html_to_blocks(html) == html_to_blocks(html)
+
+
 class TestCleanerProperties:
     @given(_text)
     @settings(max_examples=200, deadline=None)
