@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_customer_balance": rel.nation_customer_balance,
         "brand_size_matrix": rel.brand_size_matrix,
         "top_orders_per_segment": rel.top_orders_per_segment,
+        "q14_promo_revenue_share": rel.q14_promo_revenue_share,
+        "q10_returned_revenue_by_customer": rel.q10_returned_revenue_by_customer,
         # events / streaming-shaped (§2.9)
         "events_by_type": ev.events_by_type,
         "events_daily": ev.events_daily,
@@ -183,6 +185,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_customer_balance": rel.NATION_BALANCE_SQL,
         "brand_size_matrix": rel.BRAND_SIZE_SQL,
         "top_orders_per_segment": rel.TOP_ORDERS_PER_SEGMENT_SQL,
+        "q14_promo_revenue_share": rel.Q14_SQL,
+        "q10_returned_revenue_by_customer": rel.Q10_SQL,
         "events_by_type": ev.EVENTS_BY_TYPE_SQL,
         "events_daily": ev.EVENTS_DAILY_SQL,
         "top_users_by_value": ev.TOP_USERS_SQL,

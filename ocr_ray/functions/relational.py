@@ -600,3 +600,110 @@ FROM (
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 ) WHERE rank <= 3
 """
+
+
+def q14_promo_revenue_share(sf_dir: str):
+    """Promo revenue share (TPC-H Q14 shape): lineitem joined to part by
+    partkey via broadcast (part is a dimension here), conditional
+    aggregation, one-row result."""
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    is_promo = {k: t.startswith("PROMO") or t == "ECONOMY"
+                for k, t in zip(part["p_partkey"].to_pylist(),
+                                part["p_type"].to_pylist())}
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table, is_promo=is_promo) -> pa.Table:
+        rev = _cents(pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"])))
+        rev_np = rev.to_numpy()
+        promo_mask = np.array([is_promo.get(k, False)
+                               for k in batch["l_partkey"].to_pylist()])
+        return pa.table({
+            "promo_cents": pa.array([int(rev_np[promo_mask].sum())], pa.int64()),
+            "total_cents": pa.array([int(rev_np.sum())], pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)         .aggregate(Sum("promo_cents", alias_name="p"),
+                   Sum("total_cents", alias_name="t"))
+    p_, t_ = agg["p"] or 0, agg["t"] or 1
+    share = __import__("math").floor((100.0 * p_ / t_) * 1e6 + 0.5) / 1e6
+    return pa.table({"promo_share_pct": pa.array([share], pa.float64())})
+
+
+Q14_SQL = """
+SELECT floor((100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%' OR p.p_type = 'ECONOMY'
+                   THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)
+                   ELSE 0 END)
+       / sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT))) * 1000000.0 + 0.5) / 1000000.0
+       AS promo_share_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+def q10_returned_revenue_by_customer(sf_dir: str, k: int = 20):
+    """Returned-item revenue per customer (TPC-H Q10 shape): lineitem
+    filtered to returnflag='R', aggregated per order, joined to orders
+    (hash join), customer resolved by broadcast, top-k."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = pc.multiply(sel["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), sel["l_discount"]))
+        t = pa.table({"l_orderkey": sel["l_orderkey"], "c": _cents(rev)})
+        df = t.to_pandas().groupby("l_orderkey", as_index=False)["c"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    li_agg = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+              .groupby("l_orderkey").aggregate(Sum("c", alias_name="c")))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li_agg.join(orders, join_type="inner", num_partitions=8,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    name_of = dict(zip(cust["c_custkey"].to_pylist(),
+                       cust["c_name"].to_pylist()))
+
+    def by_customer(batch: pa.Table, name_of=name_of) -> pa.Table:
+        df = pa.table({"o_custkey": batch["o_custkey"],
+                       "c": batch["c"]}).to_pandas()
+        g = df.groupby("o_custkey", as_index=False)["c"].sum()
+        g["c_name"] = [name_of[k] for k in g["o_custkey"]]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (joined.map_batches(by_customer, batch_format="pyarrow")
+           .groupby("o_custkey").aggregate(Sum("c", alias_name="c")))
+
+    def finalize(batch: pa.Table, name_of=name_of) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["o_custkey"],
+            "c_name": pa.array([name_of[k] for k in
+                                batch["o_custkey"].to_pylist()], pa.string()),
+            "returned_revenue": round_half_up(pc.divide(pc.cast(
+                batch["c"], pa.float64()), pa.scalar(100.0)), 2),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(["returned_revenue", "c_custkey"],
+                  descending=[True, False]).limit(k))
+
+
+Q10_SQL = """
+SELECT c.c_custkey, c.c_name,
+       floor((sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS returned_revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY returned_revenue DESC, c_custkey ASC LIMIT 20
+"""

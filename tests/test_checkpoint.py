@@ -95,3 +95,14 @@ class TestResumeExplodedMode:
         runner.run()
         actual = _ok_spans(out)
         assert_span_equal(actual, golden_result["extracted"])
+
+
+class TestResumeHybridMode:
+    def test_runner_with_hybrid_cfg(self, ray_session, small_corpus_path,
+                                    golden_result, tmp_path_factory):
+        from ocr_ray.config import PipelineConfig
+
+        out = str(tmp_path_factory.mktemp("ckpt_hybrid"))
+        cfg = PipelineConfig(pipeline_mode="hybrid", explode_threshold=64)
+        CheckpointedRunner(small_corpus_path, out, cfg=cfg, n_shards=2).run()
+        assert_span_equal(_ok_spans(out), golden_result["extracted"])
