@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": rel.top_orders_per_segment,
         "q14_promo_revenue_share": rel.q14_promo_revenue_share,
         "q10_returned_revenue_by_customer": rel.q10_returned_revenue_by_customer,
+        "order_price_quantiles": rel.order_price_quantiles,
         # events / streaming-shaped (§2.9)
         "events_by_type": ev.events_by_type,
         "events_daily": ev.events_daily,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_segment": rel.TOP_ORDERS_PER_SEGMENT_SQL,
         "q14_promo_revenue_share": rel.Q14_SQL,
         "q10_returned_revenue_by_customer": rel.Q10_SQL,
+        "order_price_quantiles": rel.ORDER_PRICE_QUANTILES_SQL,
         "events_by_type": ev.EVENTS_BY_TYPE_SQL,
         "events_daily": ev.EVENTS_DAILY_SQL,
         "top_users_by_value": ev.TOP_USERS_SQL,

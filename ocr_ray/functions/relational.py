@@ -707,3 +707,37 @@ WHERE l.l_returnflag = 'R'
 GROUP BY c.c_custkey, c.c_name
 ORDER BY returned_revenue DESC, c_custkey ASC LIMIT 20
 """
+
+
+def order_price_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (discrete): global sort + index
+    selection via split_at_indices — the element at floor((n-1)*q) of the
+    sorted column, which is precisely DuckDB's quantile_disc, so the
+    oracle matches bit for bit (no interpolation, no sketch error).
+    Scale shape: one sort shuffle + O(1)-row index reads."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    n = ds.count()
+    qs = (0.25, 0.5, 0.95)
+    idxs = [int((n - 1) * q) for q in qs]
+    sorted_ds = ds.sort("o_totalprice")
+    # split at each UNIQUE target index (tiny tables collapse several
+    # quantiles onto one index and duplicate split points yield empty
+    # segments); the first row of each right-hand split IS the element
+    uniq = sorted(set(idxs))
+    splits = sorted_ds.split_at_indices(uniq)
+    val_at = {u: float(splits[j + 1].take(1)[0]["o_totalprice"])
+              for j, u in enumerate(uniq)}
+    vals = [val_at[i] for i in idxs]
+    return pa.table({
+        "p25": pa.array([vals[0]], pa.float64()),
+        "p50": pa.array([vals[1]], pa.float64()),
+        "p95": pa.array([vals[2]], pa.float64()),
+    })
+
+
+ORDER_PRICE_QUANTILES_SQL = """
+SELECT quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.50) AS p50,
+       quantile_disc(o_totalprice, 0.95) AS p95
+FROM orders
+"""
