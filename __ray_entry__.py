@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dd.simhash_pairs,
         "embedding_dup_pairs": dd.embedding_dup_pairs,
         "ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
+        "exact_dup_clusters": dd.exact_dup_clusters,
         # sketches (mergeable approx aggregates; deterministic hash-based)
         "approx_distinct_orderkeys": _approx_distinct_orderkeys,
         # similarity search
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_scores": tx.DOC_QUALITY_SQL,
         "exact_dedup_groups": tx.EXACT_DEDUP_SQL,
         "ngram_jaccard_pairs": dd.NGRAM_JACCARD_SQL,
+        "exact_dup_clusters": dd.EXACT_DUP_CLUSTERS_SQL,
         "knn_bruteforce": sim.KNN_BRUTE_SQL,
         "embedding_label_centroids": sim.EMBEDDING_LABEL_SQL,
         # rows-only (non-SQL-expressible): lang_id, doc_fingerprints,

@@ -327,3 +327,88 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jaccard
 FROM documents a JOIN documents b
   ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
 """
+
+
+def dedup_clusters(pairs_ds, max_rounds: int = 10):
+    """Connected components over near-dup pairs by iterative min-label
+    propagation (the groupby formulation from the ray guide: no driver
+    union-find, scales with the edge set).
+
+    Input: Dataset/table with (doc_a, doc_b) edges. Output:
+    pa.Table(doc_id, cluster_id) where cluster_id = min doc_id of the
+    component. Star edges from the bucket stage converge in ~2 rounds;
+    arbitrary edge sets in O(diameter) rounds (capped).
+
+    Scale note: each round broadcasts the label map of CANDIDATE docs
+    (docs with >=1 near-dup edge — sparse by construction); when even
+    that outgrows the driver, replace the broadcast with a labels-to-
+    edges hash join per round (same groupby(min) formulation).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    if not isinstance(pairs_ds, rd.Dataset):
+        pairs_ds = rd.from_arrow(pairs_ds)
+    edges = pairs_ds.select_columns(["doc_a", "doc_b"])
+
+    def seed(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        both = np.concatenate([
+            batch["doc_a"].to_numpy(zero_copy_only=False),
+            batch["doc_b"].to_numpy(zero_copy_only=False)])
+        return pa.table({"doc_id": pa.array(both, pa.int64()),
+                         "label": pa.array(both, pa.int64())})
+
+    labels = (edges.map_batches(seed, batch_format="pyarrow")
+              .groupby("doc_id").aggregate(Min("label", alias_name="label")))
+
+    edge_tbl = pa.concat_tables([
+        b for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]) if edges.count() else pa.table({"doc_a": pa.array([], pa.int64()),
+                                       "doc_b": pa.array([], pa.int64())})
+
+    for _ in range(max_rounds):
+        lab = {r["doc_id"]: r["label"] for r in labels.take_all()}
+
+        def propagate(batch: pa.Table, lab=lab) -> pa.Table:
+            rows = []
+            for a, b in zip(batch["doc_a"].to_pylist(),
+                            batch["doc_b"].to_pylist()):
+                m = min(lab[a], lab[b])
+                rows.append({"doc_id": a, "label": m})
+                rows.append({"doc_id": b, "label": m})
+            return pa.Table.from_pylist(rows, schema=pa.schema([
+                ("doc_id", pa.int64()), ("label", pa.int64())]))
+
+        new_labels = (rd.from_arrow(edge_tbl)
+                      .map_batches(propagate, batch_format="pyarrow")
+                      .union(rd.from_items(
+                          [{"doc_id": d, "label": l} for d, l in lab.items()]))
+                      .groupby("doc_id").aggregate(Min("label", alias_name="label")))
+        new_lab = {r["doc_id"]: r["label"] for r in new_labels.take_all()}
+        labels = new_labels
+        if new_lab == lab:
+            break
+
+    rows = sorted(({"doc_id": d, "cluster_id": l}
+                   for d, l in new_lab.items()), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("doc_id", pa.int64()), ("cluster_id", pa.int64())]))
+
+
+def exact_dup_clusters(sf_dir: str):
+    """Cluster assignments for exact-duplicate docs (cluster = min doc_id
+    of each md5-equal group with >1 member) — the SQL-checkable face of
+    dedup_clusters, fed by the exact-dup pair list."""
+    pairs = ngram_jaccard_pairs(sf_dir)
+    return dedup_clusters(pairs)
+
+
+EXACT_DUP_CLUSTERS_SQL = """
+SELECT doc_id, cluster_id FROM (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,
+         count(*) OVER (PARTITION BY md5(text)) AS cnt
+  FROM documents
+) WHERE cnt > 1
+"""

@@ -80,3 +80,27 @@ class TestEmbeddingDups:
         found = {(r.vec_a, r.vec_b) for r in pairs.itertuples()}
         assert (1, 2) in found
         assert not any(3 in p for p in found)
+
+
+class TestClusters:
+    def test_components_from_pairs(self, ray_session):
+        import pyarrow as pa
+
+        from ocr_ray.functions.dedup import dedup_clusters
+
+        pairs = pa.table({
+            "doc_a": pa.array([1, 2, 7, 10], pa.int64()),
+            "doc_b": pa.array([2, 3, 8, 11], pa.int64()),
+        })  # components {1,2,3}, {7,8}, {10,11}
+        out = dedup_clusters(pairs).to_pylist()
+        got = {r["doc_id"]: r["cluster_id"] for r in out}
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10}
+
+    def test_planted_corpus_clusters(self, ray_session, planted_dir):
+        from ocr_ray.functions.dedup import dedup_clusters, minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(planted_dir, jaccard_threshold=0.5)
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in dedup_clusters(pairs).to_pylist()}
+        # docs 1,2,3 collapse into one cluster rooted at 1
+        assert out[1] == out[2] == out[3] == 1
