@@ -1,27 +1,42 @@
 """Near-duplicate detection family (training-data pipeline ops).
 
 * ``minhash_lsh_pairs``  — shingle -> minhash -> band -> bucket groupby ->
-  candidate pairs -> exact-Jaccard verify.  The LSH banding is the scale
-  trick: only docs sharing a (band_id, band_hash) bucket ever meet, so
-  the all-to-all is on tiny (band, hash, doc_id) rows, never on text.
+  candidate pairs -> exact-Jaccard verify via hash-partitioned joins.
 * ``simhash_pairs``      — 64-bit simhash, 4x16-bit bands (any doc pair
-  within Hamming distance 3 shares >= 1 exact band), verify Hamming.
+  within Hamming distance 3 shares >= 1 exact band); the 8-byte signature
+  rides inside the band rows so verification is exact and fully in-bucket.
 * ``embedding_dup_pairs`` — random-hyperplane LSH signatures over the
-  embedding column, bucket groupby, cosine verify.
+  embedding column; each vector lands in exactly ONE bucket, so the
+  vector itself rides along at 1x cost and cosine verify is in-bucket.
 
-All deterministic (hash-seeded, no RNG state).  Verification joins the
-candidate doc_ids back to their features via a broadcast map — fine while
-features-of-candidates fit in memory; at 100 TB the same verify becomes a
-hash-partitioned join on doc_id (documented here as the scale path).
+Scale design (round 2 — replaces the round-1 driver-side verify):
+* features are computed ONCE in the map stage and live in DISTRIBUTED
+  datasets (materialized blocks in the object store, spillable) — never
+  in a driver dict and never recomputed serially.
+* minhash exact-Jaccard verify = candidates ⋈ features on doc_a, then on
+  doc_b (``Dataset.join``, hash-partitioned).  Shingle sets are carried
+  as sorted-uint64 ``binary`` payloads because Acero joins reject
+  list-typed non-key columns.
+* bucket pair emission: ALL pairs for buckets <= _ALL_PAIRS_CAP
+  (complete recall — fixes the round-1 star-pair defect where a
+  chance-collision hub severed true member-member pairs); larger
+  buckets use hub-verify-and-REHUB: members that fail verification
+  against the current hub are re-hubbed on their own smallest member,
+  so a bad hub can no longer sever real duplicate pairs.  Residual
+  docs after _MAX_HUBS rounds are dropped from that bucket (they are
+  mutually dissimilar chance colliders; other bands can still pair
+  them).
+
+All deterministic (hash-seeded, no RNG state).
 """
 
 from __future__ import annotations
 
 import hashlib
 import re
+import warnings
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 _TOKEN_RE = re.compile(r"\w+")
@@ -30,6 +45,33 @@ _MERSENNE = (1 << 61) - 1
 _N_PERM = 32
 _BANDS = 8          # 8 bands x 4 rows
 _ROWS_PER_BAND = _N_PERM // _BANDS
+
+_ALL_PAIRS_CAP = 64   # buckets up to this size emit/verify every pair
+_MAX_HUBS = 16        # rehub rounds for oversized buckets
+
+
+def _num_partitions(default: int = 8) -> int:
+    """Join/shuffle partition count sized to the cluster."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        cpus = default
+    return max(2, min(64, cpus))
+
+
+def _with_schema(schema: pa.Schema):
+    """map_batches fn that pins empty blocks to an explicit schema.
+
+    Ray's sort-based groupby can emit schema-LESS empty blocks; feeding
+    those into the hash-shuffle join makes Acero fail with "No match for
+    key field".  Routing every block through this keeps empties typed.
+    """
+    def fix(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return schema.empty_table()
+        return batch.select(schema.names)
+    return fix
 
 
 def _perm_params(n_perm: int = _N_PERM) -> tuple[np.ndarray, np.ndarray]:
@@ -65,227 +107,311 @@ def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return hashed.min(axis=1)
 
 
-def _band_rows(doc_id, sig: np.ndarray) -> list[dict]:
-    rows = []
-    for band in range(_BANDS):
-        chunk = sig[band * _ROWS_PER_BAND:(band + 1) * _ROWS_PER_BAND]
-        h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-        rows.append({"band_id": band, "band_hash": h, "doc_id": doc_id})
-    return rows
+def _rehub_pairs(ids: np.ndarray, ok_fn) -> list[tuple[int, int, object]]:
+    """Hub-verify-and-rehub pair emission for oversized buckets.
 
+    ``ids`` is sorted ascending; ``ok_fn(hub_idx, member_idxs)`` returns
+    (mask of members verified against hub, per-member metric values).
+    Members failing the current hub are re-hubbed on their own smallest
+    member (<= _MAX_HUBS rounds) so a chance-collision hub cannot sever
+    true member-member pairs (round-1 ADVICE defect).
+    """
+    out: list[tuple[int, int, object]] = []
+    residual = np.arange(len(ids))
+    rounds = 0
+    while len(residual) > 1 and rounds < _MAX_HUBS:
+        hub, rest = residual[0], residual[1:]
+        ok, metric = ok_fn(hub, rest)
+        for m, val in zip(rest[ok], metric[ok] if metric is not None
+                          else [None] * int(ok.sum())):
+            out.append((int(ids[hub]), int(ids[m]), val))
+        residual = rest[~ok]
+        rounds += 1
+    return out
+
+
+# ---------------------------------------------------------------- minhash
 
 def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
     """Near-dup pairs over documents.text with exact-Jaccard verification.
 
-    Stages: (1) map: shingle+minhash+band rows; (2) groupby(band_id,
-    band_hash): emit candidate pairs; (3) dedup pairs via groupby;
-    (4) verify: exact Jaccard on shingle sets (broadcast feature map).
+    Stages: (1) map: shingles + minhash computed ONCE -> distributed
+    feature dataset (doc_id, sig, shingles-as-binary); (2) flat-map to
+    band rows (sig rides along for in-bucket estimates); (3)
+    groupby(band_id, band_hash): candidate pairs (all-pairs <= cap,
+    rehub-by-signature-estimate above); (4) dedup pairs via groupby;
+    (5) verify: candidates ⋈ features on doc_a then doc_b
+    (hash-partitioned Dataset.join), exact Jaccard per pair.
     Returns Dataset[doc_a, doc_b, jaccard] (doc_a < doc_b), rounded 4.
+    No driver-side corpus reads at any stage.
     """
-    import ray
     import ray.data as rd
-    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
 
     a, b = _perm_params()
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
-    def to_bands(batch: pa.Table, a=a, b=b) -> pa.Table:
-        rows = []
+    def featurize(batch: pa.Table, a=a, b=b) -> pa.Table:
+        doc_ids, sigs, shingle_blobs = [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                 batch["text"].to_pylist()):
-            rows.extend(_band_rows(doc_id, _minhash(_shingles(text), a, b)))
-        return pa.Table.from_pylist(rows, schema=pa.schema([
-            ("band_id", pa.int64()), ("band_hash", pa.string()),
-            ("doc_id", pa.int64())]))
+            sh = _shingles(text)
+            doc_ids.append(doc_id)
+            sigs.append(_minhash(sh, a, b).tobytes())
+            shingle_blobs.append(np.sort(sh).tobytes())
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "sig": pa.array(sigs, pa.binary()),
+                         "shingles": pa.array(shingle_blobs, pa.binary())})
 
-    bands = ds.map_batches(to_bands, batch_format="pyarrow", batch_size=1024)
+    feats = ds.map_batches(featurize, batch_format="pyarrow",
+                           batch_size=1024).materialize()
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group["doc_id"].to_pylist())
-        # STAR pairs (min-id hub -> member), not all-pairs: a hot bucket of
-        # n identical docs would otherwise emit O(n^2) rows in one task and
-        # OOM the worker. Star edges are enough to link every member to a
-        # survivor (connected components still form through the hub).
-        pairs = [{"doc_a": ids[0], "doc_b": y} for y in ids[1:]]
-        return pa.Table.from_pylist(pairs, schema=pa.schema([
-            ("doc_a", pa.int64()), ("doc_b", pa.int64())]))
+    def to_bands(batch: pa.Table) -> pa.Table:
+        band_id, band_hash, doc_ids, sigs = [], [], [], []
+        for doc_id, sig in zip(batch["doc_id"].to_pylist(),
+                               batch["sig"].to_pylist()):
+            arr = np.frombuffer(sig, dtype=np.uint64)
+            for band in range(_BANDS):
+                chunk = arr[band * _ROWS_PER_BAND:(band + 1) * _ROWS_PER_BAND]
+                band_id.append(band)
+                band_hash.append(hashlib.blake2b(
+                    chunk.tobytes(), digest_size=8).hexdigest())
+                doc_ids.append(doc_id)
+                sigs.append(sig)
+        return pa.table({"band_id": pa.array(band_id, pa.int64()),
+                         "band_hash": pa.array(band_hash, pa.string()),
+                         "doc_id": pa.array(doc_ids, pa.int64()),
+                         "sig": pa.array(sigs, pa.binary())})
 
-    candidates = (bands.groupby(["band_id", "band_hash"])
-                  .map_groups(bucket_pairs, batch_format="pyarrow"))
+    bands = feats.select_columns(["doc_id", "sig"]).map_batches(
+        to_bands, batch_format="pyarrow", batch_size=1024)
 
-    # dedup identical pairs surfaced by multiple bands
-    from ray.data.aggregate import Count
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    # lenient in-bucket estimate gate for oversized buckets: with 32
+    # perms the estimator sd at j=0.8 is ~0.07, so thr-0.25 is a >3-sd
+    # margin; exact Jaccard downstream is the real filter.
+    est_gate = max(0.0, jaccard_threshold - 0.25)
 
-    uniq = candidates.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands"))
+    def bucket_pairs(group: pa.Table, gate=est_gate) -> pa.Table:
+        order = np.argsort(np.asarray(group["doc_id"].to_pylist()))
+        ids = np.asarray(group["doc_id"].to_pylist())[order]
+        n = len(ids)
+        if n <= _ALL_PAIRS_CAP:
+            pairs = [(int(ids[i]), int(ids[j]))
+                     for i in range(n) for j in range(i + 1, n)]
+        else:
+            sig_list = group["sig"].to_pylist()
+            sigs = np.stack([np.frombuffer(sig_list[i], dtype=np.uint64)
+                             for i in order])
 
-    # broadcast the shingle sets of ALL docs for the verify step (fine at
-    # this scale; scale path = hash-partitioned join on doc_id)
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "text"])
-    feat = {d: _shingles(t) for d, t in zip(tbl["doc_id"].to_pylist(),
-                                            tbl["text"].to_pylist())}
-    feat_ref = ray.put(feat)
+            def ok_fn(hub, rest):
+                est = (sigs[rest] == sigs[hub]).mean(axis=1)
+                return est >= gate, est
+
+            pairs = [(x, y) for x, y, _ in _rehub_pairs(ids, ok_fn)]
+        return pa.Table.from_pylist(
+            [{"doc_a": x, "doc_b": y} for x, y in pairs], schema=pair_schema)
+
+    cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                             ("n_bands", pa.int64())])
+    cands = (bands.groupby(["band_id", "band_hash"])
+             .map_groups(bucket_pairs, batch_format="pyarrow")
+             .groupby(["doc_a", "doc_b"])
+             .aggregate(Count(alias_name="n_bands"))
+             .map_batches(_with_schema(cand_schema), batch_format="pyarrow")
+             .materialize())
+
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+    if cands.count() == 0:
+        # joining an empty dataset loses block schemas; short-circuit
+        return rd.from_arrow(pa.Table.from_pylist([], schema=out_schema))
+
+    nparts = _num_partitions()
+    fa = feats.select_columns(["doc_id", "shingles"]).rename_columns(
+        {"doc_id": "doc_a", "shingles": "sh_a"})
+    fb = feats.select_columns(["doc_id", "shingles"]).rename_columns(
+        {"doc_id": "doc_b", "shingles": "sh_b"})
+    joined = (cands.join(fa, "inner", num_partitions=nparts, on=("doc_a",))
+              .join(fb, "inner", num_partitions=nparts, on=("doc_b",)))
 
     def verify(batch: pa.Table, thr=jaccard_threshold) -> pa.Table:
-        f = ray.get(feat_ref)
         out = []
-        for pa_, pb_ in zip(batch["doc_a"].to_pylist(),
-                            batch["doc_b"].to_pylist()):
-            sa, sb = set(f[pa_].tolist()), set(f[pb_].tolist())
-            union = len(sa | sb)
-            j = len(sa & sb) / union if union else 0.0
+        for da, db, ba, bb in zip(batch["doc_a"].to_pylist(),
+                                  batch["doc_b"].to_pylist(),
+                                  batch["sh_a"].to_pylist(),
+                                  batch["sh_b"].to_pylist()):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
             if j >= thr:
-                out.append({"doc_a": pa_, "doc_b": pb_,
+                out.append({"doc_a": da, "doc_b": db,
                             "jaccard": np.floor(j * 1e4 + 0.5) / 1e4})
-        return pa.Table.from_pylist(out, schema=pa.schema([
-            ("doc_a", pa.int64()), ("doc_b", pa.int64()),
-            ("jaccard", pa.float64())]))
+        return pa.Table.from_pylist(out, schema=out_schema)
 
-    return uniq.map_batches(verify, batch_format="pyarrow")
+    # repartition drops the schema-less empty blocks the join's empty
+    # partitions emit, so downstream consumers see a cleanly-typed set
+    return (joined.map_batches(verify, batch_format="pyarrow")
+            .repartition(max(2, nparts // 4)))
 
+
+# ---------------------------------------------------------------- simhash
 
 def _simhash(text: str) -> int:
+    """64-bit simhash over word tokens (vectorized bit accumulation)."""
     toks = _TOKEN_RE.findall(text.lower())
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = int.from_bytes(
-            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        bits = np.fromiter(((h >> i) & 1 for i in range(64)), dtype=np.int64,
-                           count=64)
-        acc += bits * 2 - 1
-    sig = 0
-    for i in range(64):
-        if acc[i] > 0:
-            sig |= 1 << i
-    return sig
+    if not toks:
+        return 0
+    hs = np.array([int.from_bytes(
+        hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        for t in toks], dtype=np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    acc = (bits * 2 - 1).sum(axis=0)
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int(powers[acc > 0].sum(dtype=np.uint64))
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dup pairs: 4x16-bit band buckets guarantee recall for
-    Hamming distance <= 3; exact Hamming verify on candidates."""
-    import ray
+    Hamming distance <= 3; the full 64-bit signature rides in the band
+    rows, so verification is EXACT and happens inside the bucket group —
+    no second corpus pass, no driver state.  All-pairs verification for
+    buckets <= cap; hub-rehub above (see module docstring)."""
     import ray.data as rd
-    import pyarrow.parquet as pq
+    from ray.data.aggregate import Min
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        rows = []
+        band_id, band_val, doc_ids, sigs = [], [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                 batch["text"].to_pylist()):
             sig = _simhash(text)
             for band in range(4):
-                rows.append({"band_id": band,
-                             "band_val": (sig >> (band * 16)) & 0xFFFF,
-                             "doc_id": doc_id})
-        return pa.Table.from_pylist(rows, schema=pa.schema([
-            ("band_id", pa.int64()), ("band_val", pa.int64()),
-            ("doc_id", pa.int64())]))
+                band_id.append(band)
+                band_val.append((sig >> (band * 16)) & 0xFFFF)
+                doc_ids.append(doc_id)
+                sigs.append(sig)
+        return pa.table({"band_id": pa.array(band_id, pa.int64()),
+                         "band_val": pa.array(band_val, pa.int64()),
+                         "doc_id": pa.array(doc_ids, pa.int64()),
+                         "sig": pa.array(sigs, pa.uint64())})
 
     bands = ds.map_batches(to_bands, batch_format="pyarrow", batch_size=1024)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group["doc_id"].to_pylist())
-        # STAR pairs (min-id hub -> member), not all-pairs: a hot bucket of
-        # n identical docs would otherwise emit O(n^2) rows in one task and
-        # OOM the worker. Star edges are enough to link every member to a
-        # survivor (connected components still form through the hub).
-        pairs = [{"doc_a": ids[0], "doc_b": y} for y in ids[1:]]
-        return pa.Table.from_pylist(pairs, schema=pa.schema([
-            ("doc_a", pa.int64()), ("doc_b", pa.int64())]))
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("hamming", pa.int64())])
 
-    from ray.data.aggregate import Count
+    def bucket_verified_pairs(group: pa.Table, maxh=max_hamming) -> pa.Table:
+        ids_raw = np.asarray(group["doc_id"].to_pylist())
+        order = np.argsort(ids_raw)
+        ids = ids_raw[order]
+        sigs = np.asarray(group["sig"].to_pylist(), dtype=np.uint64)[order]
+        n = len(ids)
+        rows = []
+        if n <= _ALL_PAIRS_CAP:
+            for i in range(n):
+                for j in range(i + 1, n):
+                    ham = int(sigs[i] ^ sigs[j]).bit_count()
+                    if ham <= maxh:
+                        rows.append({"doc_a": int(ids[i]),
+                                     "doc_b": int(ids[j]), "hamming": ham})
+        else:
+            def ok_fn(hub, rest):
+                xor = np.bitwise_xor(sigs[rest], sigs[hub])
+                ham = np.array([int(x).bit_count() for x in xor])
+                return ham <= maxh, ham
+            rows = [{"doc_a": x, "doc_b": y, "hamming": int(h)}
+                    for x, y, h in _rehub_pairs(ids, ok_fn)]
+        return pa.Table.from_pylist(rows, schema=out_schema)
 
-    uniq = (bands.groupby(["band_id", "band_val"])
-            .map_groups(bucket_pairs, batch_format="pyarrow")
-            .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nb")))
+    return (bands.groupby(["band_id", "band_val"])
+            .map_groups(bucket_verified_pairs, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Min("hamming", alias_name="hamming")))
 
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "text"])
-    sigs = {d: _simhash(t) for d, t in zip(tbl["doc_id"].to_pylist(),
-                                           tbl["text"].to_pylist())}
-    import ray as _ray
-    sig_ref = _ray.put(sigs)
 
-    def verify(batch: pa.Table, maxh=max_hamming) -> pa.Table:
-        s = _ray.get(sig_ref)
-        out = []
-        for da, db in zip(batch["doc_a"].to_pylist(),
-                          batch["doc_b"].to_pylist()):
-            ham = bin(s[da] ^ s[db]).count("1")
-            if ham <= maxh:
-                out.append({"doc_a": da, "doc_b": db, "hamming": ham})
-        return pa.Table.from_pylist(out, schema=pa.schema([
-            ("doc_a", pa.int64()), ("doc_b", pa.int64()),
-            ("hamming", pa.int64())]))
-
-    return uniq.map_batches(verify, batch_format="pyarrow")
-
+# ------------------------------------------------------------- embeddings
 
 def embedding_dup_pairs(sf_dir: str, cosine_threshold: float = 0.95,
                         n_planes: int = 12):
-    """Embedding near-dup via random-hyperplane LSH + cosine verify."""
-    import ray
-    import ray.data as rd
-    import pyarrow.parquet as pq
+    """Embedding near-dup via random-hyperplane LSH + cosine verify.
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    dim = len(tbl["embedding"][0])
-    # deterministic hyperplanes
-    planes = np.array([
-        [int.from_bytes(hashlib.sha256(f"pl:{p}:{d}".encode()).digest()[:8],
-                        "big") / 2**63 - 1.0
-         for d in range(dim)] for p in range(n_planes)])
+    Each vector lands in exactly ONE sig bucket, so the embedding rides
+    into the bucket group at 1x cost and cosine verification is exact
+    and fully in-bucket — no driver-side vector dict (round-1 defect).
+    Hyperplane count/dim are derived from the first batch's dim.
+    """
+    import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
 
-    def to_sig(batch: pa.Table, planes=planes) -> pa.Table:
+    def planes_for(dim: int) -> np.ndarray:
+        return np.array([
+            [int.from_bytes(
+                hashlib.sha256(f"pl:{p}:{d}".encode()).digest()[:8],
+                "big") / 2**63 - 1.0
+             for d in range(dim)] for p in range(n_planes)])
+
+    def to_sig(batch: pa.Table) -> pa.Table:
         flat = batch["embedding"].combine_chunks()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = pa.concat_arrays(flat.chunks)
+        dim = len(flat[0])
         m = flat.flatten().to_numpy(zero_copy_only=False).reshape(
             -1, dim).astype(np.float64)
-        bits = (m @ planes.T) > 0
+        bits = (m @ planes_for(dim).T) > 0
         sig = (bits * (1 << np.arange(n_planes))).sum(axis=1)
         return pa.table({"sig": pa.array(sig, pa.int64()),
-                         "vec_id": batch["vec_id"]})
+                         "vec_id": batch["vec_id"],
+                         "embedding": batch["embedding"]})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group["vec_id"].to_pylist())
-        # star pairs — see minhash_lsh_pairs.bucket_pairs
-        pairs = [{"vec_a": ids[0], "vec_b": y} for y in ids[1:]]
-        return pa.Table.from_pylist(pairs, schema=pa.schema([
-            ("vec_a", pa.int64()), ("vec_b", pa.int64())]))
+    out_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                            ("cosine", pa.float64())])
 
-    cands = (ds.map_batches(to_sig, batch_format="pyarrow")
-             .groupby("sig").map_groups(bucket_pairs, batch_format="pyarrow"))
+    def bucket_verified_pairs(group: pa.Table,
+                              thr=cosine_threshold) -> pa.Table:
+        ids_raw = np.asarray(group["vec_id"].to_pylist())
+        order = np.argsort(ids_raw)
+        ids = ids_raw[order]
+        embs = group["embedding"].to_pylist()
+        m = np.asarray([embs[i] for i in order], dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        n = len(ids)
+        rows = []
+        if n <= _ALL_PAIRS_CAP:
+            cos = mn @ mn.T
+            for i in range(n):
+                for j in range(i + 1, n):
+                    c = float(cos[i, j])
+                    if c >= thr:
+                        rows.append({"vec_a": int(ids[i]),
+                                     "vec_b": int(ids[j]),
+                                     "cosine": np.floor(c * 1e4 + 0.5) / 1e4})
+        else:
+            def ok_fn(hub, rest):
+                cos = mn[rest] @ mn[hub]
+                return cos >= thr, cos
+            rows = [{"vec_a": x, "vec_b": y,
+                     "cosine": np.floor(float(c) * 1e4 + 0.5) / 1e4}
+                    for x, y, c in _rehub_pairs(ids, ok_fn)]
+        return pa.Table.from_pylist(rows, schema=out_schema)
 
-    vecs = {v: np.asarray(e, dtype=np.float64)
-            for v, e in zip(tbl["vec_id"].to_pylist(),
-                            tbl["embedding"].to_pylist())}
-    vec_ref = ray.put(vecs)
+    return (ds.map_batches(to_sig, batch_format="pyarrow")
+            .groupby("sig")
+            .map_groups(bucket_verified_pairs, batch_format="pyarrow"))
 
-    def verify(batch: pa.Table, thr=cosine_threshold) -> pa.Table:
-        vv = ray.get(vec_ref)
-        out = []
-        for va, vb in zip(batch["vec_a"].to_pylist(),
-                          batch["vec_b"].to_pylist()):
-            x, y = vv[va], vv[vb]
-            nx, ny = np.linalg.norm(x), np.linalg.norm(y)
-            cos = float(x @ y / (nx * ny)) if nx and ny else 0.0
-            if cos >= thr:
-                out.append({"vec_a": va, "vec_b": vb,
-                            "cosine": np.floor(cos * 1e4 + 0.5) / 1e4})
-        return pa.Table.from_pylist(out, schema=pa.schema([
-            ("vec_a", pa.int64()), ("vec_b", pa.int64()),
-            ("cosine", pa.float64())]))
 
-    return cands.map_batches(verify, batch_format="pyarrow")
-
+# ---------------------------------------------------- exact / brute force
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
     """Exact all-candidates n-gram Jaccard — the oracle-checkable
@@ -329,71 +455,99 @@ FROM documents a JOIN documents b
 """
 
 
-def dedup_clusters(pairs_ds, max_rounds: int = 10):
+# ------------------------------------------------- connected components
+
+def dedup_clusters(pairs_ds, max_rounds: int = 20):
     """Connected components over near-dup pairs by iterative min-label
-    propagation (the groupby formulation from the ray guide: no driver
-    union-find, scales with the edge set).
+    propagation, formulated entirely as Dataset joins + groupby(Min) —
+    no driver-side label map and no take_all inside the loop (round-1
+    defect).  Each round: edges ⋈ labels(doc_a) ⋈ labels(doc_b) ->
+    min-label messages to both endpoints -> union with current labels ->
+    groupby(doc_id).Min.  Labels are monotonically non-increasing, so
+    sum(label) is a convergence certificate: equal sums across rounds
+    == fixpoint (checked with a cheap scalar aggregate, no join).
 
-    Input: Dataset/table with (doc_a, doc_b) edges. Output:
+    Input: Dataset/table with (doc_a, doc_b) edges.  Output:
     pa.Table(doc_id, cluster_id) where cluster_id = min doc_id of the
-    component. Star edges from the bucket stage converge in ~2 rounds;
-    arbitrary edge sets in O(diameter) rounds (capped).
-
-    Scale note: each round broadcasts the label map of CANDIDATE docs
-    (docs with >=1 near-dup edge — sparse by construction); when even
-    that outgrows the driver, replace the broadcast with a labels-to-
-    edges hash join per round (same groupby(min) formulation).
+    component (the final result is collected — it is O(#docs with an
+    edge), sparse by construction).  Warns if max_rounds is hit before
+    convergence (chain-shaped components of diameter > max_rounds).
     """
     import ray.data as rd
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Min, Sum
 
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("cluster_id", pa.int64())])
     if not isinstance(pairs_ds, rd.Dataset):
         pairs_ds = rd.from_arrow(pairs_ds)
-    edges = pairs_ds.select_columns(["doc_a", "doc_b"])
+    nparts = _num_partitions()
+    # repartition physically drops the schema-LESS empty blocks that
+    # upstream join/map stages emit (Ray skips UDFs on empty blocks, so
+    # they can never be re-typed by a map); such blocks break the hash-
+    # shuffle join's Acero key resolution.
+    edges = (pairs_ds.select_columns(["doc_a", "doc_b"])
+             .repartition(nparts).materialize())
+    if edges.count() == 0:
+        return pa.Table.from_pylist([], schema=out_schema)
 
     def seed(batch: pa.Table) -> pa.Table:
-        import numpy as np
         both = np.concatenate([
             batch["doc_a"].to_numpy(zero_copy_only=False),
             batch["doc_b"].to_numpy(zero_copy_only=False)])
         return pa.table({"doc_id": pa.array(both, pa.int64()),
                          "label": pa.array(both, pa.int64())})
 
+    label_schema = pa.schema([("doc_id", pa.int64()),
+                              ("label", pa.int64())])
     labels = (edges.map_batches(seed, batch_format="pyarrow")
-              .groupby("doc_id").aggregate(Min("label", alias_name="label")))
+              .groupby("doc_id").aggregate(Min("label", alias_name="label"))
+              .map_batches(_with_schema(label_schema), batch_format="pyarrow")
+              .repartition(nparts).materialize())
 
-    edge_tbl = pa.concat_tables([
-        b for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow")
-    ]) if edges.count() else pa.table({"doc_a": pa.array([], pa.int64()),
-                                       "doc_b": pa.array([], pa.int64())})
+    def label_sum(ds) -> int:
+        return int(ds.aggregate(Sum("label", alias_name="s"))["s"])
 
+    def messages(batch: pa.Table) -> pa.Table:
+        la = batch["label_a"].to_numpy(zero_copy_only=False)
+        lb = batch["label_b"].to_numpy(zero_copy_only=False)
+        m = np.minimum(la, lb)
+        doc = np.concatenate([
+            batch["doc_a"].to_numpy(zero_copy_only=False),
+            batch["doc_b"].to_numpy(zero_copy_only=False)])
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "label": pa.array(np.concatenate([m, m]),
+                                           pa.int64())})
+
+    prev_sum = label_sum(labels)
+    converged = False
     for _ in range(max_rounds):
-        lab = {r["doc_id"]: r["label"] for r in labels.take_all()}
-
-        def propagate(batch: pa.Table, lab=lab) -> pa.Table:
-            rows = []
-            for a, b in zip(batch["doc_a"].to_pylist(),
-                            batch["doc_b"].to_pylist()):
-                m = min(lab[a], lab[b])
-                rows.append({"doc_id": a, "label": m})
-                rows.append({"doc_id": b, "label": m})
-            return pa.Table.from_pylist(rows, schema=pa.schema([
-                ("doc_id", pa.int64()), ("label", pa.int64())]))
-
-        new_labels = (rd.from_arrow(edge_tbl)
-                      .map_batches(propagate, batch_format="pyarrow")
-                      .union(rd.from_items(
-                          [{"doc_id": d, "label": l} for d, l in lab.items()]))
-                      .groupby("doc_id").aggregate(Min("label", alias_name="label")))
-        new_lab = {r["doc_id"]: r["label"] for r in new_labels.take_all()}
-        labels = new_labels
-        if new_lab == lab:
+        la = labels.rename_columns({"doc_id": "doc_a", "label": "label_a"})
+        lb = labels.rename_columns({"doc_id": "doc_b", "label": "label_b"})
+        propagated = (edges
+                      .join(la, "inner", num_partitions=nparts, on=("doc_a",))
+                      .join(lb, "inner", num_partitions=nparts, on=("doc_b",))
+                      .map_batches(messages, batch_format="pyarrow"))
+        labels = (propagated.union(labels)
+                  .groupby("doc_id").aggregate(Min("label",
+                                                   alias_name="label"))
+                  .map_batches(_with_schema(label_schema),
+                               batch_format="pyarrow")
+                  .repartition(nparts)
+                  .materialize())
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
+            converged = True
             break
+        prev_sum = cur_sum
+    if not converged:
+        warnings.warn(
+            f"dedup_clusters: label propagation did not converge within "
+            f"{max_rounds} rounds; cluster ids may be non-minimal for "
+            f"components of diameter > {max_rounds}", RuntimeWarning)
 
-    rows = sorted(({"doc_id": d, "cluster_id": l}
-                   for d, l in new_lab.items()), key=lambda r: r["doc_id"])
-    return pa.Table.from_pylist(rows, schema=pa.schema([
-        ("doc_id", pa.int64()), ("cluster_id", pa.int64())]))
+    rows = sorted(({"doc_id": r["doc_id"], "cluster_id": r["label"]}
+                   for r in labels.take_all()), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows, schema=out_schema)
 
 
 def exact_dup_clusters(sf_dir: str):

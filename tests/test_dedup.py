@@ -82,6 +82,87 @@ class TestEmbeddingDups:
         assert not any(3 in p for p in found)
 
 
+class TestRehubRecall:
+    """Round-1 ADVICE defect: a chance-collision hub (smallest id in a
+    bucket) must not sever true member-member near-dup pairs."""
+
+    def test_simhash_member_member_pair_survives_bad_hub(self, ray_session,
+                                                         tmp_path):
+        import numpy as np
+
+        from ocr_ray.functions import dedup as dd
+
+        # find two texts at Hamming distance <= 3 sharing a band, plus an
+        # unrelated smaller-id doc forced into the same band bucket is
+        # hard to construct from raw text; instead drive the bucket
+        # function directly with synthetic signatures (> cap path), and
+        # the full pipeline with an exact-dup pair whose bucket contains
+        # a non-dup with a smaller doc_id.
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon")
+        rows = [
+            {"doc_id": 1, "text": "unrelated chance collider text"},
+            {"doc_id": 2, "text": base},
+            {"doc_id": 3, "text": base},   # exact dup of 2
+        ]
+        pq.write_table(pa.Table.from_pylist(rows),
+                       str(tmp_path / "documents.parquet"))
+        pairs = simhash_pairs(str(tmp_path)).to_pandas()
+        found = {(r.doc_a, r.doc_b) for r in pairs.itertuples()}
+        # (2, 3) must be found even though doc 1 has a smaller id; with
+        # the round-1 star policy, a band collision with doc 1 would have
+        # severed it.
+        assert (2, 3) in found
+        assert not any(1 in p for p in found)
+
+    def test_rehub_pairs_recovers_after_bad_hub(self):
+        import numpy as np
+
+        from ocr_ray.functions.dedup import _rehub_pairs
+
+        # ids [1,2,3]: hub 1 matches nothing; rehub on 2 must pair (2,3)
+        ids = np.array([1, 2, 3])
+        sim = {(2, 3): True}
+
+        def ok_fn(hub, rest):
+            ok = np.array([sim.get((int(ids[hub]), int(ids[m])), False)
+                           for m in rest])
+            return ok, np.ones(len(rest))
+
+        got = {(a, b) for a, b, _ in _rehub_pairs(ids, ok_fn)}
+        assert got == {(2, 3)}
+
+    def test_rehub_pairs_caps_rounds(self):
+        import numpy as np
+
+        from ocr_ray.functions.dedup import _MAX_HUBS, _rehub_pairs
+
+        ids = np.arange(100)
+
+        def never_ok(hub, rest):
+            return np.zeros(len(rest), dtype=bool), np.zeros(len(rest))
+
+        assert _rehub_pairs(ids, never_ok) == []  # bounded, no pairs
+
+
+class TestNoDriverCorpusReads:
+    """The verify paths must never re-read the corpus driver-side
+    (round-1 VERDICT item 1)."""
+
+    def test_verify_never_calls_pq_read_table(self, ray_session, planted_dir,
+                                              monkeypatch):
+        import pyarrow.parquet as _pq
+
+        def boom(*a, **k):
+            raise AssertionError("driver-side pq.read_table in dedup path")
+
+        monkeypatch.setattr(_pq, "read_table", boom)
+        assert minhash_lsh_pairs(planted_dir,
+                                 jaccard_threshold=0.5).count() >= 2
+        assert simhash_pairs(planted_dir).count() >= 1
+        embedding_dup_pairs(planted_dir, cosine_threshold=0.99).count()
+
+
 class TestClusters:
     def test_components_from_pairs(self, ray_session):
         import pyarrow as pa
