@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": tx.doc_quality_scores,
         "lang_id": tx.lang_id,
         "doc_fingerprints": tx.doc_fingerprints,
+        "doc_entity_counts": tx.doc_entity_counts,
         "doc_summaries": tx.doc_summaries,
         "semantic_keyword_hits": tx.semantic_keyword_hits,
         # dedup family
@@ -209,6 +210,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_line_stats": tx.DOC_LINE_STATS_SQL,
         "keyword_doc_freq": tx.KEYWORD_DOC_FREQ_SQL,
         "doc_quality_scores": tx.DOC_QUALITY_SQL,
+        "lang_id": tx.LANG_ID_SQL,
+        "doc_fingerprints": tx.DOC_FINGERPRINTS_SQL,
+        "doc_entity_counts": tx.DOC_ENTITY_COUNTS_SQL,
         "exact_dedup_groups": tx.EXACT_DEDUP_SQL,
         "ngram_jaccard_pairs": dd.NGRAM_JACCARD_SQL,
         "exact_dup_clusters": dd.EXACT_DUP_CLUSTERS_SQL,

@@ -14,6 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ._num import round_half_up, np_round_half_up
+from .relational import _dense_lookup, _gb
 
 
 def _read(sf_dir: str, columns=None):
@@ -36,9 +37,8 @@ def events_by_type(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"event_type": batch["event_type"],
                       "v": _val_milli(batch["value"])})
-        df = t.to_pandas().groupby("event_type", as_index=False).agg(
-            v=("v", "sum"), n=("v", "size"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _gb(t, ["event_type"], [("v", "sum"), ("v", "count")],
+                   ["v", "n"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         "event_type").aggregate(Sum("v", alias_name="v"),
@@ -75,12 +75,9 @@ def events_daily(sf_dir: str):
     ds = _read(sf_dir, ["ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "day": batch["ts"].to_pandas().dt.strftime("%Y-%m-%d"),
-            "v": _val_milli(batch["value"]).to_numpy(),
-        })
-        g = df.groupby("day", as_index=False).agg(v=("v", "sum"), n=("v", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        t = pa.table({"day": day, "v": _val_milli(batch["value"])})
+        return _gb(t, ["day"], [("v", "sum"), ("v", "count")], ["v", "n"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby("day") \
         .aggregate(Sum("v", alias_name="v"), Sum("n", alias_name="n_events"))
@@ -110,8 +107,7 @@ def top_users_by_value(sf_dir: str, k: int = 20):
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"user_id": batch["user_id"], "v": _val_milli(batch["value"])})
-        df = t.to_pandas().groupby("user_id", as_index=False)["v"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _gb(t, ["user_id"], [("v", "sum")], ["v"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby("user_id") \
         .aggregate(Sum("v", alias_name="v"))
@@ -181,10 +177,9 @@ def props_k_stats(sf_dir: str):
         ks = [json.loads(p_)["k"] for p_ in batch["props"].to_pylist()]
         t = pa.table({"event_type": batch["event_type"],
                       "k": pa.array(ks, pa.int64())})
-        df = t.to_pandas().groupby("event_type", as_index=False).agg(
-            sum_k=("k", "sum"), max_k=("k", "max"), min_k=("k", "min"),
-            n=("k", "size"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _gb(t, ["event_type"],
+                   [("k", "sum"), ("k", "max"), ("k", "min"), ("k", "count")],
+                   ["sum_k", "max_k", "min_k", "n"])
 
     agg = ds.map_batches(parse, batch_format="pyarrow").groupby("event_type") \
         .aggregate(Sum("sum_k", alias_name="sum_k"),
@@ -224,19 +219,20 @@ def user_activity_join(sf_dir: str):
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    seg_of = dict(zip(cust["c_custkey"].to_pylist(),
-                      cust["c_mktsegment"].to_pylist()))
+    seg_arr = _dense_lookup(cust["c_custkey"].to_numpy(),
+                            cust["c_mktsegment"].to_pylist())
 
     ds = _read(sf_dir, ["user_id", "value"])
 
-    def partial(batch: pa.Table, seg_of=seg_of) -> pa.Table:
-        segs = [seg_of.get(u) for u in batch["user_id"].to_pylist()]
+    def partial(batch: pa.Table, seg_arr=seg_arr) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        segs = np.where(uid < len(seg_arr), seg_arr[np.minimum(
+            uid, len(seg_arr) - 1)], None)
         t = pa.table({"c_mktsegment": pa.array(segs, pa.string()),
                       "v": _val_milli(batch["value"])})
         t = t.filter(pa.compute.is_valid(t["c_mktsegment"]))
-        df = t.to_pandas().groupby("c_mktsegment", as_index=False).agg(
-            v=("v", "sum"), n=("v", "size"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _gb(t, ["c_mktsegment"], [("v", "sum"), ("v", "count")],
+                   ["v", "n"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         "c_mktsegment").aggregate(Sum("v", alias_name="v"),
@@ -269,9 +265,8 @@ def events_hourly_histogram(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         hours = pc.cast(pc.hour(batch["ts"]), pa.int64())
-        df = pa.table({"hour": hours}).to_pandas().groupby(
-            "hour", as_index=False).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _gb(pa.table({"hour": hours}), ["hour"],
+                   [("hour", "count")], ["n"])
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         "hour").aggregate(Sum("n", alias_name="n_events"))

@@ -35,6 +35,80 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _gb(t: pa.Table, keys: list[str], aggs: list[tuple[str, str]],
+        names: list[str]) -> pa.Table:
+    """Arrow-native partial groupby: ``pa.TableGroupBy`` without the
+    to_pandas/from_pandas copies the round-1 partials paid per batch.
+    ``aggs`` are (column, fn) pairs; ``names`` the output column names."""
+    g = t.group_by(keys).aggregate(aggs)
+    cols = {k: g[k] for k in keys}
+    for (col, fn), name in zip(aggs, names):
+        cols[name] = g[f"{col}_{fn}"]
+    return pa.table(cols)
+
+
+def _dense_lookup(keys, values, fill=None):
+    """Build a dense numpy array indexed by integer key (the q5 broadcast
+    pattern: one vectorized fancy-index per batch instead of a Python
+    dict lookup per row). Keys must be non-negative ints."""
+    keys = np.asarray(keys, dtype=np.int64)
+    arr = np.full(int(keys.max()) + 1 if len(keys) else 1, fill, dtype=object)
+    arr[keys] = np.asarray(values, dtype=object)
+    return arr
+
+
+_BLOOM_BITS = 1 << 20          # 128 KiB bitmap, ~0.3% FP at 30k keys
+_BLOOM_SEEDS = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F))
+
+
+def _bloom_hashes(keys_u64: np.ndarray):
+    for seed in _BLOOM_SEEDS:
+        yield (keys_u64 * seed) >> np.uint64(64 - 20)   # top 20 bits
+
+
+def _bloom_build(ds, col: str) -> np.ndarray:
+    """Distributed Bloom filter over an int key column: each batch emits
+    one fixed-size bitmap; the driver OR-reduces bitmaps (never the key
+    set itself), so memory is O(filter size) regardless of cardinality —
+    the scale-safe replacement for the round-1 ``Dataset.unique()``
+    driver key-set pushdown.  False positives are acceptable wherever a
+    downstream exact join/filter removes them."""
+    nwords = _BLOOM_BITS // 64
+
+    def bitmap(batch: pa.Table) -> pa.Table:
+        k = batch[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = np.zeros(nwords, np.uint64)
+        for h in _bloom_hashes(k):
+            np.bitwise_or.at(w, (h >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (h & np.uint64(63)))
+        return pa.table({"bm": pa.array([w.tobytes()], pa.binary())})
+
+    acc = np.zeros(nwords, np.uint64)
+    bm_ds = ds.map_batches(bitmap, batch_format="pyarrow", batch_size=65536)
+    for b in bm_ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for blob in b["bm"].to_pylist():
+            acc |= np.frombuffer(blob, np.uint64)
+    return acc
+
+
+def _bloom_probe(bm: np.ndarray, keys) -> np.ndarray:
+    k = np.asarray(keys, dtype=np.uint64)
+    ok = np.ones(len(k), bool)
+    for h in _bloom_hashes(k):
+        word = bm[(h >> np.uint64(6)).astype(np.int64)]
+        ok &= ((word >> (h & np.uint64(63))) & np.uint64(1)).astype(bool)
+    return ok
+
+
+def _nparts(default: int = 8) -> int:
+    try:
+        import ray
+        return max(2, min(64, int(ray.cluster_resources().get("CPU",
+                                                              default))))
+    except Exception:
+        return default
+
+
 # ------------------------------------------------------------------ Q1
 
 def q1_pricing_summary(sf_dir: str):
@@ -66,16 +140,12 @@ def q1_pricing_summary(sf_dir: str):
                 batch["l_discount"], pa.scalar(10000.0)), pa.scalar(0.5))),
                 pa.int64()),
         })
-        df = t.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty", "sum"),
-            sum_base_cents=("base_cents", "sum"),
-            sum_disc_cents=("disc_cents", "sum"),
-            sum_charge_cents=("charge_cents", "sum"),
-            sum_disc_bps=("disc_bps", "sum"),
-            count_order=("qty", "size"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _gb(t, ["l_returnflag", "l_linestatus"],
+                   [("qty", "sum"), ("base_cents", "sum"),
+                    ("disc_cents", "sum"), ("charge_cents", "sum"),
+                    ("disc_bps", "sum"), ("qty", "count")],
+                   ["sum_qty", "sum_base_cents", "sum_disc_cents",
+                    "sum_charge_cents", "sum_disc_bps", "count_order"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -179,11 +249,10 @@ def q5_supplier_region_revenue(sf_dir: str):
     def partial(batch: pa.Table, supp2region=None) -> pa.Table:
         rev = pc.multiply(batch["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        cents = _cents(rev).to_numpy()
         regions = supp2region[batch["l_suppkey"].to_numpy()]
-        df = pd.DataFrame({"r_name": regions, "c": cents})
-        g = df.groupby("r_name", as_index=False)["c"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = pa.table({"r_name": pa.array(regions, pa.string()),
+                      "c": _cents(rev)})
+        return _gb(t, ["r_name"], [("c", "sum")], ["c"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536,
                          fn_kwargs={"supp2region": supp2region}) \
@@ -224,45 +293,48 @@ def q3_top_order_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    seg_keys = frozenset(
+    # key array built ONCE driver-side and shipped via fn_kwargs (round 1
+    # re-sorted and re-serialized it inside every batch call)
+    seg_arr = pa.array(sorted(
         pc.filter(cust["c_custkey"],
-                  pc.equal(cust["c_mktsegment"], segment)).to_pylist())
+                  pc.equal(cust["c_mktsegment"], segment)).to_pylist()),
+        pa.int64())
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
     def semi(batch: pa.Table, keys=None) -> pa.Table:
-        mask = pc.is_in(batch["o_custkey"],
-                        value_set=pa.array(sorted(keys), pa.int64()))
+        mask = pc.is_in(batch["o_custkey"], value_set=keys)
         return batch.filter(mask).select(["o_orderkey", "o_orderdate"])
 
     orders_f = orders.map_batches(semi, batch_format="pyarrow",
-                                  fn_kwargs={"keys": seg_keys})
+                                  fn_kwargs={"keys": seg_arr})
 
-    # Bloom-filter-style pushdown: the segment's order keys (distributed
-    # unique, then broadcast) prune lineitem BEFORE the expensive
-    # aggregation — 600k -> ~120k rows at sf0.1, 3.5x faster end to end.
-    # At scales where the key set outgrows the driver, replace with a
-    # real Bloom filter or drop the pushdown (the hash join still works).
-    uniq = orders_f.unique("o_orderkey")
-    if not uniq:  # no customer in the segment: empty result, stable schema
+    # Bloom pushdown: a fixed-size bitmap over the segment's order keys
+    # prunes lineitem BEFORE the expensive aggregation (600k -> ~120k
+    # rows at sf0.1).  Unlike the round-1 unique()-broadcast, driver
+    # memory is O(128 KiB) at any scale; Bloom false positives are
+    # removed by the exact inner join below.
+    bloom = _bloom_build(orders_f, "o_orderkey")
+    if not bloom.any():  # no customer in the segment: stable empty schema
         return pa.Table.from_pylist([], schema=pa.schema([
             ("o_orderkey", pa.int64()), ("revenue", pa.float64())]))
-    order_keys = pa.array(sorted(uniq), pa.int64())
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def li_partial(batch: pa.Table, keys=order_keys) -> pa.Table:
-        batch = batch.filter(pc.is_in(batch["l_orderkey"], value_set=keys))
+    def li_partial(batch: pa.Table, bloom=bloom) -> pa.Table:
+        keep = _bloom_probe(bloom,
+                            batch["l_orderkey"].to_numpy(zero_copy_only=False))
+        batch = batch.filter(pa.array(keep))
         rev = pc.multiply(batch["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
         t = pa.table({"l_orderkey": batch["l_orderkey"], "c": _cents(rev)})
-        df = t.to_pandas().groupby("l_orderkey", as_index=False)["c"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _gb(t, ["l_orderkey"], [("c", "sum")], ["c"])
 
     li_agg = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
               .groupby("l_orderkey").aggregate(Sum("c", alias_name="c")))
 
-    joined = li_agg.join(orders_f, join_type="inner", num_partitions=8,
+    joined = li_agg.join(orders_f, join_type="inner",
+                         num_partitions=_nparts(),
                          on=("l_orderkey",), right_on=("o_orderkey",))
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -299,9 +371,8 @@ def mktsegment_stats(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"c_mktsegment": batch["c_mktsegment"],
                       "bal": _cents(batch["c_acctbal"])})
-        df = t.to_pandas().groupby("c_mktsegment", as_index=False).agg(
-            bal=("bal", "sum"), n=("bal", "size"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _gb(t, ["c_mktsegment"], [("bal", "sum"), ("bal", "count")],
+                   ["bal", "n"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         "c_mktsegment").aggregate(Sum("bal", alias_name="bal"),
@@ -362,10 +433,10 @@ def part_type_stats(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"p_type": batch["p_type"], "p_size": batch["p_size"],
                       "price_cents": _cents(batch["p_retailprice"])})
-        df = t.to_pandas().groupby("p_type", as_index=False).agg(
-            n_parts=("p_size", "size"), max_size=("p_size", "max"),
-            min_size=("p_size", "min"), price_cents=("price_cents", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _gb(t, ["p_type"],
+                   [("p_size", "count"), ("p_size", "max"),
+                    ("p_size", "min"), ("price_cents", "sum")],
+                   ["n_parts", "max_size", "min_size", "price_cents"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby("p_type") \
         .aggregate(Sum("n_parts", alias_name="n_parts"),
@@ -419,9 +490,9 @@ def orders_by_year(sf_dir: str):
         years = pc.year(batch["o_orderdate"])
         t = pa.table({"order_year": pc.cast(years, pa.int64()),
                       "price_cents": _cents(batch["o_totalprice"])})
-        df = t.to_pandas().groupby("order_year", as_index=False).agg(
-            price_cents=("price_cents", "sum"), n=("price_cents", "size"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _gb(t, ["order_year"],
+                   [("price_cents", "sum"), ("price_cents", "count")],
+                   ["price_cents", "n"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         "order_year").aggregate(Sum("price_cents", alias_name="pc_"),
@@ -447,31 +518,22 @@ FROM orders GROUP BY 1
 
 def q4_high_quantity_orders(sf_dir: str, qty: float = 45.0):
     """Semi-join shape (TPC-H Q4 flavour): count orders having at least
-    one lineitem above a quantity threshold.  The hot-key set is built by
-    a distributed unique() and broadcast back — the Bloom-filter-style
-    semi-join of the ray guide."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
+    one lineitem above a quantity threshold.  Uses the hash-partitioned
+    LEFT SEMI ``Dataset.join`` — exact at any scale, no driver key set
+    (the round-1 unique()-broadcast pushdown OOMs the driver at 100x)."""
+    from ray.data.aggregate import Count
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     hot = li.map_batches(
         lambda t: t.filter(pc.greater(t["l_quantity"], qty)).select(["l_orderkey"]),
         batch_format="pyarrow")
-    hot_keys = frozenset(hot.unique("l_orderkey"))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-
-    def count_hits(batch: pa.Table, keys=hot_keys) -> pa.Table:
-        mask = pc.is_in(batch["o_orderkey"],
-                        value_set=pa.array(sorted(keys), pa.int64()))
-        sel = batch.filter(mask)
-        df = sel.select(["o_orderpriority"]).to_pandas()
-        g = df.groupby("o_orderpriority", as_index=False).size().rename(
-            columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    return orders.map_batches(count_hits, batch_format="pyarrow").groupby(
-        "o_orderpriority").aggregate(Sum("n", alias_name="n_orders"))
+    matched = orders.join(hot, join_type="left_semi",
+                          num_partitions=_nparts(),
+                          on=("o_orderkey",), right_on=("l_orderkey",))
+    return matched.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"))
 
 
 Q4_SQL = """
@@ -489,18 +551,17 @@ def nation_customer_balance(sf_dir: str):
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name"])
-    name_of = dict(zip(nat["n_nationkey"].to_pylist(),
-                       nat["n_name"].to_pylist()))
+    name_arr = _dense_lookup(nat["n_nationkey"].to_numpy(),
+                             nat["n_name"].to_pylist())
 
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 
-    def partial(batch: pa.Table, name_of=name_of) -> pa.Table:
-        names = [name_of[k] for k in batch["c_nationkey"].to_pylist()]
+    def partial(batch: pa.Table, name_arr=name_arr) -> pa.Table:
+        names = name_arr[batch["c_nationkey"].to_numpy()]
         t = pa.table({"n_name": pa.array(names, pa.string()),
                       "bal": _cents(batch["c_acctbal"])})
-        df = t.to_pandas().groupby("n_name", as_index=False).agg(
-            bal=("bal", "sum"), n=("bal", "size"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _gb(t, ["n_name"], [("bal", "sum"), ("bal", "count")],
+                   ["bal", "n"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         "n_name").aggregate(Sum("bal", alias_name="bal"),
@@ -535,10 +596,8 @@ def brand_size_matrix(sf_dir: str):
         bucket = pc.cast(pc.floor(pc.divide(pc.cast(
             batch["p_size"], pa.float64()), pa.scalar(10.0))), pa.int64())
         t = pa.table({"p_brand": batch["p_brand"], "size_bucket": bucket})
-        df = t.to_pandas().groupby(["p_brand", "size_bucket"],
-                                   as_index=False).size().rename(
-            columns={"size": "n"})
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _gb(t, ["p_brand", "size_bucket"],
+                   [("p_brand", "count")], ["n"])
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["p_brand", "size_bucket"]).aggregate(Sum("n", alias_name="n_parts"))
@@ -561,13 +620,13 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
 
     cust = _pq.read_table(f"{sf_dir}/customer.parquet",
                           columns=["c_custkey", "c_mktsegment"])
-    seg_of = dict(zip(cust["c_custkey"].to_pylist(),
-                      cust["c_mktsegment"].to_pylist()))
+    seg_arr = _dense_lookup(cust["c_custkey"].to_numpy(),
+                            cust["c_mktsegment"].to_pylist())
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def local_prune(batch: pa.Table, seg_of=seg_of, k=k) -> pa.Table:
-        segs = [seg_of.get(u) for u in batch["o_custkey"].to_pylist()]
+    def local_prune(batch: pa.Table, seg_arr=seg_arr, k=k) -> pa.Table:
+        segs = seg_arr[batch["o_custkey"].to_numpy()]
         t = pa.table({"c_mktsegment": pa.array(segs, pa.string()),
                       "o_orderkey": batch["o_orderkey"],
                       "o_totalprice": batch["o_totalprice"]})
@@ -610,18 +669,18 @@ def q14_promo_revenue_share(sf_dir: str):
 
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_type"])
-    is_promo = {k: t.startswith("PROMO") or t == "ECONOMY"
-                for k, t in zip(part["p_partkey"].to_pylist(),
-                                part["p_type"].to_pylist())}
+    pk = part["p_partkey"].to_numpy()
+    promo_arr = np.zeros(int(pk.max()) + 1 if len(pk) else 1, dtype=bool)
+    promo_arr[pk] = np.array([t.startswith("PROMO") or t == "ECONOMY"
+                              for t in part["p_type"].to_pylist()])
 
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
-    def partial(batch: pa.Table, is_promo=is_promo) -> pa.Table:
+    def partial(batch: pa.Table, promo_arr=promo_arr) -> pa.Table:
         rev = _cents(pc.multiply(batch["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), batch["l_discount"])))
         rev_np = rev.to_numpy()
-        promo_mask = np.array([is_promo.get(k, False)
-                               for k in batch["l_partkey"].to_pylist()])
+        promo_mask = promo_arr[batch["l_partkey"].to_numpy()]
         return pa.table({
             "promo_cents": pa.array([int(rev_np[promo_mask].sum())], pa.int64()),
             "total_cents": pa.array([int(rev_np.sum())], pa.int64()),
@@ -629,7 +688,9 @@ def q14_promo_revenue_share(sf_dir: str):
 
     agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)         .aggregate(Sum("promo_cents", alias_name="p"),
                    Sum("total_cents", alias_name="t"))
-    p_, t_ = agg["p"] or 0, agg["t"] or 1
+    p_, t_ = agg["p"], agg["t"]
+    if not t_:  # empty input or zero revenue: the SQL yields NULL
+        return pa.table({"promo_share_pct": pa.array([None], pa.float64())})
     share = __import__("math").floor((100.0 * p_ / t_) * 1e6 + 0.5) / 1e6
     return pa.table({"promo_share_pct": pa.array([share], pa.float64())})
 
@@ -658,14 +719,13 @@ def q10_returned_revenue_by_customer(sf_dir: str, k: int = 20):
         rev = pc.multiply(sel["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), sel["l_discount"]))
         t = pa.table({"l_orderkey": sel["l_orderkey"], "c": _cents(rev)})
-        df = t.to_pandas().groupby("l_orderkey", as_index=False)["c"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _gb(t, ["l_orderkey"], [("c", "sum")], ["c"])
 
     li_agg = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
               .groupby("l_orderkey").aggregate(Sum("c", alias_name="c")))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li_agg.join(orders, join_type="inner", num_partitions=8,
+    joined = li_agg.join(orders, join_type="inner", num_partitions=_nparts(),
                          on=("l_orderkey",), right_on=("o_orderkey",))
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
@@ -673,12 +733,9 @@ def q10_returned_revenue_by_customer(sf_dir: str, k: int = 20):
     name_of = dict(zip(cust["c_custkey"].to_pylist(),
                        cust["c_name"].to_pylist()))
 
-    def by_customer(batch: pa.Table, name_of=name_of) -> pa.Table:
-        df = pa.table({"o_custkey": batch["o_custkey"],
-                       "c": batch["c"]}).to_pandas()
-        g = df.groupby("o_custkey", as_index=False)["c"].sum()
-        g["c_name"] = [name_of[k] for k in g["o_custkey"]]
-        return pa.Table.from_pandas(g, preserve_index=False)
+    def by_customer(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": batch["o_custkey"], "c": batch["c"]})
+        return _gb(t, ["o_custkey"], [("c", "sum")], ["c"])
 
     agg = (joined.map_batches(by_customer, batch_format="pyarrow")
            .groupby("o_custkey").aggregate(Sum("c", alias_name="c")))
@@ -717,6 +774,10 @@ def order_price_quantiles(sf_dir: str):
     Scale shape: one sort shuffle + O(1)-row index reads."""
     ds = _read(sf_dir, "orders", ["o_totalprice"])
     n = ds.count()
+    if n == 0:  # match the oracle's NULL quantiles on an empty table
+        return pa.table({"p25": pa.array([None], pa.float64()),
+                         "p50": pa.array([None], pa.float64()),
+                         "p95": pa.array([None], pa.float64())})
     qs = (0.25, 0.5, 0.95)
     idxs = [int((n - 1) * q) for q in qs]
     sorted_ds = ds.sort("o_totalprice")

@@ -15,6 +15,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ._num import round_half_up, np_round_half_up
+from .relational import _gb
+
+# Explicit ASCII whitespace, pinned on BOTH engines: Python's \s and
+# str.strip() are Unicode-wide, DuckDB's trim() strips only spaces and
+# RE2's \s is ASCII-only — NBSP/vertical-tab inputs diverge otherwise.
+_ASCII_WS = " \t\n\r\f\v"
+_ASCII_WS_RE = r"[ \t\n\r\f\v]+"
+_SQL_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
 
 
 def _read(sf_dir: str, columns=None):
@@ -31,10 +39,10 @@ def doc_lang_stats(sf_dir: str):
     ds = _read(sf_dir, ["lang", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().groupby("lang", as_index=False).agg(
-            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"),
-            max_chars=("n_chars", "max"), min_chars=("n_chars", "min"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _gb(batch, ["lang"],
+                   [("n_chars", "count"), ("n_chars", "sum"),
+                    ("n_chars", "max"), ("n_chars", "min")],
+                   ["n_docs", "sum_chars", "max_chars", "min_chars"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby("lang") \
         .aggregate(Sum("n_docs", alias_name="n_docs"),
@@ -73,8 +81,8 @@ def doc_token_counts(sf_dir: str):
     ds = _read(sf_dir, ["doc_id", "text"])
 
     def count(batch: pa.Table) -> pa.Table:
-        s = batch["text"].to_pandas().str.strip()
-        n = s.str.split(r"\s+", regex=True).map(
+        s = batch["text"].to_pandas().str.strip(_ASCII_WS)
+        n = s.str.split(_ASCII_WS_RE, regex=True).map(
             lambda t: 0 if t == [""] else len(t)).astype("int64")
         return pa.table({"doc_id": batch["doc_id"],
                          "n_tokens": pa.array(n, pa.int64())})
@@ -82,10 +90,11 @@ def doc_token_counts(sf_dir: str):
     return ds.map_batches(count, batch_format="pyarrow", batch_size=4096)
 
 
-DOC_TOKEN_COUNTS_SQL = """
+DOC_TOKEN_COUNTS_SQL = f"""
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+       CASE WHEN length(trim(text, {_SQL_WS})) = 0 THEN 0
+            ELSE array_length(string_split_regex(
+                   trim(text, {_SQL_WS}), '[ \t\n\r\f\v]+')) END AS n_tokens
 FROM documents
 """
 
@@ -226,7 +235,8 @@ _STOPWORDS = {
 
 def lang_id(sf_dir: str):
     """Stopword-vote language ID (n-gram-free heuristic; deterministic).
-    Not SQL-expressible -> rows-only oracle check."""
+    Round 2: gained an exact SQL oracle — the vote is list_filter + IN
+    per language with the same de>en>es>fr tie-break."""
     ds = _read(sf_dir, ["doc_id", "text"])
     word_re = re.compile(r"[a-zà-ÿä-ü]+")
 
@@ -244,31 +254,108 @@ def lang_id(sf_dir: str):
     return ds.map_batches(predict, batch_format="pyarrow", batch_size=4096)
 
 
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
+# mirror of lang_id: per-language stopword vote with the Python
+# tie-break (max over languages in sorted order: de, en, es, fr)
+LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-zà-ÿä-ü]+') AS toks
+  FROM documents
+), v AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> list_contains({_sql_list(_STOPWORDS["en"])}, x))) AS en,
+         len(list_filter(toks, x -> list_contains({_sql_list(_STOPWORDS["de"])}, x))) AS de,
+         len(list_filter(toks, x -> list_contains({_sql_list(_STOPWORDS["fr"])}, x))) AS fr,
+         len(list_filter(toks, x -> list_contains({_sql_list(_STOPWORDS["es"])}, x))) AS es
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unk'
+            WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+            WHEN en >= es AND en >= fr THEN 'en'
+            WHEN es >= fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM v
+"""
+
+
+# ------------------------------------------------ entity-count analog
+
+def doc_entity_counts(sf_dir: str):
+    """num_ents analog (ref doc_analysis.py:190-204, app/constants.py:19):
+    deterministic capitalized-token rule — count of [A-Z][a-z]+ runs —
+    standing in for the reference's optional NER entity counter, with an
+    exact SQL oracle."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+    ent_re = re.compile(r"[A-Z][a-z]+")
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = [len(ent_re.findall(t)) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_ents": pa.array(n, pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow", batch_size=4096)
+
+
+DOC_ENTITY_COUNTS_SQL = """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_ents
+FROM documents
+"""
+
+
 # ------------------------------------------------------- fingerprinting
 
 def doc_fingerprints(sf_dir: str, window: int = 8):
-    """Winnowing-style rolling-hash fingerprint: min 64-bit token-window
-    hash per doc (deterministic; rows-only oracle)."""
+    """Winnowing-style fingerprint: min 60-bit md5-window hash per doc
+    over ASCII-whitespace token windows.  Round 2: md5-based (one digest
+    per window, ~2x cheaper than the round-1 sha256 and, crucially,
+    replicable in DuckDB — the query gained an exact SQL oracle)."""
+    _win_re = re.compile(_ASCII_WS_RE)
+
     ds = _read(sf_dir, ["doc_id", "text"])
 
-    def fp(batch: pa.Table) -> pa.Table:
+    def fp64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def fp(batch: pa.Table, w=window) -> pa.Table:
         out = []
         for text in batch["text"].to_pylist():
-            toks = text.split()
-            if len(toks) < window:
-                h = hashlib.sha256(" ".join(toks).encode()).digest()
-                out.append(int.from_bytes(h[:8], "big") >> 1)
+            toks = _win_re.split(text.strip(_ASCII_WS))
+            if toks == [""]:
+                toks = []
+            if len(toks) <= w:
+                out.append(fp64(" ".join(toks)))
                 continue
-            best = None
-            for i in range(len(toks) - window + 1):
-                h = hashlib.sha256(" ".join(toks[i:i + window]).encode()).digest()
-                v = int.from_bytes(h[:8], "big") >> 1
-                best = v if best is None or v < best else best
-            out.append(best)
+            out.append(min(fp64(" ".join(toks[i:i + w]))
+                           for i in range(len(toks) - w + 1)))
         return pa.table({"doc_id": batch["doc_id"],
                          "fingerprint": pa.array(out, pa.int64())})
 
     return ds.map_batches(fp, batch_format="pyarrow", batch_size=2048)
+
+
+# min over all 8-token windows of the 60-bit md5 prefix; list slicing is
+# 1-based INCLUSIVE in DuckDB so t[i:i+7] is an 8-element window
+DOC_FINGERPRINTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text, {_SQL_WS})) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text, {_SQL_WS}), '[ \t\n\r\f\v]+')
+         END AS t
+  FROM documents
+)
+SELECT doc_id,
+       min(CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))
+                AS BIGINT)) AS fingerprint
+FROM (SELECT doc_id, t,
+             unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS i
+      FROM toks)
+GROUP BY doc_id
+"""
 
 
 # --------------------------------------------------- composite quality
@@ -362,9 +449,9 @@ def doc_source_stats(sf_dir: str):
     ds = _read(sf_dir, ["source", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().groupby("source", as_index=False).agg(
-            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _gb(batch, ["source"],
+                   [("n_chars", "count"), ("n_chars", "sum")],
+                   ["n_docs", "sum_chars"])
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         "source").aggregate(Sum("n_docs", alias_name="n_docs"),
@@ -402,7 +489,7 @@ def doc_bpe_token_counts(sf_dir: str):
 
 DOC_BPE_TOKEN_SQL = """
 SELECT doc_id,
-       CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+       CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f\v]')) AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
 
