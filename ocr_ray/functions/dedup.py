@@ -150,8 +150,10 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
 
     a, b = _perm_params()
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    from ._io import clean_read
+
+    ds = clean_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
 
     def featurize(batch: pa.Table, a=a, b=b) -> pa.Table:
         doc_ids, sigs, shingle_blobs = [], [], []
@@ -285,8 +287,10 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    from ._io import clean_read
+
+    ds = clean_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
 
     def to_bands(batch: pa.Table) -> pa.Table:
         band_id, band_val, doc_ids, sigs = [], [], [], []
@@ -350,8 +354,10 @@ def embedding_dup_pairs(sf_dir: str, cosine_threshold: float = 0.95,
     """
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    from ._io import clean_read
+
+    ds = clean_read(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"])
 
     def planes_for(dim: int) -> np.ndarray:
         return np.array([
@@ -421,8 +427,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
     jaccard 1.0; the oracle enumerates md5-equal pairs."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    from ._io import clean_read
+
+    ds = clean_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
         import hashlib as _h

@@ -20,7 +20,9 @@ from .relational import _dense_lookup, _gb
 def _read(sf_dir: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    from ._io import clean_read
+
+    return clean_read(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def _val_milli(arr) -> pa.Array:

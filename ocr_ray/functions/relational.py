@@ -32,7 +32,9 @@ def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ._io import clean_read
+
+    return clean_read(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _gb(t: pa.Table, keys: list[str], aggs: list[tuple[str, str]],

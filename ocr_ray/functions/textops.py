@@ -28,7 +28,9 @@ _SQL_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
 def _read(sf_dir: str, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from ._io import clean_read
+
+    return clean_read(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # ----------------------------------------------------------- lang stats
@@ -428,13 +430,21 @@ def semantic_keyword_hits(sf_dir: str):
             self.model = VectorKeywordSearcher(list(ANALYTICS_KEYWORDS))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            # span-level output (round 2): each resolved, de-overlapped
+            # span is one row — parity with the reference's resolved
+            # filter_spans hits (vector_searcher.py:32-48), not just a
+            # per-doc count
             rows = []
             for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                     batch["text"].to_pylist()):
-                hits = self.model.search(text)
-                rows.append({"doc_id": doc_id, "n_hits": len(hits)})
+                for h in self.model.search(text):
+                    rows.append({"doc_id": doc_id, "start": h["start"],
+                                 "end": h["end"], "phrase": h["phrase"],
+                                 "score": h["score"]})
             return pa.Table.from_pylist(rows, schema=pa.schema([
-                ("doc_id", pa.int64()), ("n_hits", pa.int64())]))
+                ("doc_id", pa.int64()), ("start", pa.int64()),
+                ("end", pa.int64()), ("phrase", pa.string()),
+                ("score", pa.float64())]))
 
     ds = _read(sf_dir, ["doc_id", "text"])
     return ds.map_batches(Searcher, batch_format="pyarrow", batch_size=256,

@@ -58,6 +58,11 @@ _CEDILLA_FIXES = (("( ă)", "(ă)"), ("ţ", "ț"), ("ş", "ș"),
 
 FORBIDDEN_CHARS = frozenset("ºþÈ™ÓÑÄÈÃ®ƒ")
 
+# ASCII fast-path tables: bytes.translate with a delete set runs at C
+# speed; len(b) - len(b.translate(None, CLASS)) == count of CLASS chars
+_ASCII_DIGITS = bytes(range(0x30, 0x3A))
+_ASCII_ALPHA = bytes(range(0x41, 0x5B)) + bytes(range(0x61, 0x7B))
+
 _COUNTER_FIELDS = (
     "min_length_lines", "min_length_chars",
     "forbidden_lines", "forbidden_chars",
@@ -128,20 +133,31 @@ def clean_lines(
             st.min_length_chars += orig_len
             continue
 
-        line = line.encode("utf-8", "ignore").decode("utf-8", "ignore")
+        if line.isascii():
+            # fast path: FORBIDDEN_CHARS are all non-ASCII, the utf-8
+            # re-decode is the identity, and the char-class counts are
+            # byte-translate deletions at C speed (the per-char Python
+            # loop dominated the 8->32 scaling profile)
+            b = line.encode("ascii")
+            digits = orig_len - len(b.translate(None, _ASCII_DIGITS))
+            alphas = orig_len - len(b.translate(None, _ASCII_ALPHA))
+            asciis = orig_len
+            hit_forbidden = False
+        else:
+            line = line.encode("utf-8", "ignore").decode("utf-8", "ignore")
 
-        digits = alphas = asciis = 0
-        hit_forbidden = False
-        for ch in line:
-            if ch in FORBIDDEN_CHARS:
-                hit_forbidden = True
-                break
-            if ch.isnumeric():
-                digits += 1
-            if ch.isalpha():
-                alphas += 1
-            if ch.isascii():
-                asciis += 1
+            digits = alphas = asciis = 0
+            hit_forbidden = False
+            for ch in line:
+                if ch in FORBIDDEN_CHARS:
+                    hit_forbidden = True
+                    break
+                if ch.isnumeric():
+                    digits += 1
+                if ch.isalpha():
+                    alphas += 1
+                if ch.isascii():
+                    asciis += 1
 
         if hit_forbidden:
             st.forbidden_lines += 1

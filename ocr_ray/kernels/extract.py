@@ -21,6 +21,8 @@ become Arrow columns.
 
 from __future__ import annotations
 
+import re
+
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from .cleaner import CleanStats, clean_lines
 from .htmlx import extract_main_text
@@ -28,6 +30,15 @@ from .ocr_sim import run_ocr
 from .quality import estimate_quality
 
 VALID_KINDS = ("text", "media")
+
+# num_ents analog (ref doc_analysis.py:36,190-204, app/constants.py:19):
+# deterministic capitalized-token entity rule standing in for the
+# reference's optional spaCy NER counter
+_ENT_RE = re.compile(r"[A-Z][a-z]+")
+
+
+def count_entities(text: str) -> int:
+    return len(_ENT_RE.findall(text))
 
 # reject reasons (validation failure taxonomy; FIXTURES.md archetypes
 # empty / malformed / oversize_reject)
@@ -168,8 +179,10 @@ def extract_doc(
     qualities: list[float] = []
     all_confs: list[float] = []
     retries = 0
+    num_ents = 0
     for s in ordered:
         cleaned, meta = extract_span(s["kind"], s["text"], s["media_ref"], cfg, stats=st)
+        num_ents += count_entities(cleaned)
         out_spans.append({
             "kind": s["kind"],
             "text": cleaned,
@@ -193,6 +206,7 @@ def extract_doc(
         "low_alpha_lines": st.low_alpha_lines,
         "high_digit_lines": st.high_digit_lines,
         "non_ascii_lines": st.non_ascii_lines,
+        "num_ents": num_ents,
         "quality_mean": round(sum(qualities) / len(qualities), 4) if qualities else -1.0,
         "retried_spans": retries,
         "conf_hist": conf_histogram(all_confs, cfg.ocr_conf_bins),

@@ -22,11 +22,50 @@ from collections import defaultdict
 from .textnorm import fold_diacritics, normalize_word, tokenize_with_offsets
 
 
-def token_variants(token: str) -> frozenset:
-    """Surface/folded/stemmed variant set of one keyword token
-    (doc_analysis.py:100-110 without the wordnet synonyms)."""
+# Static synonym table standing in for the reference's rowordnet store
+# (synonyms.py:3-28): deterministic, no external model, versioned via
+# SYNONYM_TABLE_VERSION (folded into the matcher version hash so a table
+# change rebuilds the actor pools, like a keyword-list change).
+SYNONYM_TABLE_VERSION = "syn-1"
+SYNONYMS: dict[str, frozenset] = {
+    "query": frozenset({"search", "lookup"}),
+    "join": frozenset({"merge"}),
+    "shuffle": frozenset({"exchange"}),
+    "batch": frozenset({"chunk"}),
+    "fast": frozenset({"quick", "rapid"}),
+    "large": frozenset({"big", "huge"}),
+    "table": frozenset({"relation"}),
+    "column": frozenset({"field"}),
+    "error": frozenset({"fault", "failure"}),
+    "document": frozenset({"record"}),
+}
+
+
+def synonyms_for(token: str) -> frozenset:
+    """Context-filtered synonyms of one token, mirroring the reference's
+    get_synonyms gates (synonyms.py:6-28): alphabetic tokens of length
+    >= 4 only; no multi-word literals; no literal containing the token
+    itself.  The static table is pre-filtered but the gates are applied
+    anyway so table edits cannot violate the contract."""
     t = token.lower()
-    return frozenset({t, fold_diacritics(t), normalize_word(t)})
+    if not t.isalpha() or len(t) < 4:
+        return frozenset()
+    return frozenset(s for s in SYNONYMS.get(t, frozenset())
+                     if t not in s and " " not in s and "_" not in s)
+
+
+def token_variants(token: str, *, with_synonyms: bool = True) -> frozenset:
+    """Surface/folded/stemmed + synonym (and folded-synonym) variant set
+    of one keyword token (doc_analysis.py:100-110 get_token_variants:
+    {text, de-diacritic, lemma} + filtered synonyms + their de-diacritic
+    forms)."""
+    t = token.lower()
+    out = {t, fold_diacritics(t), normalize_word(t)}
+    if with_synonyms:
+        for s in synonyms_for(t):
+            out.add(s)
+            out.add(fold_diacritics(s))
+    return frozenset(out)
 
 
 def filter_spans(spans: list[tuple[int, int, str]]) -> list[tuple[int, int, str]]:
@@ -69,7 +108,11 @@ class KeywordMatcher:
         order after longest-match de-overlap.
         """
         toks = tokenize_with_offsets(text)
-        tok_variant = [token_variants(t) for t, _, _ in toks]
+        # document tokens do NOT expand synonyms: the reference expands
+        # only KEYWORD tokens (make_keywords_in_spacy patterns); document
+        # side matches by surface/lemma (LOWER/LEMMA/ORTH attrs)
+        tok_variant = [token_variants(t, with_synonyms=False)
+                       for t, _, _ in toks]
         raw: list[tuple[int, int, str]] = []  # (tok_start, tok_end, keyword)
         for i, tv in enumerate(tok_variant):
             # sorted: frozenset iteration order is hash-seed dependent and

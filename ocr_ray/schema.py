@@ -46,6 +46,7 @@ METRICS_FIELDS = [
     ("low_alpha_lines", pa.int64()),
     ("high_digit_lines", pa.int64()),
     ("non_ascii_lines", pa.int64()),
+    ("num_ents", pa.int64()),
     ("quality_mean", pa.float64()),
     ("retried_spans", pa.int64()),
     ("conf_hist", pa.list_(pa.int64())),

@@ -76,5 +76,7 @@ def adapt_flat_documents(sf_dir: str):
     over it (FIXTURES.md §4). Columns are pruned at the read."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ..functions._io import clean_read
+
+    ds = clean_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(_wrap_flat_batch, batch_format="pyarrow")

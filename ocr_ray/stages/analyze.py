@@ -52,16 +52,34 @@ class KeywordAnalyzer:
         return pa.Table.from_pylist(out, schema=KEYWORD_HITS_SCHEMA)
 
 
-def keyword_hits(extracted_ds, keywords=None, *, concurrency=(2, 8), batch_size=32):
+def _pool_size() -> tuple[int, int]:
+    """Size the analyzer pool to the cluster: floor high enough to avoid
+    the slow (1, N) autoscale ramp, but never reserving every CPU (other
+    pools must be schedulable on small clusters)."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(1, cpus // 4), max(2, cpus)
+
+
+def keyword_hits(extracted_ds, keywords=None, *, concurrency=None,
+                 batch_size=32):
     """extracted (doc_id, spans) -> keyword_hits Dataset."""
+    from ..kernels.keywords import SYNONYM_TABLE_VERSION
+
     kws = list(keywords) if keywords is not None else list(keyword_list())
     return extracted_ds.map_batches(
         KeywordAnalyzer,
-        fn_constructor_kwargs={"keywords": kws,
-                               "version_hash": keywords_hash(kws)},
+        fn_constructor_kwargs={
+            "keywords": kws,
+            # synonym-table version folds into the hash: a table change
+            # invalidates compiled-matcher actor state like a list change
+            "version_hash": f"{keywords_hash(kws)}:{SYNONYM_TABLE_VERSION}"},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or _pool_size(),
         num_cpus=1,
     )
 

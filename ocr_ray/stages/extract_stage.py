@@ -30,7 +30,12 @@ import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..kernels.cleaner import CleanStats
-from ..kernels.extract import conf_histogram, extract_doc, extract_span
+from ..kernels.extract import (
+    conf_histogram,
+    count_entities,
+    extract_doc,
+    extract_span,
+)
 from ..schema import METRICS_FIELDS, SPANS_TYPE
 
 # (doc_id, spans) + per-doc metrics + reject_reason ('' = extracted OK),
@@ -48,8 +53,8 @@ _ZERO_METRICS = {
     "n_spans": 0, "media_spans": 0, "blocks_kept": 0, "blocks_dropped": 0,
     "clean_chars": 0, "original_chars": 0, "min_length_lines": 0,
     "forbidden_lines": 0, "low_alpha_lines": 0, "high_digit_lines": 0,
-    "non_ascii_lines": 0, "quality_mean": -1.0, "retried_spans": 0,
-    "conf_hist": [],
+    "non_ascii_lines": 0, "num_ents": 0, "quality_mean": -1.0,
+    "retried_spans": 0, "conf_hist": [],
 }
 
 # intermediate schema of the exploded path
@@ -68,6 +73,7 @@ SPAN_RESULT_SCHEMA = pa.schema([
     ("low_alpha_lines", pa.int64()),
     ("high_digit_lines", pa.int64()),
     ("non_ascii_lines", pa.int64()),
+    ("num_ents", pa.int64()),
     ("clean_chars", pa.int64()),
     ("original_chars", pa.int64()),
     ("span_ms", pa.float64()),
@@ -113,23 +119,36 @@ class ExtractDocs:
             from .validate import validate_batch
 
             batch = validate_batch(batch, self.cfg)
-        cols = ["doc_id", "spans", "reject_reason"]
-        out = []
-        for row in batch.select(cols).to_pylist():
+        # columnar accumulation (no per-row result dicts + from_pylist
+        # row-wise re-inference: measurable allocation churn at 32 CPUs)
+        cols: dict[str, list] = {n: [] for n in RESULT_SCHEMA.names}
+        metric_keys = [n for n in RESULT_SCHEMA.names
+                       if n not in ("doc_id", "spans", "reject_reason",
+                                    "proc_ms")]
+
+        def emit(doc_id, spans, metrics, reason="", proc_ms=0.0):
+            cols["doc_id"].append(doc_id)
+            cols["spans"].append(spans)
+            for k in metric_keys:
+                cols[k].append(metrics[k])
+            cols["reject_reason"].append(reason)
+            cols["proc_ms"].append(round(proc_ms, 3))
+
+        sel = ["doc_id", "spans", "reject_reason"]
+        for row in batch.select(sel).to_pylist():
             reason = row.get("reject_reason", "")
             if reason:
-                out.append(_result_row(row["doc_id"], [], _ZERO_METRICS, reason))
+                emit(row["doc_id"], [], _ZERO_METRICS, reason)
                 continue
             t0 = time.monotonic()
             res = extract_doc(row["doc_id"], row["spans"], self.cfg)
             ms = (time.monotonic() - t0) * 1000.0
             if res["ok"]:
-                out.append(_result_row(res["doc_id"], res["spans"],
-                                       res["metrics"], proc_ms=ms))
+                emit(res["doc_id"], res["spans"], res["metrics"], proc_ms=ms)
             else:  # defense in depth if validate was skipped upstream
-                out.append(_result_row(res["doc_id"], [], _ZERO_METRICS,
-                                       res["reason"], proc_ms=ms))
-        return pa.Table.from_pylist(out, schema=RESULT_SCHEMA)
+                emit(res["doc_id"], [], _ZERO_METRICS, res["reason"], ms)
+        arrays = [pa.array(cols[f.name], type=f.type) for f in RESULT_SCHEMA]
+        return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
 
 
 def explode_spans(batch: pa.Table) -> pa.Table:
@@ -186,6 +205,7 @@ class ExtractSpans:
                 "low_alpha_lines": st.low_alpha_lines,
                 "high_digit_lines": st.high_digit_lines,
                 "non_ascii_lines": st.non_ascii_lines,
+                "num_ents": count_entities(cleaned),
                 "clean_chars": st.total_clean_chars,
                 "original_chars": st.total_original_chars,
                 "span_ms": span_ms,
@@ -206,7 +226,8 @@ def reassemble_group(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> p
     total_ms = 0.0
     agg = {k: 0 for k in ("kept_lines", "min_length_lines", "forbidden_lines",
                           "low_alpha_lines", "high_digit_lines",
-                          "non_ascii_lines", "clean_chars", "original_chars")}
+                          "non_ascii_lines", "num_ents", "clean_chars",
+                          "original_chars")}
     for r in rows:
         total_ms += r["span_ms"]
         spans.append({"kind": r["kind"], "text": r["text"],
@@ -232,6 +253,7 @@ def reassemble_group(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> p
         "low_alpha_lines": agg["low_alpha_lines"],
         "high_digit_lines": agg["high_digit_lines"],
         "non_ascii_lines": agg["non_ascii_lines"],
+        "num_ents": agg["num_ents"],
         "quality_mean": round(sum(qualities) / len(qualities), 4) if qualities else -1.0,
         "retried_spans": retries,
         "conf_hist": conf_histogram(confs, cfg.ocr_conf_bins),

@@ -31,7 +31,8 @@ import time
 _METRIC_SUM_COLS = (
     "n_spans", "media_spans", "blocks_kept", "blocks_dropped",
     "clean_chars", "original_chars", "min_length_lines", "forbidden_lines",
-    "low_alpha_lines", "high_digit_lines", "non_ascii_lines", "retried_spans",
+    "low_alpha_lines", "high_digit_lines", "non_ascii_lines", "num_ents",
+    "retried_spans",
 )
 
 
@@ -164,7 +165,21 @@ class CheckpointedRunner:
         os.rename(tmp_marker, self.marker_path(k))
         return marker
 
+    def _wipe_stale_outputs(self) -> None:
+        """Fresh-run semantics for resume=False: stale shard partitions
+        and lineage markers from a previous run (possibly with a
+        different --shards count) would otherwise survive alongside the
+        new output — silently duplicating documents — and leftover
+        markers would break a later resume."""
+        for sub in ("extracted", "failed"):
+            shutil.rmtree(os.path.join(self.output_dir, sub),
+                          ignore_errors=True)
+        shutil.rmtree(self.lineage_dir, ignore_errors=True)
+        os.makedirs(self.lineage_dir, exist_ok=True)
+
     def run(self, resume: bool = True) -> dict:
+        if not resume:
+            self._wipe_stale_outputs()
         done = self.committed_shards() if resume else set()
         # a marker is only valid for the shard composition it was written
         # for: changing --shards or the input file set between runs would

@@ -58,6 +58,41 @@ class TestKeywordStage:
         assert roll.loc["acord cadru", "doc_freq"] == 1
         assert roll.loc["licitație", "total_occs"] == 1
 
+    def test_synonym_variant_matching_golden_count(self, ray_session):
+        """Synonym-expanded keyword matching (ref synonyms.py:6-28 +
+        doc_analysis.py:100-134; golden-count style of
+        tests/test_ocr_worker.py:48-51): keyword 'fast query' must match
+        'quick search', 'rapid lookup' and the surface form — hand-built
+        oracle count of 3 occurrences over the fixture."""
+        rows = [{"doc_id": "syn", "spans": [
+            {"kind": "text",
+             "text": "A quick search beats a slow scan. The rapid lookup "
+                     "wins. Running a fast query is best.",
+             "media_ref": "", "offset": 0},
+        ]}]
+        hits = keyword_hits(_extracted_ds(rows),
+                            keywords=["fast query"]).to_pandas()
+        assert len(hits) == 1
+        assert int(hits["total_occs"].iloc[0]) == 3
+
+    def test_synonyms_not_expanded_on_document_side(self, ray_session):
+        """Only KEYWORD tokens expand synonyms (reference pattern
+        direction): keyword 'search' must NOT match document 'query'."""
+        rows = [{"doc_id": "d", "spans": [
+            {"kind": "text", "text": "run the query now",
+             "media_ref": "", "offset": 0},
+        ]}]
+        hits = keyword_hits(_extracted_ds(rows),
+                            keywords=["search"]).to_pandas()
+        assert len(hits) == 0
+
+    def test_short_token_gets_no_synonyms(self):
+        from ocr_ray.kernels.keywords import synonyms_for, token_variants
+
+        assert synonyms_for("joi") == frozenset()       # < 4 chars
+        assert synonyms_for("x2ab") == frozenset()      # not alpha
+        assert "merge" in token_variants("join")        # 4-char alpha
+
     def test_kwdall_corpus_golden_count(self, ray_session, golden_result):
         """Distributed analog of the num_kwds == 365 golden assertion."""
         kwdall = [r for r in golden_result["extracted"].to_pylist()

@@ -71,6 +71,28 @@ class TestResume:
         ids = actual.column("doc_id").to_pylist()
         assert len(ids) == len(set(ids))
 
+    def test_fresh_run_wipes_stale_partitions(self, ray_session,
+                                              small_corpus_path,
+                                              golden_result,
+                                              tmp_path_factory):
+        """resume=False must clear old shard partitions and markers:
+        rerunning an existing output dir with a different --shards count
+        previously left stale extracted/shard=000NN dirs in place,
+        silently duplicating documents."""
+        out = str(tmp_path_factory.mktemp("ckpt_fresh"))
+        CheckpointedRunner(small_corpus_path, out, n_shards=2).run()
+        # rerun fresh with a different shard count over the same dir
+        s = CheckpointedRunner(small_corpus_path, out, n_shards=1).run(
+            resume=False)
+        assert s["shards_run"] == [0]
+        actual = _ok_spans(out)
+        ids = actual.column("doc_id").to_pylist()
+        assert len(ids) == len(set(ids))          # no duplicated docs
+        assert_span_equal(actual, golden_result["extracted"])
+        # and a later resume sees only the new markers
+        s2 = CheckpointedRunner(small_corpus_path, out, n_shards=1).run()
+        assert s2["shards_run"] == [] and s2["shards_skipped"] == [0]
+
     def test_lineage_marker_contents(self, ray_session, small_corpus_path,
                                      tmp_path_factory):
         out = str(tmp_path_factory.mktemp("ckpt_marker"))
