@@ -40,7 +40,9 @@ BENCH_QUERIES = [
     "sessionize",
     "doc_token_counts",
     "exact_dedup_groups",
+    "minhash_lsh_pairs",
     "knn_bruteforce",
+    "knn_ivf",
     "keyword_hits_corpus",
 ]
 
@@ -106,12 +108,22 @@ def run_queries() -> dict:
 
     qs = entry.queries()
     times = {}
+    results = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
         res = qs[name](SF_DIR)
         if isinstance(res, ray.data.Dataset):
-            res.to_pandas()
+            res = res.to_pandas()
+        elif isinstance(res, pa.Table):
+            res = res.to_pandas()
         times[name] = round(time.time() - t0, 2)
+        results[name] = res
+    # IVF quality: recall@10 of the pruned-read index vs exact brute force
+    if "knn_bruteforce" in results and "knn_ivf" in results:
+        exact = set(results["knn_bruteforce"]["vec_id"])
+        approx = set(results["knn_ivf"]["vec_id"])
+        times["knn_ivf_recall_at_10"] = round(
+            len(exact & approx) / max(1, len(exact)), 3)
     return times
 
 

@@ -50,14 +50,13 @@ _ALL_PAIRS_CAP = 64   # buckets up to this size emit/verify every pair
 _MAX_HUBS = 16        # rehub rounds for oversized buckets
 
 
-def _num_partitions(default: int = 8) -> int:
-    """Join/shuffle partition count sized to the cluster."""
-    try:
-        import ray
-        cpus = int(ray.cluster_resources().get("CPU", default))
-    except Exception:
-        cpus = default
-    return max(2, min(64, cpus))
+def _num_partitions(n_rows: int = 0, rows_per_part: int = 100_000) -> int:
+    """Join/shuffle partition count sized to the DATA: every hash-shuffle
+    partition costs an aggregator actor (~100ms startup), so tiny inputs
+    must not fan out to cpu-count partitions; large inputs scale the
+    count linearly (bounded)."""
+    return int(max(2, min(256, (n_rows + rows_per_part - 1)
+                          // rows_per_part)))
 
 
 def _with_schema(schema: pa.Schema):
@@ -231,7 +230,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
         # joining an empty dataset loses block schemas; short-circuit
         return rd.from_arrow(pa.Table.from_pylist([], schema=out_schema))
 
-    nparts = _num_partitions()
+    nparts = _num_partitions(feats.count())
     fa = feats.select_columns(["doc_id", "shingles"]).rename_columns(
         {"doc_id": "doc_a", "shingles": "sh_a"})
     fb = feats.select_columns(["doc_id", "shingles"]).rename_columns(
@@ -488,13 +487,13 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
                             ("cluster_id", pa.int64())])
     if not isinstance(pairs_ds, rd.Dataset):
         pairs_ds = rd.from_arrow(pairs_ds)
-    nparts = _num_partitions()
     # repartition physically drops the schema-LESS empty blocks that
     # upstream join/map stages emit (Ray skips UDFs on empty blocks, so
     # they can never be re-typed by a map); such blocks break the hash-
     # shuffle join's Acero key resolution.
     edges = (pairs_ds.select_columns(["doc_a", "doc_b"])
-             .repartition(nparts).materialize())
+             .repartition(4).materialize())
+    nparts = _num_partitions(edges.count())
     if edges.count() == 0:
         return pa.Table.from_pylist([], schema=out_schema)
 
