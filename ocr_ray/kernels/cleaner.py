@@ -62,6 +62,10 @@ FORBIDDEN_CHARS = frozenset("ºþÈ™ÓÑÄÈÃ®ƒ")
 # speed; len(b) - len(b.translate(None, CLASS)) == count of CLASS chars
 _ASCII_DIGITS = bytes(range(0x30, 0x3A))
 _ASCII_ALPHA = bytes(range(0x41, 0x5B)) + bytes(range(0x61, 0x7B))
+# str.translate map deleting every ASCII codepoint: leaves the NON-ascii
+# residue, so the per-char Python classification loop only touches the
+# few non-ascii chars of a mostly-ascii line
+_DEL_ASCII = {i: None for i in range(128)}
 
 _COUNTER_FIELDS = (
     "min_length_lines", "min_length_chars",
@@ -145,10 +149,18 @@ def clean_lines(
             hit_forbidden = False
         else:
             line = line.encode("utf-8", "ignore").decode("utf-8", "ignore")
-
-            digits = alphas = asciis = 0
+            # mixed path: classify the ASCII projection with byte
+            # translates and Python-loop ONLY the non-ascii residue
+            # (typically a handful of diacritics per line).  Exactness:
+            # the original loop's early break on a forbidden char only
+            # skipped counts that are discarded anyway.
+            b = line.encode("ascii", "ignore")
+            asciis = len(b)
+            digits = asciis - len(b.translate(None, _ASCII_DIGITS))
+            alphas = asciis - len(b.translate(None, _ASCII_ALPHA))
+            residue = line.translate(_DEL_ASCII)
             hit_forbidden = False
-            for ch in line:
+            for ch in residue:
                 if ch in FORBIDDEN_CHARS:
                     hit_forbidden = True
                     break
@@ -156,8 +168,6 @@ def clean_lines(
                     digits += 1
                 if ch.isalpha():
                     alphas += 1
-                if ch.isascii():
-                    asciis += 1
 
         if hit_forbidden:
             st.forbidden_lines += 1
