@@ -1,0 +1,284 @@
+"""Training-corpus preparation operators (LLM-data-pipeline family).
+
+Each operator is a streaming Ray Data pipeline over the ``documents``
+table with an exact DuckDB oracle (verified in
+tests/test_corpus_prep.py — the driver registry is capped at 50
+entries, so these are pytest-gated instead):
+
+* ``chunk_documents``     — overlapping token-window chunking (the
+  tokenize-and-chunk step of a pretraining pipeline); every chunk's
+  content is oracle-checked by md5.
+* ``bm25_keyword_scores`` — two-pass BM25: corpus stats (df, avgdl) by
+  distributed aggregate, then a vectorized per-doc scoring map with the
+  stats broadcast.
+* ``stratified_sample_stats`` — deterministic per-language hash sample
+  (md5 threshold) + rollup: auditable stratified subset selection.
+* ``lang_char_quantiles``  — exact per-group quantiles via
+  groupby(lang).map_groups (the windowed-quantile shape).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .textops import _ASCII_WS, _ASCII_WS_RE, _SQL_WS
+
+_TOK_RE = re.compile(_ASCII_WS_RE)
+
+
+def _read(sf_dir: str, columns=None):
+    from ._io import clean_read
+
+    return clean_read(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _tokens(text: str) -> list[str]:
+    toks = _TOK_RE.split(text.strip(_ASCII_WS))
+    return [] if toks == [""] else toks
+
+
+# -------------------------------------------------------------- chunking
+
+def chunk_documents(sf_dir: str, chunk_tokens: int = 128,
+                    overlap: int = 16):
+    """Overlapping token-window chunks per document.
+
+    step = chunk_tokens - overlap; chunk i covers tokens
+    [i*step, i*step + chunk_tokens); the last chunk may be short; docs
+    shorter than one chunk yield exactly one chunk (possibly empty).
+    Output: (doc_id, chunk_id, n_tokens, chunk_md5) — content equality
+    is oracle-checked via the md5 of the space-joined token window.
+    """
+    step = chunk_tokens - overlap
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        doc_ids, chunk_ids, ntoks, md5s = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            toks = _tokens(text)
+            n = len(toks)
+            n_chunks = 1 if n <= chunk_tokens else (
+                1 + math.ceil((n - chunk_tokens) / step))
+            for i in range(n_chunks):
+                window = toks[i * step: i * step + chunk_tokens]
+                doc_ids.append(doc_id)
+                chunk_ids.append(i)
+                ntoks.append(len(window))
+                md5s.append(hashlib.md5(
+                    " ".join(window).encode()).hexdigest())
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "chunk_id": pa.array(chunk_ids, pa.int64()),
+                         "n_tokens": pa.array(ntoks, pa.int64()),
+                         "chunk_md5": pa.array(md5s, pa.string())})
+
+    return ds.map_batches(chunk, batch_format="pyarrow", batch_size=1024)
+
+
+# DuckDB list slicing is 1-based inclusive: toks[s : s+chunk-1] is a
+# chunk_tokens-element window
+CHUNK_DOCUMENTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text, {_SQL_WS})) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text, {_SQL_WS}),
+                                      '[ \t\n\r\f\v]+') END AS t
+  FROM documents
+), plan AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) <= 128 THEN 1
+              ELSE 1 + CAST(ceil((len(t) - 128) / 112.0) AS BIGINT)
+         END AS n_chunks
+  FROM toks
+)
+SELECT doc_id, i AS chunk_id,
+       len(t[i * 112 + 1 : i * 112 + 128]) AS n_tokens,
+       md5(array_to_string(t[i * 112 + 1 : i * 112 + 128], ' ')) AS chunk_md5
+FROM (SELECT doc_id, t, unnest(range(0, n_chunks)) AS i FROM plan)
+"""
+
+
+# ------------------------------------------------------------------ BM25
+
+def bm25_keyword_scores(sf_dir: str, keywords=None,
+                        k1: float = 1.2, b: float = 0.75):
+    """BM25 score of each (doc, keyword) with tf > 0.
+
+    Pass 1 (distributed aggregate): document frequency per keyword,
+    corpus size, average token length.  Pass 2 (map with the tiny stats
+    broadcast): vectorized per-doc scoring.  Scores are fixed-point
+    floor(x*1e6+0.5)/1e6 so the SQL oracle matches exactly.
+    """
+    from ray.data.aggregate import Sum
+
+    from .textops import ANALYTICS_KEYWORDS
+
+    kws = sorted(keywords) if keywords is not None else sorted(
+        ANALYTICS_KEYWORDS)
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def partial_stats(batch: pa.Table, kws=tuple(kws)) -> pa.Table:
+        n_docs = batch.num_rows
+        dl_sum = 0
+        dfs = dict.fromkeys(kws, 0)
+        for text in batch["text"].to_pylist():
+            toks = _tokens(text)
+            dl_sum += len(toks)
+            tokset = set(toks)
+            for kw in kws:
+                if kw in tokset:
+                    dfs[kw] += 1
+        return pa.table({
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "dl_sum": pa.array([dl_sum], pa.int64()),
+            **{f"df_{i}": pa.array([dfs[kw]], pa.int64())
+               for i, kw in enumerate(kws)},
+        })
+
+    aggs = [Sum("n_docs", alias_name="n_docs"),
+            Sum("dl_sum", alias_name="dl_sum")]
+    aggs += [Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(kws))]
+    stats = ds.map_batches(partial_stats, batch_format="pyarrow",
+                           batch_size=4096).aggregate(*aggs)
+    n_total = stats["n_docs"]
+    avgdl = stats["dl_sum"] / n_total
+    idf = {kw: math.log((n_total - stats[f"df_{i}"] + 0.5)
+                        / (stats[f"df_{i}"] + 0.5) + 1.0)
+           for i, kw in enumerate(kws)}
+
+    def score(batch: pa.Table, idf=idf, avgdl=avgdl,
+              k1=k1, b=b) -> pa.Table:
+        doc_ids, out_kw, out_score = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            toks = _tokens(text)
+            dl = len(toks)
+            for kw in idf:
+                tf = toks.count(kw)
+                if tf == 0:
+                    continue
+                s = idf[kw] * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl / avgdl))
+                doc_ids.append(doc_id)
+                out_kw.append(kw)
+                out_score.append(math.floor(s * 1e6 + 0.5) / 1e6)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "keyword": pa.array(out_kw, pa.string()),
+                         "bm25": pa.array(out_score, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
+def _bm25_sql(keywords=None) -> str:
+    from .textops import ANALYTICS_KEYWORDS
+
+    kws = sorted(keywords) if keywords is not None else sorted(
+        ANALYTICS_KEYWORDS)
+    kw_list = "[" + ", ".join(f"'{k}'" for k in kws) + "]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text, {_SQL_WS})) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text, {_SQL_WS}),
+                                      '[ \t\n\r\f\v]+') END AS t
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_total, avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM toks
+), kw AS (SELECT unnest({kw_list}) AS keyword),
+df AS (
+  SELECT kw.keyword,
+         CAST(count(*) FILTER (WHERE list_contains(toks.t, kw.keyword))
+              AS DOUBLE) AS df
+  FROM toks, kw GROUP BY kw.keyword
+),
+tf AS (
+  SELECT toks.doc_id, kw.keyword,
+         CAST(len(list_filter(toks.t, x -> x = kw.keyword)) AS DOUBLE) AS tf,
+         CAST(len(toks.t) AS DOUBLE) AS dl
+  FROM toks, kw
+)
+SELECT tf.doc_id, tf.keyword,
+       floor((ln((stats.n_total - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+             * 1000000.0 + 0.5) / 1000000.0 AS bm25
+FROM tf JOIN df ON tf.keyword = df.keyword, stats
+WHERE tf.tf > 0
+"""
+
+
+BM25_KEYWORD_SQL = None  # built lazily: _bm25_sql()
+
+
+# -------------------------------------------------- stratified sampling
+
+def stratified_sample_stats(sf_dir: str):
+    """Deterministic per-language stratified sample: keep docs whose
+    md5(doc_id) starts with '0' or '1' (a 1/8 hash sample, auditable and
+    reproducible on any engine), rolled up per language."""
+    from ray.data.aggregate import Sum
+
+    from .relational import _gb
+
+    ds = _read(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = [hashlib.md5(str(d).encode()).hexdigest()[0] in "01"
+                for d in batch["doc_id"].to_pylist()]
+        sel = batch.filter(pa.array(keep))
+        return _gb(sel.select(["lang", "n_chars"]), ["lang"],
+                   [("n_chars", "count"), ("n_chars", "sum")],
+                   ["n_docs", "sum_chars"])
+
+    return (ds.map_batches(pick, batch_format="pyarrow", batch_size=8192)
+            .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                       Sum("sum_chars",
+                                           alias_name="sum_chars")))
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+GROUP BY lang
+"""
+
+
+# ------------------------------------------------- per-group quantiles
+
+def lang_char_quantiles(sf_dir: str):
+    """Exact discrete quantiles of n_chars per language — the grouped
+    variant of order_price_quantiles: groupby(lang) + in-group sorted
+    index selection, matching DuckDB's quantile_disc semantics."""
+    ds = _read(sf_dir, ["lang", "n_chars"])
+
+    def qs(group: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(group["n_chars"].to_numpy())
+        n = len(v)
+        # DuckDB quantile_disc picks the ceil(q*n)-th order statistic
+        # (1-based) — NOT floor((n-1)*q); they differ when q*n is
+        # fractional and crosses an integer within q of itself
+        pick = lambda q: int(v[math.ceil(q * n) - 1])  # noqa: E731
+        return pd.DataFrame({
+            "lang": [group["lang"].iloc[0]],
+            "p25": [pick(0.25)], "p50": [pick(0.5)], "p95": [pick(0.95)],
+        })
+
+    return ds.groupby("lang").map_groups(qs, batch_format="pandas")
+
+
+LANG_CHAR_QUANTILES_SQL = """
+SELECT lang,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
+FROM documents GROUP BY lang
+"""

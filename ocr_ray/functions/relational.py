@@ -785,7 +785,11 @@ def order_price_quantiles(sf_dir: str):
                          "p50": pa.array([None], pa.float64()),
                          "p95": pa.array([None], pa.float64())})
     qs = (0.25, 0.5, 0.95)
-    idxs = [int((n - 1) * q) for q in qs]
+    # DuckDB quantile_disc = the ceil(q*n)-th order statistic (1-based);
+    # floor((n-1)*q) coincides only when q*n is integral or no integer
+    # falls in (q*n - q, q*n] — use the oracle's exact rule
+    import math as _math
+    idxs = [_math.ceil(q * n) - 1 for q in qs]
     sorted_ds = ds.sort("o_totalprice")
     # split at each UNIQUE target index (tiny tables collapse several
     # quantiles onto one index and duplicate split points yield empty

@@ -1,0 +1,73 @@
+"""Training-corpus prep operators vs exact DuckDB oracles (registry is
+capped at 50 driver entries; these are gated here instead)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str, sf: str = SF) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _check(ray_res, sql: str, sf: str = SF):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(ray_res, (ray.data.Dataset,)):
+        ray_df = ray_res.to_pandas()
+    elif isinstance(ray_res, pa.Table):
+        ray_df = ray_res.to_pandas()
+    else:
+        ray_df = ray_res
+    pd.testing.assert_frame_equal(_canon(ray_df), _canon(_oracle(sql, sf)),
+                                  check_dtype=False)
+
+
+class TestCorpusPrep:
+    def test_chunk_documents_content_exact(self, ray_session):
+        from ocr_ray.functions import corpus_prep as cp
+        _check(cp.chunk_documents(SF), cp.CHUNK_DOCUMENTS_SQL)
+
+    def test_chunk_edge_cases(self, ray_session, tmp_path):
+        """empty doc -> 1 empty chunk; exactly chunk_tokens -> 1 chunk;
+        chunk_tokens+1 -> 2 chunks with the overlap window."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions import corpus_prep as cp
+
+        rows = [
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": " ".join(f"t{i}" for i in range(128))},
+            {"doc_id": 3, "text": " ".join(f"t{i}" for i in range(129))},
+        ]
+        pq.write_table(pa.Table.from_pylist(rows),
+                       str(tmp_path / "documents.parquet"))
+        out = cp.chunk_documents(str(tmp_path)).to_pandas()
+        counts = out.groupby("doc_id")["chunk_id"].count().to_dict()
+        assert counts == {1: 1, 2: 1, 3: 2}
+        d3 = out[out.doc_id == 3].sort_values("chunk_id")
+        assert list(d3["n_tokens"]) == [128, 17]  # 129-112 = 17 tail tokens
+
+    def test_bm25_scores_exact(self, ray_session):
+        from ocr_ray.functions import corpus_prep as cp
+        _check(cp.bm25_keyword_scores(SF), cp._bm25_sql())
+
+    def test_stratified_sample_exact(self, ray_session):
+        from ocr_ray.functions import corpus_prep as cp
+        _check(cp.stratified_sample_stats(SF), cp.STRATIFIED_SAMPLE_SQL)
+
+    def test_lang_char_quantiles_exact(self, ray_session):
+        from ocr_ray.functions import corpus_prep as cp
+        _check(cp.lang_char_quantiles(SF), cp.LANG_CHAR_QUANTILES_SQL)

@@ -163,6 +163,38 @@ class TestNoDriverCorpusReads:
         embedding_dup_pairs(planted_dir, cosine_threshold=0.99).count()
 
 
+class TestMinhashInvariant:
+    def test_md5_equal_pairs_always_found(self, ray_session):
+        """Recall invariant vs the SQL-expressible exact-dup oracle:
+        every md5-equal text pair has Jaccard 1.0 and identical minhash
+        signatures, so LSH MUST surface it — on the driver corpus the
+        minhash output restricted to exact-dup pairs equals the
+        ngram_jaccard_pairs (md5-bucket) oracle output's pair set up to
+        star-vs-all-pairs transitivity inside one duplicate group."""
+        import pyarrow.parquet as _pq
+
+        from ocr_ray.functions.dedup import minhash_lsh_pairs
+
+        sf = "/root/testdata/sf0.01"
+        tbl = _pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"])
+        import hashlib as _h
+        by_md5 = {}
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+            by_md5.setdefault(_h.md5(t.encode()).hexdigest(), []).append(d)
+        exact_pairs = {(a, b) for ids in by_md5.values() if len(ids) > 1
+                       for i, a in enumerate(sorted(ids))
+                       for b in sorted(ids)[i + 1:]}
+        found = {(r["doc_a"], r["doc_b"])
+                 for r in minhash_lsh_pairs(sf).take_all()}
+        missing = exact_pairs - found
+        assert not missing, f"exact-dup pairs missed by LSH: {missing}"
+        # and every such pair must be reported with jaccard exactly 1.0
+        jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in minhash_lsh_pairs(sf).take_all()}
+        assert all(jac[p] == 1.0 for p in exact_pairs)
+
+
 class TestClusters:
     def test_components_from_pairs(self, ray_session):
         import pyarrow as pa
