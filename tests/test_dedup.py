@@ -163,6 +163,61 @@ class TestNoDriverCorpusReads:
         embedding_dup_pairs(planted_dir, cosine_threshold=0.99).count()
 
 
+class TestOversizedBucket:
+    def test_hot_bucket_of_identical_docs(self, ray_session, tmp_path):
+        """> _ALL_PAIRS_CAP identical docs in one bucket must exercise
+        the hub-rehub path and still link every member (via the hub) at
+        jaccard 1.0, without O(n^2) pair explosion."""
+        from ocr_ray.functions.dedup import (
+            _ALL_PAIRS_CAP,
+            dedup_clusters,
+            minhash_lsh_pairs,
+        )
+
+        n = _ALL_PAIRS_CAP + 16  # 80 identical docs
+        text = ("hot bucket duplicate document with plenty of tokens to "
+                "shingle across the minhash permutation space evenly")
+        rows = [{"doc_id": i, "text": text} for i in range(1, n + 1)]
+        rows.append({"doc_id": n + 1,
+                     "text": "an unrelated singleton document here"})
+        pq.write_table(pa.Table.from_pylist(rows),
+                       str(tmp_path / "documents.parquet"))
+        pairs = minhash_lsh_pairs(str(tmp_path))
+        rows_out = pairs.take_all()
+        found = {(r["doc_a"], r["doc_b"]) for r in rows_out}
+        # star pairs from hub 1 to every member, all at jaccard 1.0
+        assert {(1, m) for m in range(2, n + 1)} <= found
+        assert all(r["jaccard"] == 1.0 for r in rows_out)
+        assert not any(n + 1 in p for p in found)
+        # far fewer than all-pairs (n*(n-1)/2 = 3160)
+        assert len(found) < 200
+        clusters = {r["doc_id"]: r["cluster_id"]
+                    for r in dedup_clusters(pairs).to_pylist()}
+        assert set(clusters) == set(range(1, n + 1))
+        assert set(clusters.values()) == {1}
+
+    def test_clusters_warn_on_round_cap(self, ray_session):
+        import warnings as _w
+
+        from ocr_ray.functions.dedup import dedup_clusters
+
+        # chain 1-2-3-...-8: diameter 7 > max_rounds=2 -> must warn
+        pairs = pa.table({
+            "doc_a": pa.array(list(range(1, 8)), pa.int64()),
+            "doc_b": pa.array(list(range(2, 9)), pa.int64()),
+        })
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            dedup_clusters(pairs, max_rounds=2)
+        assert any("did not converge" in str(r.message) for r in rec)
+        # and with enough rounds it converges silently to one cluster
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            out = dedup_clusters(pairs, max_rounds=20)
+        assert not any("did not converge" in str(r.message) for r in rec)
+        assert {r["cluster_id"] for r in out.to_pylist()} == {1}
+
+
 class TestMinhashInvariant:
     def test_md5_equal_pairs_always_found(self, ray_session):
         """Recall invariant vs the SQL-expressible exact-dup oracle:
