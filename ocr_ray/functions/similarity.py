@@ -29,10 +29,14 @@ def _read(sf_dir: str, columns=None):
 
 
 def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    # predicate pushdown: only row groups containing the id are read,
+    # not the whole embedding column
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    idx = tbl["vec_id"].to_pylist().index(vec_id)
-    return np.asarray(tbl["embedding"].to_pylist()[idx], dtype=np.float64)
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "==", vec_id)])
+    if tbl.num_rows == 0:
+        raise KeyError(f"vec_id {vec_id} not found")
+    return np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
 
 
 def _batch_matrix(batch: pa.Table) -> np.ndarray:
@@ -118,9 +122,12 @@ def build_ivf_index(sf_dir: str, n_clusters: int = 16) -> tuple[str, np.ndarray]
         cent = np.asarray(json.load(open(cent_file)), dtype=np.float64)
         return path, cent
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["embedding"]).slice(0, 512)
-    sample = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    # stream only the first 512 rows off disk for centroid fitting (a
+    # full-column read here would scan the corpus at scale)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=512, columns=["embedding"]))
+    sample = np.asarray(first.column("embedding").to_pylist(),
+                        dtype=np.float64)
     cent = _fit_centroids(sample, min(n_clusters, len(sample)))
 
     ds = _read(sf_dir, ["vec_id", "embedding"])
