@@ -713,7 +713,10 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 def q10_returned_revenue_by_customer(sf_dir: str, k: int = 20):
     """Returned-item revenue per customer (TPC-H Q10 shape): lineitem
     filtered to returnflag='R', aggregated per order, joined to orders
-    (hash join), customer resolved by broadcast, top-k."""
+    (hash join), top-k, THEN customer names resolved by a pushdown read
+    of just the k winning keys — no full customer-name broadcast (the
+    name map grows with the customer dimension at scale; the top-k
+    result does not)."""
     from ray.data.aggregate import Sum
 
     li = _read(sf_dir, "lineitem",
@@ -734,30 +737,37 @@ def q10_returned_revenue_by_customer(sf_dir: str, k: int = 20):
                          num_partitions=_nparts_for(orders.count()),
                          on=("l_orderkey",), right_on=("o_orderkey",))
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_name"])
-    name_of = dict(zip(cust["c_custkey"].to_pylist(),
-                       cust["c_name"].to_pylist()))
-
     def by_customer(batch: pa.Table) -> pa.Table:
         t = pa.table({"o_custkey": batch["o_custkey"], "c": batch["c"]})
         return _gb(t, ["o_custkey"], [("c", "sum")], ["c"])
 
-    agg = (joined.map_batches(by_customer, batch_format="pyarrow")
-           .groupby("o_custkey").aggregate(Sum("c", alias_name="c")))
-
-    def finalize(batch: pa.Table, name_of=name_of) -> pa.Table:
+    def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({
             "c_custkey": batch["o_custkey"],
-            "c_name": pa.array([name_of[k] for k in
-                                batch["o_custkey"].to_pylist()], pa.string()),
             "returned_revenue": round_half_up(pc.divide(pc.cast(
                 batch["c"], pa.float64()), pa.scalar(100.0)), 2),
         })
 
-    return (agg.map_batches(finalize, batch_format="pyarrow")
-            .sort(["returned_revenue", "c_custkey"],
-                  descending=[True, False]).limit(k))
+    top = (joined.map_batches(by_customer, batch_format="pyarrow")
+           .groupby("o_custkey").aggregate(Sum("c", alias_name="c"))
+           .map_batches(finalize, batch_format="pyarrow")
+           .sort(["returned_revenue", "c_custkey"],
+                 descending=[True, False]).limit(k))
+    top_tbl = pa.Table.from_pylist(
+        top.take_all(),
+        schema=pa.schema([("c_custkey", pa.int64()),
+                          ("returned_revenue", pa.float64())]))
+    keys = top_tbl["c_custkey"].to_pylist()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"],
+                         filters=[("c_custkey", "in", keys)] if keys else None)
+    name_of = dict(zip(cust["c_custkey"].to_pylist(),
+                       cust["c_name"].to_pylist()))
+    return pa.table({
+        "c_custkey": top_tbl["c_custkey"],
+        "c_name": pa.array([name_of[k_] for k_ in keys], pa.string()),
+        "returned_revenue": top_tbl["returned_revenue"],
+    })
 
 
 Q10_SQL = """
