@@ -310,6 +310,63 @@ FROM daily
 """
 
 
+def events_windows_watermark(sf_dir: str, lateness_hours: int = 12):
+    """Tumbling daily windows with WATERMARK semantics (the batch
+    rendition of late-data handling, SURVEY.md §2.9): the watermark is
+    max(ts) - allowed lateness; a window is FINAL iff its end is at or
+    before the watermark, else still OPEN.  Events later than the
+    watermark inside a final window would be "late" in a live stream —
+    here the flag tells a downstream incremental consumer which daily
+    partitions are safe to commit (the lineage-marker analog for
+    event-time data).
+
+    Two passes: a cheap global max(ts) aggregate (the watermark), then
+    the daily rollup with the final/open flag — both streaming, no
+    driver materialization.  Exact SQL oracle in
+    EVENTS_WINDOWS_WATERMARK_SQL (pytest-gated; driver registry is
+    full)."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, ["ts", "value"])
+    wm = ds.aggregate(Max("ts", alias_name="m"))["m"]
+    watermark = pd.Timestamp(wm) - pd.Timedelta(hours=lateness_hours)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        t = pa.table({"day": day, "v": _val_milli(batch["value"])})
+        return _gb(t, ["day"], [("v", "sum"), ("v", "count")], ["v", "n"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("day") \
+        .aggregate(Sum("v", alias_name="v"), Sum("n", alias_name="n_events"))
+
+    def finalize(batch: pa.Table, watermark=watermark) -> pa.Table:
+        days = pd.to_datetime(batch["day"].to_pylist())
+        window_end = days + pd.Timedelta(days=1)
+        return pa.table({
+            "day": batch["day"],
+            "n_events": batch["n_events"],
+            "sum_value": round_half_up(pc.divide(pc.cast(
+                batch["v"], pa.float64()), pa.scalar(1000.0)), 3),
+            "is_final": pa.array(window_end <= watermark, pa.bool_()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_WINDOWS_WATERMARK_SQL = """
+WITH wm AS (SELECT max(ts) - INTERVAL 12 HOUR AS watermark FROM events),
+daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+         floor((sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) / 1000.0) * 1000.0 + 0.5) / 1000.0 AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT day, n_events, sum_value,
+       (CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)
+         <= (SELECT watermark FROM wm) AS is_final
+FROM daily
+"""
+
+
 def error_click_asof(sf_dir: str, max_gap_minutes: int = 60):
     """As-of join (custom operator, SURVEY.md §2 "custom operators"):
     for every 'error' event, the most recent preceding 'click' by the

@@ -53,3 +53,13 @@ class TestConsolidatedQueries:
     def test_doc_source_stats(self, ray_session):
         from ocr_ray.functions import textops as tx
         _check(tx.doc_source_stats(SF), tx.DOC_SOURCE_SQL)
+
+    def test_events_windows_watermark(self, ray_session):
+        from ocr_ray.functions import events as ev
+        _check(ev.events_windows_watermark(SF),
+               ev.EVENTS_WINDOWS_WATERMARK_SQL)
+        # semantic check: exactly the last days are open (not final)
+        df = ev.events_windows_watermark(SF).to_pandas()
+        finals = df.sort_values("day")["is_final"].tolist()
+        assert finals[0] and not finals[-1]      # oldest final, newest open
+        assert finals == sorted(finals, reverse=True)  # monotone frontier
