@@ -90,6 +90,24 @@ class TestCleanerProperties:
             for line in out1.rstrip("\n").split("\n"):
                 assert len(line) >= 10
 
+    @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",),
+                                          max_codepoint=0xFFFF),
+                   max_size=160))
+    @settings(max_examples=300, deadline=None)
+    def test_fast_paths_equal_reference_char_loop(self, text):
+        """The ASCII / mixed byte-translate fast paths must agree with
+        the round-1 per-char predicate loop (vendored frozen in
+        tests/_reference_cleaner.py) on arbitrary unicode — forbidden
+        chars, circled digits, fractions, combining marks.  Counts
+        drive the reject rules, so any divergence is a correctness
+        bug, not just a perf one."""
+        from tests._reference_cleaner import clean_lines as ref_clean
+
+        out_ref, st_ref = ref_clean(text)
+        out_new, st_new = clean_lines(text)
+        assert out_new == out_ref
+        assert st_new.as_dict() == st_ref.as_dict()
+
     @given(_text, _text)
     @settings(max_examples=100, deadline=None)
     def test_merge_matches_concatenation(self, a, b):
