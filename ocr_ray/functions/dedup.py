@@ -477,8 +477,9 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
     Input: Dataset/table with (doc_a, doc_b) edges.  Output:
     pa.Table(doc_id, cluster_id) where cluster_id = min doc_id of the
     component (the final result is collected — it is O(#docs with an
-    edge), sparse by construction).  Warns if max_rounds is hit before
-    convergence (chain-shaped components of diameter > max_rounds).
+    edge), sparse by construction).  Each round also pointer-jumps
+    (label <- label(label)) so chains converge in O(log diameter)
+    rounds; warns if max_rounds is still hit before the fixpoint.
     """
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
@@ -525,6 +526,15 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
                          "label": pa.array(np.concatenate([m, m]),
                                            pa.int64())})
 
+    def shorten(batch: pa.Table) -> pa.Table:
+        # label <- min(label, label(label)); parent <= label always under
+        # min-propagation, the minimum is belt-and-braces
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        par = batch["parent"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "label": pa.array(np.minimum(lab, par),
+                                           pa.int64())})
+
     prev_sum = label_sum(labels)
     converged = False
     for _ in range(max_rounds):
@@ -534,9 +544,22 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
                       .join(la, "inner", num_partitions=nparts, on=("doc_a",))
                       .join(lb, "inner", num_partitions=nparts, on=("doc_b",))
                       .map_batches(messages, batch_format="pyarrow"))
-        labels = (propagated.union(labels)
-                  .groupby("doc_id").aggregate(Min("label",
-                                                   alias_name="label"))
+        mid = (propagated.union(labels)
+               .groupby("doc_id").aggregate(Min("label",
+                                                alias_name="label"))
+               .map_batches(_with_schema(label_schema),
+                            batch_format="pyarrow")
+               .repartition(nparts)
+               .materialize())
+        # pointer jumping: label <- label(label) (every label value IS a
+        # doc_id present in the table, so the self-join is total); chain
+        # depth halves per round => O(log diameter) rounds instead of
+        # O(diameter)
+        parents = mid.rename_columns({"doc_id": "label",
+                                      "label": "parent"})
+        labels = (mid.join(parents, "inner", num_partitions=nparts,
+                           on=("label",))
+                  .map_batches(shorten, batch_format="pyarrow")
                   .map_batches(_with_schema(label_schema),
                                batch_format="pyarrow")
                   .repartition(nparts)

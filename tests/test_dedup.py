@@ -201,19 +201,20 @@ class TestOversizedBucket:
 
         from ocr_ray.functions.dedup import dedup_clusters
 
-        # chain 1-2-3-...-8: diameter 7 > max_rounds=2 -> must warn
+        # chain 1-2-...-40 (diameter 39): one round of propagate+jump
+        # cannot reach a fixpoint -> must warn
         pairs = pa.table({
-            "doc_a": pa.array(list(range(1, 8)), pa.int64()),
-            "doc_b": pa.array(list(range(2, 9)), pa.int64()),
+            "doc_a": pa.array(list(range(1, 40)), pa.int64()),
+            "doc_b": pa.array(list(range(2, 41)), pa.int64()),
         })
         with _w.catch_warnings(record=True) as rec:
             _w.simplefilter("always")
-            dedup_clusters(pairs, max_rounds=2)
+            dedup_clusters(pairs, max_rounds=1)
         assert any("did not converge" in str(r.message) for r in rec)
-        # and with enough rounds it converges silently to one cluster
+        # pointer jumping: O(log diameter) rounds suffice (39 -> ~7)
         with _w.catch_warnings(record=True) as rec:
             _w.simplefilter("always")
-            out = dedup_clusters(pairs, max_rounds=20)
+            out = dedup_clusters(pairs, max_rounds=8)
         assert not any("did not converge" in str(r.message) for r in rec)
         assert {r["cluster_id"] for r in out.to_pylist()} == {1}
 
