@@ -580,6 +580,49 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
     return pa.Table.from_pylist(rows, schema=out_schema)
 
 
+def dedup_survivors(sf_dir: str, near: bool = False):
+    """The actual corpus-dedup operation: doc_ids that SURVIVE dedup
+    (the min doc of every duplicate cluster plus all singletons).
+
+    ``near=False`` — exact dedup only (md5 clusters; SQL-checkable).
+    ``near=True``  — exact ∪ minhash-LSH near-dup clusters (rows-only).
+
+    Formulation: cluster non-survivors are the docs whose cluster_id
+    differs from their own id; survivors = corpus LEFT ANTI JOIN
+    non-survivors — a hash-partitioned anti join, so the corpus itself
+    never funnels through the driver.
+    """
+    import ray.data as rd
+
+    from ._io import clean_read
+
+    pairs = ngram_jaccard_pairs(sf_dir)
+    if near:
+        mh = minhash_lsh_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+        pairs_ds = rd.from_arrow(pairs.select(["doc_a", "doc_b"])).union(mh)
+    else:
+        pairs_ds = pairs
+    clusters = dedup_clusters(pairs_ds)
+    losers = clusters.filter(
+        pa.compute.not_equal(clusters["doc_id"], clusters["cluster_id"]))
+
+    docs = clean_read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if losers.num_rows == 0:
+        return docs
+    return docs.join(rd.from_arrow(losers.select(["doc_id"])),
+                     "left_anti",
+                     num_partitions=_num_partitions(docs.count()),
+                     on=("doc_id",))
+
+
+DEDUP_SURVIVORS_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM documents
+) WHERE doc_id = keeper
+"""
+
+
 def exact_dup_clusters(sf_dir: str):
     """Cluster assignments for exact-duplicate docs (cluster = min doc_id
     of each md5-equal group with >1 member) — the SQL-checkable face of

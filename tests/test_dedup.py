@@ -219,6 +219,41 @@ class TestOversizedBucket:
         assert {r["cluster_id"] for r in out.to_pylist()} == {1}
 
 
+class TestSurvivors:
+    def test_exact_survivors_vs_sql(self, ray_session, tmp_path):
+        import duckdb
+
+        from ocr_ray.functions.dedup import DEDUP_SURVIVORS_SQL, dedup_survivors
+
+        rows = [
+            {"doc_id": 1, "text": "duplicate body one two three"},
+            {"doc_id": 2, "text": "duplicate body one two three"},
+            {"doc_id": 3, "text": "duplicate body one two three"},
+            {"doc_id": 4, "text": "unique body alpha beta gamma"},
+            {"doc_id": 5, "text": "another unique body entirely"},
+        ]
+        pq.write_table(pa.Table.from_pylist(rows),
+                       str(tmp_path / "documents.parquet"))
+        got = sorted(r["doc_id"]
+                     for r in dedup_survivors(str(tmp_path)).take_all())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{tmp_path}/documents.parquet'")
+        want = sorted(r[0] for r in
+                      con.execute(DEDUP_SURVIVORS_SQL).fetchall())
+        assert got == want == [1, 4, 5]
+
+    def test_near_survivors_collapse_near_dups(self, ray_session,
+                                               planted_dir):
+        from ocr_ray.functions.dedup import dedup_survivors
+
+        got = sorted(r["doc_id"] for r in
+                     dedup_survivors(planted_dir, near=True).take_all())
+        # docs 1,2 exact dups and 3 a near dup of 1 -> only 1 survives;
+        # 4 and 5 are unrelated singletons
+        assert got == [1, 4, 5]
+
+
 class TestMinhashInvariant:
     def test_md5_equal_pairs_always_found(self, ray_session):
         """Recall invariant vs the SQL-expressible exact-dup oracle:
