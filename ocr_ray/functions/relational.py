@@ -245,9 +245,11 @@ def q5_supplier_region_revenue(sf_dir: str):
     reg = pq.read_table(f"{sf_dir}/region.parquet")
     n2r = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
     r2name = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
-    supp2region = np.array([
-        r2name[n2r[nk]] for nk in sup["s_nationkey"].to_pylist()
-    ])  # indexed by s_suppkey (dense 0..N-1)
+    # explicitly keyed by s_suppkey (round 1 assumed suppkey == file row
+    # order, which happens to hold for the testdata but is not a contract)
+    supp2region = _dense_lookup(
+        sup["s_suppkey"].to_numpy(),
+        [r2name[n2r[nk]] for nk in sup["s_nationkey"].to_pylist()])
 
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
 
