@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 from .wordpool import NOISE_CHARS, WORD_POOL
 
 
@@ -28,6 +30,18 @@ def _digest_stream(seed: str):
         counter += 1
 
 
+def _digest_block(seed: str, n: int) -> bytes:
+    """First ``n`` bytes of the same stream, materialized in one go
+    (identical byte sequence to ``_digest_stream``, ~10x fewer Python
+    ops than pulling the generator per byte)."""
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"{seed}#{counter}".encode()).digest()
+        counter += 1
+    return bytes(out[:n])
+
+
 def is_rotated_scan(media_ref: str) -> bool:
     """~1 in 6 media spans simulate a rotated/skewed scan whose first OCR
     pass is garbage (drives the quality-gated retry path)."""
@@ -36,32 +50,48 @@ def is_rotated_scan(media_ref: str) -> bool:
 
 
 def scan_ground_truth(media_ref: str) -> list[str]:
-    """The text "printed on the page": 4-18 lines of 5-11 pool words."""
-    it = _digest_stream(f"gt:{media_ref}")
-    n_lines = 4 + next(it) % 15
+    """The text "printed on the page": 4-18 lines of 5-11 pool words.
+
+    Consumes the digest stream in exactly the round-1 order (1 byte for
+    the line count, then per line 1 byte + 2 bytes per word), but from
+    one materialized block with a cursor instead of a per-byte
+    generator."""
+    # worst case: 1 + 18 * (1 + 11 * 2) = 415 bytes
+    buf = _digest_block(f"gt:{media_ref}", 448)
+    pos = 0
+    n_lines = 4 + buf[pos] % 15
+    pos += 1
+    pool_n = len(WORD_POOL)
     lines = []
     for _ in range(n_lines):
-        n_words = 5 + next(it) % 7
+        n_words = 5 + buf[pos] % 7
+        pos += 1
         words = []
         for _ in range(n_words):
-            idx = (next(it) << 8 | next(it)) % len(WORD_POOL)
+            idx = (buf[pos] << 8 | buf[pos + 1]) % pool_n
+            pos += 2
             words.append(WORD_POOL[idx])
         lines.append(" ".join(words))
     return lines
 
 
 def _degrade(line: str, noise_rate_pct: int, seed: str) -> str:
-    """Replace ~noise_rate_pct% of characters with implausible glyphs."""
+    """Replace ~noise_rate_pct% of characters with implausible glyphs.
+
+    Vectorized (same output as the round-1 per-char loop): one noise
+    byte per character from the block stream, numpy mask for the
+    replacement positions, Python only at the (sparse) noisy indices."""
     if noise_rate_pct <= 0:
         return line
-    it = _digest_stream(f"noise:{seed}")
-    chars = []
-    for ch in line:
-        b = next(it)
-        if ch != " " and b % 100 < noise_rate_pct:
-            chars.append(NOISE_CHARS[b % len(NOISE_CHARS)])
-        else:
-            chars.append(ch)
+    b = np.frombuffer(_digest_block(f"noise:{seed}", len(line)), np.uint8)
+    cp = np.frombuffer(line.encode("utf-32-le"), np.uint32)
+    noisy = (cp != 0x20) & (b % 100 < noise_rate_pct)
+    if not noisy.any():
+        return line
+    chars = list(line)
+    n_noise = len(NOISE_CHARS)
+    for i in np.nonzero(noisy)[0]:
+        chars[i] = NOISE_CHARS[b[i] % n_noise]
     return "".join(chars)
 
 
