@@ -19,6 +19,9 @@ from .textnorm import normalize_word, tokenize
 from .wordpool import PLAUSIBLE_CHARS, vocabulary
 
 _NON_LETTER = re.compile(r"[^a-z]+")
+# str.translate map deleting every plausible char: count-by-deletion at
+# C speed (len(text) - len(residue) == chars in the plausible set)
+_PLAUSIBLE_DEL = {ord(c): None for c in PLAUSIBLE_CHARS}
 
 
 def validate_text(text: str) -> bool:
@@ -32,7 +35,7 @@ def cer(text: str) -> float:
     if not text:
         return 0.0
     low = text.lower()
-    good = sum(1 for c in low if c in PLAUSIBLE_CHARS)
+    good = len(low) - len(low.translate(_PLAUSIBLE_DEL))
     return good / len(low)
 
 

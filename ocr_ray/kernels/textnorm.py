@@ -49,8 +49,11 @@ def stem(token: str) -> str:
     return t
 
 
+@lru_cache(maxsize=65536)
 def normalize_word(token: str) -> str:
-    """stem + diacritic fold (ocr_evaluation.py:19-21 semantics)."""
+    """stem + diacritic fold (ocr_evaluation.py:19-21 semantics).
+    Cached end to end: the NFKD fold is the hot half and tokens follow
+    a Zipf distribution."""
     return fold_diacritics(stem(token))
 
 
