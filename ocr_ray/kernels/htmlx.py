@@ -94,18 +94,92 @@ class _BlockCollector(HTMLParser):
         self._flush()
 
 
-def html_to_blocks(html: str, *, max_link_density: float = 0.5) -> list[str]:
+# ---------------------------------------------------------------------
+# fast scanner: one compiled regex walk driving the SAME collector
+# callbacks as the stdlib HTMLParser (kept below as the parity
+# reference — tests/test_property.py asserts scanner == HTMLParser on
+# the fixture corpus and generated inputs).  ~4x faster per span; the
+# stdlib parser's goahead loop dominated the extraction kernel profile.
+
+_MARKUP_RE = re.compile(
+    r"<!--.*?(?:-->|$)"                                  # comment
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"                        # CDATA section
+    r"|<![^>]*(?:>|$)"                                   # doctype/decl
+    r"|<\?[^>]*(?:>|$)"                                  # processing instr
+    r"|</([a-zA-Z][a-zA-Z0-9.\-:_]*)[^>]*(?:>|$)"        # end tag
+    r"|<([a-zA-Z][a-zA-Z0-9.\-:_]*)"                     # start tag name
+    r"((?:\"[^\"]*\"|'[^']*'|[^<>\"'])*)(>|$)",          # attrs + close
+    re.DOTALL,
+)
+_CDATA_CLOSE = {t: re.compile(rf"</\s*{t}", re.IGNORECASE)
+                for t in ("script", "style")}
+
+from html import unescape as _unescape
+
+
+def _scan(html: str, c: "_BlockCollector") -> None:
+    pos, n = 0, len(html)
+    search = _MARKUP_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            data = html[pos:]
+            c.handle_data(_unescape(data) if "&" in data else data)
+            return
+        if m.start() > pos:
+            data = html[pos:m.start()]
+            c.handle_data(_unescape(data) if "&" in data else data)
+        pos = m.end()
+        if pos == n:
+            # EOF-unterminated markup: HTMLParser flushes it as raw
+            # data on close() — mirror that exactly
+            g0 = m.group(0)
+            closer = ("-->" if g0.startswith("<!--")
+                      else "]]>" if g0.startswith("<![CDATA[") else ">")
+            if not g0.endswith(closer):
+                c.handle_data(_unescape(g0) if "&" in g0 else g0)
+                return
+        end_name, start_name, attrs, close = m.group(1, 2, 3, 4)
+        if end_name:
+            c.handle_endtag(end_name.lower())
+        elif start_name:
+            tag = start_name.lower()
+            c.handle_starttag(tag, ())
+            if attrs.rstrip().endswith("/"):
+                c.handle_endtag(tag)       # <x/> => startendtag
+            elif tag in _CDATA_CLOSE:
+                # script/style content is CDATA: no tags, no charrefs
+                mm = _CDATA_CLOSE[tag].search(html, pos)
+                if mm is None:
+                    return                  # unterminated: swallowed
+                c.handle_data(html[pos:mm.start()])
+                gt = html.find(">", mm.start())
+                c.handle_endtag(tag)
+                if gt == -1:
+                    return
+                pos = gt + 1
+        # comments / doctype / CDATA sections / PIs: no callbacks
+
+
+def html_to_blocks(html: str, *, max_link_density: float = 0.5,
+                   _engine: str = "fast") -> list[str]:
     """Parse HTML into reading-order main-content blocks.
 
-    Pure function; tolerant of malformed HTML (parser never raises).
-    Plain text (no tags) comes back as its own block sequence split on
-    blank runs — so the same code path serves non-HTML text spans.
+    Pure function; tolerant of malformed HTML (never raises).  Plain
+    text (no tags) comes back as its own block sequence — the same code
+    path serves non-HTML text spans.  ``_engine="stdlib"`` runs the
+    HTMLParser reference implementation (parity-tested against the fast
+    scanner).
     """
     parser = _BlockCollector()
     try:
-        parser.feed(html)
-        parser.close()
-    except Exception:  # stdlib parser is robust; belt and braces
+        if _engine == "fast":
+            _scan(html, parser)
+            parser._flush()
+        else:
+            parser.feed(html)
+            parser.close()
+    except Exception:  # collectors are robust; belt and braces
         pass
     kept = []
     for text, link_chars in parser.blocks:

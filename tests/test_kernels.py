@@ -210,3 +210,42 @@ class TestSpanSoftTimeout:
         _, meta = extract_span("media", "", mref,
                                PipelineConfig(span_soft_timeout_ms=0.0))
         assert not meta["retried"]
+
+
+class TestHtmlScannerParity:
+    """The fast regex scanner vs the stdlib-HTMLParser reference on the
+    hand-picked malformed/edge battery (fixture-corpus parity and
+    structured fuzz live in test_property.py)."""
+
+    BATTERY = [
+        "", "plain", "a < b and c > d", "<3 items>",
+        "<p>one</p><div>two</div>", "<p>broken", "text</p>more",
+        "<nav><p>menu</p></nav><p>body</p>",
+        "<script>var x = '<p>no</p>';</script><p>real</p>",
+        "<script>unterm...", "<style>p{color:red}</style><p>ok</p>",
+        "<!-- c <p>h</p> --><p>s</p>", "<!-- unterm",
+        "<br/><hr/><p>after</p>", "<a href='x>y'>link</a> tail",
+        "<P>UP</P>", "&amp; &lt;e&gt; &#65;", "<div attr='unterm",
+        "</div", "</div attr", "<div unterm", "y</p",
+        "<![CDATA[ <p>x</p> ]]><p>y</p>", "<![CDATA[ unterm",
+        "<!doctype x", "<?php unterm", "<!DOCTYPE html><p>doc</p>",
+        "<?pi ?><p>w</p>", "<ul><li>a<li>b</ul>", "<td>c<a>l</a></td>",
+        "tail &am", "<p>&amp unterm entity</p>",
+        "<p a='1' b=\"2\">q</p>", "<sCrIpT>x</ScRiPt><p>m</p>",
+        "<script >y</script ><p>n</p>",
+    ]
+
+    def test_battery_parity(self):
+        from ocr_ray.kernels.htmlx import html_to_blocks
+
+        for t in self.BATTERY:
+            assert (html_to_blocks(t, _engine="fast")
+                    == html_to_blocks(t, _engine="stdlib")), t
+
+    def test_documented_divergence_unterminated_comment(self):
+        # after an EOF-unterminated comment the scanner takes the HTML5
+        # reading (comment to EOF); stdlib re-parses trailing end tags
+        from ocr_ray.kernels.htmlx import html_to_blocks
+
+        t = "x<!-- a <p>b</p>"
+        assert html_to_blocks(t, _engine="fast") == [t]

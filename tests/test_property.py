@@ -66,6 +66,24 @@ class TestFilterSpans:
                 assert any(i in occupied for i in range(s, e))
 
 
+_TAGS = ["p", "div", "li", "h1", "td", "nav", "footer", "script", "style",
+         "a", "span", "br", "table", "ul", "blockquote"]
+_frag = st.deferred(lambda: st.one_of(
+    # free text excludes quote/angle chars: stdlib's recovery from
+    # malformed tags ("<a'<br/>", "<a<p>") silently swallows content in
+    # parser-specific ways, where the scanner treats the malformed tag
+    # as literal text — a documented, deliberate divergence.  Literal
+    # angle brackets in text ARE parity-covered by the static battery
+    # ("a < b and c > d", "<3 items>").
+    st.text(alphabet="abc 123 &amp; \n", max_size=20),
+    st.tuples(st.sampled_from(_TAGS), _frag).map(
+        lambda t: f"<{t[0]}>{t[1]}</{t[0]}>"),
+    st.sampled_from(["<br/>", "<!-- x -->", "<!DOCTYPE html>",
+                     "&lt;ent&gt;", "<P>case</P>"]),
+))
+_html_doc = st.lists(_frag, max_size=8).map("".join)
+
+
 class TestHtmlFuzz:
     @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",),
                                           max_codepoint=0x2FFF), max_size=400))
@@ -74,6 +92,21 @@ class TestHtmlFuzz:
         from ocr_ray.kernels.htmlx import html_to_blocks
 
         assert html_to_blocks(html) == html_to_blocks(html)
+
+    @given(_html_doc)
+    @settings(max_examples=200, deadline=None)
+    def test_fast_scanner_matches_stdlib_parser(self, html):
+        """The regex scanner must reproduce the HTMLParser reference on
+        structured HTML (nesting, case, charrefs, comments, voids,
+        script/style CDATA).  Known, documented divergence: after an
+        EOF-unterminated comment the scanner swallows everything to EOF
+        (the HTML5 reading) while stdlib re-parses trailing end tags —
+        excluded by construction here (generated docs terminate their
+        comments)."""
+        from ocr_ray.kernels.htmlx import html_to_blocks
+
+        assert (html_to_blocks(html, _engine="fast")
+                == html_to_blocks(html, _engine="stdlib"))
 
 
 class TestCleanerProperties:
