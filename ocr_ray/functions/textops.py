@@ -451,6 +451,48 @@ def semantic_keyword_hits(sf_dir: str):
                           concurrency=(1, 8), num_cpus=1)
 
 
+def degrade_payload(extracted_ds, level: int = 1):
+    """Payload-degradation ladder (M13 parity, ocr_worker.py:99-115
+    shorten_analysis/shorten_payload: on a 413 the reference first
+    replaces the full text with its summary, then — "for good" — drops
+    the highlight metadata entirely).
+
+    Columnar rendition over extracted (doc_id, spans, ...) rows:
+    * level 1 — every text-bearing span's text is replaced by its
+      extractive summary (text -> summary);
+    * level 2 — additionally the per-span payload is dropped to
+      metadata-only spans (text='', the ANALYSIS_META -> [] analog),
+      leaving just the span skeleton (kind, media_ref, offset).
+    Streaming map; emits a payload_chars column so the shrink is
+    observable/testable at each rung.
+    """
+    from ..kernels.summarize import summarize
+
+    def shorten(batch: pa.Table, level=level) -> pa.Table:
+        rows = []
+        for row in batch.select(["doc_id", "spans"]).to_pylist():
+            spans = []
+            for s in row["spans"]:
+                text = s["text"]
+                if text:
+                    text = "" if level >= 2 else summarize(text)
+                spans.append({"kind": s["kind"], "text": text,
+                              "media_ref": s["media_ref"],
+                              "offset": s["offset"]})
+            rows.append({
+                "doc_id": row["doc_id"],
+                "spans": spans,
+                "payload_chars": sum(len(s["text"]) for s in spans),
+            })
+        from ..schema import SPANS_TYPE
+        return pa.Table.from_pylist(rows, schema=pa.schema([
+            ("doc_id", pa.string()), ("spans", SPANS_TYPE),
+            ("payload_chars", pa.int64())]))
+
+    return extracted_ds.map_batches(shorten, batch_format="pyarrow",
+                                    batch_size=256)
+
+
 def doc_source_stats(sf_dir: str):
     """Per-source doc counts + char totals (second grouping key of the
     flat corpus)."""

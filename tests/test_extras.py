@@ -98,3 +98,28 @@ class TestPerfReport:
         assert rep["slowest_docs"][0]["proc_ms"] >= rep["slowest_docs"][-1]["proc_ms"]
         assert all(d["quality_mean"] >= 0 for d in rep["worst_quality_docs"])
         assert rep["mean_ms_per_span"] > 0
+
+
+class TestDegradePayload:
+    """M13 parity (shorten_analysis ladder, ocr_worker.py:99-115):
+    each rung strictly shrinks the payload; level 2 drops span text
+    entirely while keeping the span skeleton."""
+
+    def test_ladder_shrinks_payload(self, ray_session, golden_result):
+        import ray.data as rd
+
+        from ocr_ray.functions.textops import degrade_payload
+
+        extracted = rd.from_arrow(golden_result["extracted"])
+        full = sum(len(s["text"]) for r in
+                   golden_result["extracted"].to_pylist()
+                   for s in r["spans"])
+        l1 = degrade_payload(extracted, level=1).to_pandas()
+        l2 = degrade_payload(extracted, level=2).to_pandas()
+        assert 0 < l1["payload_chars"].sum() < full
+        assert l2["payload_chars"].sum() == 0
+        # skeleton preserved: same span counts and offsets per doc
+        base = {r["doc_id"]: [s["offset"] for s in r["spans"]]
+                for r in golden_result["extracted"].to_pylist()}
+        for _, row in l2.iterrows():
+            assert [s["offset"] for s in row["spans"]] == base[row["doc_id"]]
