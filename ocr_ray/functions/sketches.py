@@ -4,9 +4,16 @@ The canonical shape (ray guide "Aggregation at scale"): each batch emits
 ONE serialized sketch; a tiny second stage merges them.  Exact distinct
 counting shuffles every key; a sketch ships a few KB per batch total.
 
-Implemented: KMV (k-minimum-values) distinct-count estimator — fully
-deterministic (hash-based, no RNG), mergeable by union+truncate, with
-standard error ~ 1/sqrt(k-1).
+Implemented:
+* KMV (k-minimum-values) distinct-count estimator — deterministic
+  (hash-based, no RNG), mergeable by union+truncate, standard error
+  ~ 1/sqrt(k-1);
+* Misra-Gries heavy hitters — mergeable frequency summaries with the
+  classic guarantee: every item with true frequency > n/(k+1) survives,
+  and each reported count under-estimates by at most n/(k+1) — so a
+  final exact count of only the surviving candidates (a tiny semi-join)
+  yields exact heavy hitters without ever group-counting the full
+  keyspace.
 """
 
 from __future__ import annotations
@@ -66,3 +73,93 @@ def approx_distinct(ds, column: str, k: int = 1024):
                 for r in rows]
     est = kmv_estimate(kmv_merge(sketches, k), k)
     return pa.table({"approx_distinct": pa.array([round(est, 1)], pa.float64())})
+
+
+# ------------------------------------------------ Misra-Gries heavy hitters
+
+def mg_sketch(values, k: int = 16) -> dict:
+    """Misra-Gries summary of one batch: at most k counters."""
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+def mg_merge(a: dict, b: dict, k: int = 16) -> dict:
+    """Merge two MG summaries (Agarwal et al.: add, then subtract the
+    (k+1)-th largest count from all and drop non-positives)."""
+    out = dict(a)
+    for key, c in b.items():
+        out[key] = out.get(key, 0) + c
+    if len(out) > k:
+        cut = sorted(out.values(), reverse=True)[k]
+        out = {key: c - cut for key, c in out.items() if c - cut > 0}
+    return out
+
+
+def heavy_hitters(ds, column: str, k: int = 16):
+    """Distributed heavy hitters: per-batch MG summaries (a few dozen
+    rows each, never the keyspace), tree-merged, then candidates
+    verified with ONE exact filtered count — exact output for every
+    item with frequency > n/(k+1), guaranteed by the MG bound.
+
+    Returns pa.Table(value, n) sorted by n desc, value asc, restricted
+    to candidates whose exact count clears the n/(k+1) support.
+    """
+    import pyarrow.compute as pc
+
+    def per_batch(batch: pa.Table, column=column, k=k) -> pa.Table:
+        sk = mg_sketch(batch[column].to_pylist(), k)
+        return pa.table({
+            "key": pa.array([str(key) for key in sk], pa.string()),
+            "cnt": pa.array(list(sk.values()), pa.int64()),
+            "n": pa.array([batch.num_rows] * len(sk), pa.int64()),
+        })
+
+    rows = ds.map_batches(per_batch, batch_format="pyarrow",
+                          batch_size=65536).take_all()
+    # fold the summary rows (merging singleton summaries is equivalent;
+    # the MG merge bound composes)
+    merged: dict = {}
+    for r in rows:
+        merged = mg_merge(merged, {r["key"]: r["cnt"]}, k)
+    support = ds.count() // (k + 1)
+    candidates = sorted(merged)
+    if not candidates:
+        return pa.table({"value": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+
+    def count_candidates(batch: pa.Table, column=column,
+                         cand=tuple(candidates)) -> pa.Table:
+        vals = pa.array([str(v) for v in batch[column].to_pylist()],
+                        pa.string())
+        sel = pc.is_in(vals, value_set=pa.array(cand, pa.string()))
+        kept = pc.filter(vals, sel).to_pylist()
+        out: dict = {}
+        for v in kept:
+            out[v] = out.get(v, 0) + 1
+        return pa.table({"value": pa.array(list(out), pa.string()),
+                         "n": pa.array(list(out.values()), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    exact = (ds.map_batches(count_candidates, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("value").aggregate(Sum("n", alias_name="n"))
+             .take_all())
+    keep = sorted((r for r in exact if r["n"] > support),
+                  key=lambda r: (-r["n"], r["value"]))
+    return pa.table({"value": pa.array([r["value"] for r in keep],
+                                       pa.string()),
+                     "n": pa.array([r["n"] for r in keep], pa.int64())})

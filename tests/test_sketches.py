@@ -66,3 +66,34 @@ class TestSafeName:
 
     def test_truncation(self):
         assert len(safe_name("x" * 500)) == 120
+
+
+class TestHeavyHitters:
+    def test_mg_guarantee_on_skewed_stream(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import heavy_hitters
+
+        # 1000 rows: 'hot' x400, 'warm' x200, tail of 400 distinct
+        vals = (["hot"] * 400 + ["warm"] * 200
+                + [f"tail{i}" for i in range(400)])
+        # deterministic interleave so batches see mixed traffic
+        vals = [vals[i] for i in sorted(range(len(vals)),
+                                        key=lambda i: (i * 37) % 1000)]
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.string())}))
+        out = heavy_hitters(ds, "v", k=9).to_pylist()
+        got = {r["value"]: r["n"] for r in out}
+        # every item above n/(k+1) = 100 MUST be found with EXACT counts
+        assert got["hot"] == 400 and got["warm"] == 200
+        # nothing at/below the support threshold sneaks in
+        assert all(n > 100 for n in got.values())
+
+    def test_mg_merge_bound(self):
+        from ocr_ray.functions.sketches import mg_merge, mg_sketch
+
+        a = mg_sketch(["x"] * 50 + ["y"] * 30 + list("abcdefgh"), k=4)
+        b = mg_sketch(["x"] * 40 + ["z"] * 35 + list("ijklmnop"), k=4)
+        m = mg_merge(a, b, k=4)
+        assert len(m) <= 4
+        assert "x" in m  # 90 of 171 rows: must survive any k>=2 summary
