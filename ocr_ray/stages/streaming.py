@@ -69,6 +69,47 @@ class StreamingUserAggregator:
                         users[mask].tolist(), millis[mask].tolist()))
             ray.get(pending)  # backpressure: at most one in-flight wave
 
+    def feed_partitioned(self, events_ds, chunk_size: int = 8192):
+        """Distributed feed (round 2 — removes the driver funnel): the
+        stream is bucket-partitioned with ONE groupby, then each bucket
+        is replayed ts-ordered by its own feeder task pushing chunks to
+        its bucket actor.  Per-key order is preserved because a key
+        lives in exactly one bucket and one feeder; N feeders run
+        concurrently, so ingest throughput scales with buckets instead
+        of the driver's single iter_batches loop.  Memory per feeder is
+        one bucket's rows — the stated partitioning assumption (raise
+        n_buckets / salt hot key-spaces to bound it)."""
+        import numpy as np
+        import pyarrow as pa
+
+        actors = self.actors
+        nb = self.n_buckets
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            users = batch["user_id"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "bucket", pa.array(users % nb, pa.int64()))
+
+        def feed_group(group: pa.Table) -> pa.Table:
+            b = group["bucket"][0].as_py()
+            g = group.sort_by("ts")
+            users = g["user_id"].to_numpy(zero_copy_only=False)
+            millis = np.floor(g["value"].to_numpy(zero_copy_only=False)
+                              * 1000.0 + 0.5).astype("int64")
+            for lo in range(0, len(users), chunk_size):
+                hi = lo + chunk_size
+                # sequential per bucket: preserves ts order exactly
+                ray.get(actors[b].consume.remote(
+                    users[lo:hi].tolist(), millis[lo:hi].tolist()))
+            return pa.table({"bucket": pa.array([b], pa.int64()),
+                             "rows_fed": pa.array([group.num_rows],
+                                                  pa.int64())})
+
+        fed = (events_ds.map_batches(add_bucket, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(feed_group, batch_format="pyarrow"))
+        return fed.to_pandas()  # tiny: one row per bucket
+
     def result(self):
         """Merge final per-bucket state into (user_id, n_events,
         total_value) rows."""
@@ -97,14 +138,15 @@ class StreamingUserAggregator:
 def running_user_totals(sf_dir: str, n_buckets: int = 8):
     """Streaming incremental aggregation over events; the FINAL state is
     SQL-checkable (equals a plain groupby), the incremental snapshots are
-    the part a Dataset transform cannot express."""
-    import ray.data as rd
+    the part a Dataset transform cannot express.  Uses the distributed
+    per-bucket feed (round 2): no driver funnel in the ingest path."""
+    from ..functions._io import clean_read
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "value"])
+    ds = clean_read(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "value"])
     agg = StreamingUserAggregator(n_buckets=n_buckets)
     try:
-        agg.feed(ds)
+        agg.feed_partitioned(ds)
         return agg.result()
     finally:
         agg.shutdown()

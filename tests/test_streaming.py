@@ -55,3 +55,23 @@ def test_bucket_ownership_is_stable(ray_session):
         assert snaps[5 % 4]["counts"][5] == 3
     finally:
         agg.shutdown()
+
+
+class TestDistributedFeed:
+    def test_partitioned_feed_equals_driver_feed(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.stages.streaming import StreamingUserAggregator
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                             columns=["user_id", "ts", "value"])
+        a = StreamingUserAggregator(n_buckets=4)
+        b = StreamingUserAggregator(n_buckets=4)
+        try:
+            a.feed(ds)                  # driver funnel (reference path)
+            fed = b.feed_partitioned(ds)  # distributed per-bucket feed
+            assert fed["rows_fed"].sum() == ds.count()
+            assert a.result().equals(b.result())
+        finally:
+            a.shutdown()
+            b.shutdown()
