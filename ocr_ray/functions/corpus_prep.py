@@ -105,6 +105,101 @@ FROM (SELECT doc_id, t, unnest(range(0, n_chunks)) AS i FROM plan)
 """
 
 
+def chunk_dedup_stats(sf_dir: str, chunk_tokens: int = 128,
+                      overlap: int = 16):
+    """Chunk-level dedup accounting (training pipelines dedup at chunk
+    granularity too, not just whole documents): total chunks, distinct
+    chunk contents, and duplicate count — computed from the chunk md5s
+    with a partial-agg + tiny groupby, never shipping chunk text."""
+    from ray.data.aggregate import Sum
+
+    chunks = chunk_documents(sf_dir, chunk_tokens, overlap)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"chunk_md5": batch["chunk_md5"],
+                         "one": pa.array([1] * batch.num_rows, pa.int64())})
+
+    per_hash = (chunks.map_batches(partial, batch_format="pyarrow")
+                .groupby("chunk_md5").aggregate(Sum("one", alias_name="n")))
+
+    def collapse(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "total_chunks": pa.array([int(n.sum())], pa.int64()),
+            "distinct_chunks": pa.array([len(n)], pa.int64()),
+            "dup_chunks": pa.array([int((n - 1).sum())], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum as _S
+    agg = (per_hash.map_batches(collapse, batch_format="pyarrow")
+           .aggregate(_S("total_chunks", alias_name="total_chunks"),
+                      _S("distinct_chunks", alias_name="distinct_chunks"),
+                      _S("dup_chunks", alias_name="dup_chunks")))
+    return pa.table({k: pa.array([agg[k] or 0], pa.int64())
+                     for k in ("total_chunks", "distinct_chunks",
+                               "dup_chunks")})
+
+
+CHUNK_DEDUP_STATS_SQL = f"""
+WITH chunks AS ({CHUNK_DOCUMENTS_SQL.strip()})
+SELECT count(*) AS total_chunks,
+       count(DISTINCT chunk_md5) AS distinct_chunks,
+       count(*) - count(DISTINCT chunk_md5) AS dup_chunks
+FROM chunks
+"""
+
+
+# -------------------------------------------- C4-style quality filter
+
+def quality_filter_stats(sf_dir: str, min_chars: int = 200,
+                         max_chars: int = 20000,
+                         min_alpha_ratio: float = 0.5):
+    """Corpus-level quality filtering with per-rule drop accounting (the
+    C4-style pre-training filter, with the Cleaner's counter
+    discipline lifted to document granularity).  Rules, first match
+    wins: too_short (< min_chars), too_long (> max_chars), low_alpha
+    (alpha/len < threshold); survivors counted under 'kept'.  Exact SQL
+    oracle — the rule ORDER is observable through the counters."""
+    from ray.data.aggregate import Sum
+
+    from .relational import _gb
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas()
+        length = s.str.len()
+        alpha = s.str.count(r"[a-zA-Z]")
+        ratio = (alpha / length).where(length > 0, 0.0)
+        reason = np.where(length < min_chars, "too_short",
+                 np.where(length > max_chars, "too_long",
+                 np.where(ratio < min_alpha_ratio, "low_alpha", "kept")))
+        t = pa.table({"reason": pa.array(reason, pa.string()),
+                      "chars": pa.array(length.to_numpy(), pa.int64())})
+        return _gb(t, ["reason"], [("chars", "count"), ("chars", "sum")],
+                   ["n_docs", "sum_chars"])
+
+    return (ds.map_batches(classify, batch_format="pyarrow",
+                           batch_size=4096)
+            .groupby("reason").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                         Sum("sum_chars",
+                                             alias_name="sum_chars")))
+
+
+QUALITY_FILTER_SQL = """
+SELECT CASE WHEN length(text) < 200 THEN 'too_short'
+            WHEN length(text) > 20000 THEN 'too_long'
+            WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                            / CAST(length(text) AS DOUBLE) END) < 0.5
+              THEN 'low_alpha'
+            ELSE 'kept' END AS reason,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ BM25
 
 def bm25_keyword_scores(sf_dir: str, keywords=None,

@@ -60,6 +60,14 @@ class TestCorpusPrep:
         d3 = out[out.doc_id == 3].sort_values("chunk_id")
         assert list(d3["n_tokens"]) == [128, 17]  # 129-112 = 17 tail tokens
 
+    def test_chunk_dedup_stats_exact(self, ray_session):
+        from ocr_ray.functions import corpus_prep as cp
+        _check(cp.chunk_dedup_stats(SF), cp.CHUNK_DEDUP_STATS_SQL)
+
+    def test_quality_filter_stats_exact(self, ray_session):
+        from ocr_ray.functions import corpus_prep as cp
+        _check(cp.quality_filter_stats(SF), cp.QUALITY_FILTER_SQL)
+
     def test_bm25_scores_exact(self, ray_session):
         from ocr_ray.functions import corpus_prep as cp
         _check(cp.bm25_keyword_scores(SF), cp._bm25_sql())
