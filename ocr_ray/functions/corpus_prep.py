@@ -149,6 +149,84 @@ FROM chunks
 """
 
 
+def contamination_check(sf_dir: str, n_probe_docs: int = 3,
+                        window: int = 8):
+    """Benchmark decontamination: which corpus docs share any ``window``-
+    token n-gram with a probe (benchmark) set.  The probe here is the
+    first ``n_probe_docs`` docs of the corpus (deterministic stand-in
+    for an external eval set), whose window hashes are broadcast as a
+    set; each doc is then scanned vectorized for overlapping windows —
+    the standard train/eval overlap sweep of a pretraining pipeline.
+    Returns (doc_id, n_hits) for contaminated docs OTHER than the
+    probes themselves.  Exact SQL oracle via the same md5 windows.
+    """
+    import pyarrow.parquet as pq
+
+    # probe = n smallest doc_ids (matches the oracle's ORDER BY): read
+    # the id column only, then a pushdown read of just those texts
+    ids = sorted(pq.read_table(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])["doc_id"].to_pylist())
+    probe_ids = set(ids[:n_probe_docs])
+    probe_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "in", sorted(probe_ids))])
+
+    def win_hashes(text: str) -> list[str]:
+        toks = _tokens(text)
+        if len(toks) < window:
+            return []
+        return [hashlib.md5(" ".join(toks[i:i + window]).encode())
+                .hexdigest() for i in range(len(toks) - window + 1)]
+
+    probe_set = frozenset(h for t in probe_tbl["text"].to_pylist()
+                          for h in win_hashes(t))
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def scan(batch: pa.Table, probe_set=probe_set,
+             probe_ids=frozenset(probe_ids)) -> pa.Table:
+        out_id, out_n = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            if doc_id in probe_ids:
+                continue
+            hits = sum(h in probe_set for h in win_hashes(text))
+            if hits:
+                out_id.append(doc_id)
+                out_n.append(hits)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "n_hits": pa.array(out_n, pa.int64())})
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=2048)
+
+
+CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text, {_SQL_WS})) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text, {_SQL_WS}),
+                                      '[ \t\n\r\f\v]+') END AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS w
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+        FROM toks)
+  WHERE len(t) >= 8
+),
+probe AS (
+  SELECT DISTINCT w FROM wins
+  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)
+)
+SELECT wins.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM wins JOIN probe ON wins.w = probe.w
+WHERE wins.doc_id NOT IN (SELECT doc_id FROM documents
+                          ORDER BY doc_id LIMIT 3)
+GROUP BY wins.doc_id
+"""
+
+
 # -------------------------------------------- C4-style quality filter
 
 def quality_filter_stats(sf_dir: str, min_chars: int = 200,

@@ -68,6 +68,32 @@ class TestCorpusPrep:
         from ocr_ray.functions import corpus_prep as cp
         _check(cp.quality_filter_stats(SF), cp.QUALITY_FILTER_SQL)
 
+    def test_contamination_check_exact(self, ray_session):
+        from ocr_ray.functions import corpus_prep as cp
+        _check(cp.contamination_check(SF), cp.CONTAMINATION_SQL)
+
+    def test_contamination_finds_planted_overlap(self, ray_session,
+                                                 tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions import corpus_prep as cp
+
+        bench = ("alpha beta gamma delta epsilon zeta eta theta "
+                 "iota kappa lambda mu")
+        rows = [
+            {"doc_id": 1, "text": bench},                    # probe
+            {"doc_id": 2, "text": "clean text " * 10},       # probe
+            {"doc_id": 3, "text": "more clean words " * 8},  # probe
+            {"doc_id": 10, "text": f"prefix {bench} suffix"},   # leaked
+            {"doc_id": 11, "text": "unrelated corpus doc " * 6},
+        ]
+        pq.write_table(pa.Table.from_pylist(rows),
+                       str(tmp_path / "documents.parquet"))
+        out = cp.contamination_check(str(tmp_path)).to_pandas()
+        assert set(out["doc_id"]) == {10}
+        assert int(out["n_hits"].iloc[0]) >= 1
+
     def test_bm25_scores_exact(self, ray_session):
         from ocr_ray.functions import corpus_prep as cp
         _check(cp.bm25_keyword_scores(SF), cp._bm25_sql())
