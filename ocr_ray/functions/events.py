@@ -137,6 +137,10 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: sort the group by ts, a new session
     starts when the gap to the previous event exceeds ``gap_minutes``.
     The one shuffle is groupby(user_id); within-group logic is pandas.
+    Partitioning assumption (custom-operator rule): one user's events
+    fit in one group — session boundaries need the full per-key history,
+    so hot keys are bounded by retention/windowing upstream, not salting
+    (salting would split sessions at salt boundaries).
     """
     ds = _read(sf_dir, ["user_id", "ts"])
 
