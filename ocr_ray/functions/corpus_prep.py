@@ -425,6 +425,70 @@ GROUP BY lang
 """
 
 
+_BIGRAM_ALPHABET = "abcdefghijklmnopqrstuvwxyz "   # 27 symbols
+_BIGRAM_DIM = len(_BIGRAM_ALPHABET)
+_BIGRAM_INDEX = {c: i for i, c in enumerate(_BIGRAM_ALPHABET)}
+
+
+def _bigram_ids(text: str) -> np.ndarray:
+    """Map text to alphabet ids, dropping out-of-alphabet chars (the
+    model scores the letter/space skeleton, like a char-LM filter)."""
+    low = text.lower()
+    return np.fromiter((_BIGRAM_INDEX[c] for c in low if c in _BIGRAM_INDEX),
+                       dtype=np.int64)
+
+
+def char_bigram_logprob_scores(sf_dir: str, add_k: float = 0.5):
+    """Perplexity-proxy quality score: average log-probability of each
+    document's character bigrams under a corpus-trained bigram model —
+    the classic cheap LM-based quality signal of pretraining pipelines
+    (gibberish/OCR noise scores far below fluent text).
+
+    Two passes, both streaming:
+    1. train — per-batch 27x27 bigram-count matrices, summed by a
+       global aggregate (the model is a fixed few-KB array regardless
+       of corpus size);
+    2. score — the smoothed log-prob table is broadcast; each doc's
+       mean bigram log-prob is one vectorized lookup.
+    Deterministic; oracle = pure-python reimplementation in pytest
+    (rows-only shape: a trained model is not SQL-expressible).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def count_bigrams(batch: pa.Table) -> pa.Table:
+        m = np.zeros((_BIGRAM_DIM, _BIGRAM_DIM), dtype=np.int64)
+        for text in batch["text"].to_pylist():
+            ids = _bigram_ids(text)
+            if len(ids) >= 2:
+                np.add.at(m, (ids[:-1], ids[1:]), 1)
+        return pa.table({"counts": pa.array([m.ravel().tolist()],
+                                            pa.list_(pa.int64()))})
+
+    rows = ds.map_batches(count_bigrams, batch_format="pyarrow",
+                          batch_size=4096).take_all()
+    counts = np.zeros(_BIGRAM_DIM * _BIGRAM_DIM, dtype=np.int64)
+    for r in rows:
+        counts += np.asarray(r["counts"], dtype=np.int64)
+    m = counts.reshape(_BIGRAM_DIM, _BIGRAM_DIM).astype(np.float64)
+    logp = np.log((m + add_k) / (m.sum(axis=1, keepdims=True)
+                                 + add_k * _BIGRAM_DIM))
+
+    def score(batch: pa.Table, logp=logp) -> pa.Table:
+        out = []
+        for text in batch["text"].to_pylist():
+            ids = _bigram_ids(text)
+            if len(ids) < 2:
+                out.append(0.0)
+                continue
+            s = float(logp[ids[:-1], ids[1:]].mean())
+            out.append(math.floor(s * 1e6 + 0.5) / 1e6)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "avg_logprob": pa.array(out, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
 # ------------------------------------------------- per-group quantiles
 
 def lang_char_quantiles(sf_dir: str):

@@ -105,3 +105,54 @@ class TestCorpusPrep:
     def test_lang_char_quantiles_exact(self, ray_session):
         from ocr_ray.functions import corpus_prep as cp
         _check(cp.lang_char_quantiles(SF), cp.LANG_CHAR_QUANTILES_SQL)
+
+
+class TestBigramScores:
+    def test_matches_pure_python_oracle(self, ray_session):
+        import math
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions.corpus_prep import (
+            _BIGRAM_DIM,
+            _bigram_ids,
+            char_bigram_logprob_scores,
+        )
+
+        tbl = pq.read_table(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text"])
+        m = np.zeros((_BIGRAM_DIM, _BIGRAM_DIM), dtype=np.float64)
+        for t in tbl["text"].to_pylist():
+            ids = _bigram_ids(t)
+            if len(ids) >= 2:
+                np.add.at(m, (ids[:-1], ids[1:]), 1)
+        logp = np.log((m + 0.5) / (m.sum(axis=1, keepdims=True)
+                                   + 0.5 * _BIGRAM_DIM))
+        want = {}
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+            ids = _bigram_ids(t)
+            s = (float(logp[ids[:-1], ids[1:]].mean())
+                 if len(ids) >= 2 else 0.0)
+            want[d] = math.floor(s * 1e6 + 0.5) / 1e6
+
+        got = {r["doc_id"]: r["avg_logprob"]
+               for r in char_bigram_logprob_scores(SF).take_all()}
+        assert got == want
+
+    def test_gibberish_scores_below_fluent(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions.corpus_prep import char_bigram_logprob_scores
+
+        fluent = ("the quick brown fox jumps over the lazy dog and then "
+                  "the dog sleeps in the warm sun near the old barn") * 3
+        noise = "xqzj vwkx qjzx wvqk zzxj qkwv jxqz kvwx " * 8
+        rows = [{"doc_id": i, "text": fluent} for i in range(1, 9)]
+        rows.append({"doc_id": 9, "text": noise})
+        pq.write_table(pa.Table.from_pylist(rows),
+                       str(tmp_path / "documents.parquet"))
+        got = {r["doc_id"]: r["avg_logprob"] for r in
+               char_bigram_logprob_scores(str(tmp_path)).take_all()}
+        assert got[9] < got[1]  # gibberish well below fluent text
