@@ -1,0 +1,149 @@
+"""End-to-end training-corpus preparation pipeline.
+
+Composes the corpus-prep operator family into the standard pretraining
+data flow, every stage a streaming Ray Data transform:
+
+    quality filter (C4-style rules)
+      -> dedup (exact + minhash-LSH near-dup survivor selection)
+      -> decontamination (benchmark n-gram overlap)
+      -> chunking (overlapping token windows)
+      -> partitioned parquet write + manifest
+
+Each stage's drop accounting is carried into the returned manifest
+(the Cleaner counter discipline at corpus scale), so the provenance of
+every removed document is auditable: how many fell to each quality
+rule, to dedup, to contamination — and how many chunks the survivors
+yielded.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
+                   n_probe_docs: int = 3, chunk_tokens: int = 128,
+                   overlap: int = 16, min_chars: int = 200,
+                   max_chars: int = 20000,
+                   min_alpha_ratio: float = 0.5) -> dict:
+    """Run the full preparation flow; returns the manifest dict.
+
+    Output layout: ``{out_dir}/chunks/`` (doc_id, chunk_id, n_tokens,
+    chunk_md5, text) partitioned parquet; ``{out_dir}/manifest.json``.
+    The id-set stages (filter/dedup/decontaminate) exchange only doc_id
+    sets and hashes — document text streams from storage exactly twice
+    (once for scoring/hashing, once for the surviving chunk write).
+    """
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from ..functions._io import clean_read
+    from ..functions.corpus_prep import _tokens, contamination_check
+    from ..functions.dedup import _num_partitions, dedup_survivors
+    from ..functions.textops import _ASCII_WS  # noqa: F401 (doc parity)
+
+    manifest: dict = {"input": sf_dir}
+
+    # -- stage 1: quality filter (vectorized classify, id set kept) -----
+    docs = clean_read(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    n_input = docs.count()
+
+    def classify(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas()
+        length = s.str.len()
+        alpha = s.str.count(r"[a-zA-Z]")
+        ratio = (alpha / length).where(length > 0, 0.0)
+        import numpy as np
+        reason = np.where(length < min_chars, "too_short",
+                 np.where(length > max_chars, "too_long",
+                 np.where(ratio < min_alpha_ratio, "low_alpha", "kept")))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "reason": pa.array(reason, pa.string())})
+
+    verdicts = docs.map_batches(classify, batch_format="pyarrow",
+                                batch_size=4096).materialize()
+    from ray.data.aggregate import Count
+    drop_counts = {r["reason"]: r["n"] for r in
+                   verdicts.groupby("reason")
+                   .aggregate(Count(alias_name="n")).take_all()}
+    manifest["quality_filter"] = drop_counts
+    quality_ok = verdicts.filter(expr="reason == 'kept'") \
+        .select_columns(["doc_id"])
+
+    # -- stage 2: dedup survivors (exact ∪ near) ------------------------
+    survivors = dedup_survivors(sf_dir, near=near_dedup)
+    n_before_dedup = drop_counts.get("kept", 0)
+
+    # -- stage 3: decontamination ---------------------------------------
+    contaminated = contamination_check(sf_dir, n_probe_docs=n_probe_docs) \
+        .select_columns(["doc_id"])
+
+    # id-set algebra as anti/semi joins (hash-partitioned; only ids move)
+    nparts = _num_partitions(n_input)
+    keep = (quality_ok
+            .join(survivors.select_columns(["doc_id"]), "left_semi",
+                  num_partitions=nparts, on=("doc_id",))
+            .join(contaminated, "left_anti",
+                  num_partitions=nparts, on=("doc_id",))
+            .repartition(max(2, nparts // 2))  # drop schema-less empties
+            .materialize())
+    n_keep = keep.count()
+    manifest["dedup_removed"] = int(
+        n_before_dedup - quality_ok.join(
+            survivors.select_columns(["doc_id"]), "left_semi",
+            num_partitions=nparts, on=("doc_id",)).count())
+    manifest["kept_docs"] = int(n_keep)
+
+    # -- stage 4: chunk the surviving docs and write --------------------
+    kept_docs = docs.join(keep, "left_semi", num_partitions=nparts,
+                          on=("doc_id",))
+
+    import hashlib
+    import math
+
+    step = chunk_tokens - overlap
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "chunk_id": [], "n_tokens": [],
+                "chunk_md5": [], "text": []}
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            toks = _tokens(text)
+            n = len(toks)
+            n_chunks = 1 if n <= chunk_tokens else (
+                1 + math.ceil((n - chunk_tokens) / step))
+            for i in range(n_chunks):
+                w = toks[i * step: i * step + chunk_tokens]
+                joined = " ".join(w)
+                rows["doc_id"].append(doc_id)
+                rows["chunk_id"].append(i)
+                rows["n_tokens"].append(len(w))
+                rows["chunk_md5"].append(
+                    hashlib.md5(joined.encode()).hexdigest())
+                rows["text"].append(joined)
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "chunk_id": pa.array(rows["chunk_id"], pa.int64()),
+            "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+            "chunk_md5": pa.array(rows["chunk_md5"], pa.string()),
+            "text": pa.array(rows["text"], pa.string()),
+        })
+
+    chunks = kept_docs.map_batches(chunk, batch_format="pyarrow",
+                                   batch_size=1024)
+    shutil.rmtree(f"{out_dir}/chunks", ignore_errors=True)
+    os.makedirs(f"{out_dir}/chunks", exist_ok=True)
+    chunks.write_parquet(f"{out_dir}/chunks")
+
+    import pyarrow.dataset as pads
+    frag = pads.dataset(f"{out_dir}/chunks")
+    manifest["n_chunks"] = frag.count_rows() if frag.files else 0
+    manifest["input_docs"] = int(n_input)
+    with open(f"{out_dir}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest

@@ -1,0 +1,71 @@
+"""End-to-end training-corpus preparation: filter -> dedup ->
+decontaminate -> chunk, with an auditable manifest."""
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def prep_corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("prep")
+
+    def prose(seed: str) -> str:
+        # distinct fluent text per doc (no cross-doc near-dup shingles)
+        words = [f"{seed}{i} word{(i * 7) % 13} item{(i * 11) % 17}"
+                 for i in range(40)]
+        return " ".join(words)
+
+    bench = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    rows = [
+        # three probe docs (smallest ids) for decontamination
+        {"doc_id": 1, "text": bench + " " + prose("pa")},
+        {"doc_id": 2, "text": "probe two " + prose("pb")},
+        {"doc_id": 3, "text": "probe three " + prose("pc")},
+        # clean survivors
+        {"doc_id": 10, "text": prose("sa") + " unique tail ten"},
+        {"doc_id": 11, "text": prose("sb") + " unique tail eleven"},
+        # exact duplicate pair: only min id survives
+        {"doc_id": 20, "text": prose("dup") + " duplicated body"},
+        {"doc_id": 21, "text": prose("dup") + " duplicated body"},
+        # contaminated: contains a full benchmark 8-gram
+        {"doc_id": 30, "text": prose("cx") + " " + bench},
+        # quality rejects
+        {"doc_id": 40, "text": "too short"},
+        {"doc_id": 41, "text": "1234 5678 90!! @@ ## $$ %% ^^ && ** " * 12},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(d / "documents.parquet"))
+    return str(d)
+
+
+class TestPrepareCorpus:
+    def test_full_flow_and_manifest(self, ray_session, prep_corpus_dir,
+                                    tmp_path):
+        from ocr_ray.pipelines.corpus_pipeline import prepare_corpus
+
+        out = str(tmp_path / "out")
+        m = prepare_corpus(prep_corpus_dir, out)
+        assert m["input_docs"] == 10
+        assert m["quality_filter"]["too_short"] == 1
+        assert m["quality_filter"]["low_alpha"] == 1
+        # doc 21 lost to dedup (exact dup of 20); doc 30 to contamination
+        assert m["dedup_removed"] >= 1
+        chunks = pads.dataset(f"{out}/chunks").to_table()
+        kept_ids = set(chunks["doc_id"].to_pylist())
+        assert 21 not in kept_ids          # dedup loser gone
+        assert 30 not in kept_ids          # contaminated gone
+        assert 40 not in kept_ids and 41 not in kept_ids
+        assert {10, 11, 20} <= kept_ids    # survivors chunked
+        assert m["n_chunks"] == chunks.num_rows > 0
+        # chunk content integrity: md5 matches text
+        import hashlib
+        for r in chunks.to_pylist()[:20]:
+            assert (hashlib.md5(r["text"].encode()).hexdigest()
+                    == r["chunk_md5"])
+        # manifest file written
+        import json
+        disk = json.load(open(f"{out}/manifest.json"))
+        assert disk["kept_docs"] == m["kept_docs"]
