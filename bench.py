@@ -124,6 +124,14 @@ def run_queries() -> dict:
         approx = set(results["knn_ivf"]["vec_id"])
         times["knn_ivf_recall_at_10"] = round(
             len(exact & approx) / max(1, len(exact)), 3)
+    # end-to-end corpus preparation (filter->dedup->decontaminate->chunk)
+    from ocr_ray.pipelines.corpus_pipeline import prepare_corpus
+
+    t0 = time.time()
+    m = prepare_corpus(SF_DIR, "/tmp/ocr_ray_bench_prep")
+    times["prepare_corpus"] = round(time.time() - t0, 2)
+    times["prepare_corpus_kept_docs"] = m["kept_docs"]
+    times["prepare_corpus_chunks"] = m["n_chunks"]
     return times
 
 

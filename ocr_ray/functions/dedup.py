@@ -609,10 +609,12 @@ def dedup_survivors(sf_dir: str, near: bool = False):
     docs = clean_read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     if losers.num_rows == 0:
         return docs
-    return docs.join(rd.from_arrow(losers.select(["doc_id"])),
-                     "left_anti",
-                     num_partitions=_num_partitions(docs.count()),
-                     on=("doc_id",))
+    nparts = _num_partitions(docs.count())
+    return (docs.join(rd.from_arrow(losers.select(["doc_id"])),
+                      "left_anti", num_partitions=nparts, on=("doc_id",))
+            # drop the join's schema-less empty partition blocks so the
+            # result composes into further joins (see module docstring)
+            .repartition(max(2, nparts // 2)))
 
 
 DEDUP_SURVIVORS_SQL = """

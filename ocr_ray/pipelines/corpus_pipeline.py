@@ -81,16 +81,20 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
 
     # -- stage 3: decontamination ---------------------------------------
     contaminated = contamination_check(sf_dir, n_probe_docs=n_probe_docs) \
-        .select_columns(["doc_id"])
+        .select_columns(["doc_id"]).materialize()
 
     # id-set algebra as anti/semi joins (hash-partitioned; only ids move)
     nparts = _num_partitions(n_input)
-    keep = (quality_ok
-            .join(survivors.select_columns(["doc_id"]), "left_semi",
-                  num_partitions=nparts, on=("doc_id",))
-            .join(contaminated, "left_anti",
-                  num_partitions=nparts, on=("doc_id",))
-            .repartition(max(2, nparts // 2))  # drop schema-less empties
+    keep = quality_ok.join(survivors.select_columns(["doc_id"]),
+                           "left_semi", num_partitions=nparts,
+                           on=("doc_id",))
+    if contaminated.count() > 0:
+        # joining against an entirely-empty side makes Ray's hash
+        # shuffle build schema-less partitions that break Acero — skip
+        # the anti join when there is nothing to subtract
+        keep = keep.join(contaminated, "left_anti",
+                         num_partitions=nparts, on=("doc_id",))
+    keep = (keep.repartition(max(2, nparts // 2))  # drop empty blocks
             .materialize())
     n_keep = keep.count()
     manifest["dedup_removed"] = int(
