@@ -109,15 +109,19 @@ def run_queries() -> dict:
     qs = entry.queries()
     times = {}
     results = {}
+    # one failing query must not lose the whole bench record
     for name in BENCH_QUERIES:
         t0 = time.time()
-        res = qs[name](SF_DIR)
-        if isinstance(res, ray.data.Dataset):
-            res = res.to_pandas()
-        elif isinstance(res, pa.Table):
-            res = res.to_pandas()
-        times[name] = round(time.time() - t0, 2)
-        results[name] = res
+        try:
+            res = qs[name](SF_DIR)
+            if isinstance(res, ray.data.Dataset):
+                res = res.to_pandas()
+            elif isinstance(res, pa.Table):
+                res = res.to_pandas()
+            times[name] = round(time.time() - t0, 2)
+            results[name] = res
+        except Exception as e:  # pragma: no cover - defensive
+            times[name] = f"error: {type(e).__name__}"
     # IVF quality: recall@10 of the pruned-read index vs exact brute force
     if "knn_bruteforce" in results and "knn_ivf" in results:
         exact = set(results["knn_bruteforce"]["vec_id"])
@@ -125,13 +129,16 @@ def run_queries() -> dict:
         times["knn_ivf_recall_at_10"] = round(
             len(exact & approx) / max(1, len(exact)), 3)
     # end-to-end corpus preparation (filter->dedup->decontaminate->chunk)
-    from ocr_ray.pipelines.corpus_pipeline import prepare_corpus
+    try:
+        from ocr_ray.pipelines.corpus_pipeline import prepare_corpus
 
-    t0 = time.time()
-    m = prepare_corpus(SF_DIR, "/tmp/ocr_ray_bench_prep")
-    times["prepare_corpus"] = round(time.time() - t0, 2)
-    times["prepare_corpus_kept_docs"] = m["kept_docs"]
-    times["prepare_corpus_chunks"] = m["n_chunks"]
+        t0 = time.time()
+        m = prepare_corpus(SF_DIR, "/tmp/ocr_ray_bench_prep")
+        times["prepare_corpus"] = round(time.time() - t0, 2)
+        times["prepare_corpus_kept_docs"] = m["kept_docs"]
+        times["prepare_corpus_chunks"] = m["n_chunks"]
+    except Exception as e:  # pragma: no cover - defensive
+        times["prepare_corpus"] = f"error: {type(e).__name__}"
     return times
 
 
