@@ -5,9 +5,10 @@
 * ``simhash_pairs``      — 64-bit simhash, 4x16-bit bands (any doc pair
   within Hamming distance 3 shares >= 1 exact band); the 8-byte signature
   rides inside the band rows so verification is exact and fully in-bucket.
-* ``embedding_dup_pairs`` — random-hyperplane LSH signatures over the
-  embedding column; each vector lands in exactly ONE bucket, so the
-  vector itself rides along at 1x cost and cosine verify is in-bucket.
+* ``embedding_dup_pairs`` — banded multi-table random-hyperplane LSH
+  over the embedding column (L tables x b planes, ≈0.99 recall at the
+  default cos 0.95); the vector rides into each table's bucket and
+  cosine verify is exact and in-bucket.
 
 Scale design (round 2 — replaces the round-1 driver-side verify):
 * features are computed ONCE in the map stage and live in DISTRIBUTED
@@ -22,10 +23,14 @@ Scale design (round 2 — replaces the round-1 driver-side verify):
   chance-collision hub severed true member-member pairs); larger
   buckets use hub-verify-and-REHUB: members that fail verification
   against the current hub are re-hubbed on their own smallest member,
-  so a bad hub can no longer sever real duplicate pairs.  Residual
-  docs after _MAX_HUBS rounds are dropped from that bucket (they are
-  mutually dissimilar chance colliders; other bands can still pair
-  them).
+  so a bad hub no longer severs duplicate COMPONENTS.  Contract above
+  the cap (be precise — this is weaker than all-pairs): only
+  hub->member pairs are emitted, member-member pairs within one hub
+  round are suppressed, and docs still residual after _MAX_HUBS rehub
+  rounds are dropped from that bucket.  Components still link
+  correctly for clustering (every verified member attaches to its
+  hub), but PAIR-level recall inside oversized buckets is not
+  complete; other bands can still surface the suppressed pairs.
 
 All deterministic (hash-seeded, no RNG state).
 """
@@ -343,17 +348,28 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 # ------------------------------------------------------------- embeddings
 
 def embedding_dup_pairs(sf_dir: str, cosine_threshold: float = 0.95,
-                        n_planes: int = 12):
-    """Embedding near-dup via random-hyperplane LSH + cosine verify.
+                        n_tables: int = 6, planes_per_table: int = 6):
+    """Embedding near-dup via BANDED multi-table hyperplane LSH + exact
+    cosine verify.
 
-    Each vector lands in exactly ONE sig bucket, so the embedding rides
-    into the bucket group at 1x cost and cosine verification is exact
-    and fully in-bucket — no driver-side vector dict (round-1 defect).
-    Hyperplane count/dim are derived from the first batch's dim.
+    Round-2 defect (VERDICT r2 #1): a single 12-plane bucket gives
+    P(collision) = (1-θ/π)^12 ≈ 0.28 at cos 0.95 — ~72% of true pairs
+    were silently missed.  Now each vector lands in ``n_tables``
+    independent buckets of ``planes_per_table`` planes each, so recall
+    at cos c is 1-(1-p^b)^L with p = 1-arccos(c)/π: the 6x6 default
+    gives ≈0.99 at cos 0.95 (measured in bench as
+    ``embedding_dup_recall``).  The vector rides into each bucket group
+    (L-fold replication of the embedding column — the standard LSH
+    space/recall trade), verification stays exact and fully in-bucket,
+    and cross-table duplicate pairs are collapsed by a (vec_a, vec_b)
+    groupby.  No driver-side vector dict at any stage.
     """
     import ray.data as rd
+    from ray.data.aggregate import Max
 
     from ._io import clean_read
+
+    n_planes = n_tables * planes_per_table
 
     ds = clean_read(f"{sf_dir}/embeddings.parquet",
                     columns=["vec_id", "embedding"])
@@ -369,14 +385,21 @@ def embedding_dup_pairs(sf_dir: str, cosine_threshold: float = 0.95,
         flat = batch["embedding"].combine_chunks()
         if isinstance(flat, pa.ChunkedArray):
             flat = pa.concat_arrays(flat.chunks)
+        n = batch.num_rows
         dim = len(flat[0])
         m = flat.flatten().to_numpy(zero_copy_only=False).reshape(
             -1, dim).astype(np.float64)
-        bits = (m @ planes_for(dim).T) > 0
-        sig = (bits * (1 << np.arange(n_planes))).sum(axis=1)
-        return pa.table({"sig": pa.array(sig, pa.int64()),
-                         "vec_id": batch["vec_id"],
-                         "embedding": batch["embedding"]})
+        bits = (m @ planes_for(dim).T) > 0        # (n, L*b)
+        weights = 1 << np.arange(planes_per_table)
+        # per-table bucket ints: (n, L)
+        sig = (bits.reshape(n, n_tables, planes_per_table)
+               * weights[None, None, :]).sum(axis=2)
+        tables = np.repeat(np.arange(n_tables)[None, :], n, axis=0)
+        idx = np.repeat(np.arange(n), n_tables)
+        return pa.table({"table_id": pa.array(tables.ravel(), pa.int64()),
+                         "sig": pa.array(sig.ravel(), pa.int64()),
+                         "vec_id": batch["vec_id"].take(pa.array(idx)),
+                         "embedding": batch["embedding"].take(pa.array(idx))})
 
     out_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
                             ("cosine", pa.float64())])
@@ -412,8 +435,12 @@ def embedding_dup_pairs(sf_dir: str, cosine_threshold: float = 0.95,
         return pa.Table.from_pylist(rows, schema=out_schema)
 
     return (ds.map_batches(to_sig, batch_format="pyarrow")
-            .groupby("sig")
-            .map_groups(bucket_verified_pairs, batch_format="pyarrow"))
+            .groupby(["table_id", "sig"])
+            .map_groups(bucket_verified_pairs, batch_format="pyarrow")
+            # the same true pair surfaces in up to n_tables buckets;
+            # collapse to one row (cosine identical in every copy)
+            .groupby(["vec_a", "vec_b"])
+            .aggregate(Max("cosine", alias_name="cosine")))
 
 
 # ---------------------------------------------------- exact / brute force
