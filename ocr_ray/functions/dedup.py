@@ -55,13 +55,7 @@ _ALL_PAIRS_CAP = 64   # buckets up to this size emit/verify every pair
 _MAX_HUBS = 16        # rehub rounds for oversized buckets
 
 
-def _num_partitions(n_rows: int = 0, rows_per_part: int = 100_000) -> int:
-    """Join/shuffle partition count sized to the DATA: every hash-shuffle
-    partition costs an aggregator actor (~100ms startup), so tiny inputs
-    must not fan out to cpu-count partitions; large inputs scale the
-    count linearly (bounded)."""
-    return int(max(2, min(256, (n_rows + rows_per_part - 1)
-                          // rows_per_part)))
+from ._part import nparts_for as _num_partitions  # shared sizing rule
 
 
 def _with_schema(schema: pa.Schema):
@@ -445,14 +439,18 @@ def embedding_dup_pairs(sf_dir: str, cosine_threshold: float = 0.95,
 
 # ---------------------------------------------------- exact / brute force
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
-    """Exact all-candidates n-gram Jaccard — the oracle-checkable
-    brute-force version of minhash_lsh_pairs, restricted to docs sharing
-    their exact md5 prefix bucket to bound the pair count.  For the SQL
-    gate the useful invariant is: every exact-duplicate text pair has
-    jaccard 1.0; the oracle enumerates md5-equal pairs."""
-    import ray.data as rd
+_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("jaccard", pa.float64())])
 
+
+def ngram_jaccard_pairs_ds(sf_dir: str, threshold: float = 0.8):
+    """Exact duplicate-pair Dataset (the operator pipelines compose).
+
+    Brute-force analog of minhash_lsh_pairs, restricted to docs sharing
+    their exact md5 bucket to bound the pair count.  Stays a DATASET end
+    to end: at 100 TB with 30-50% dup rates the pair list is billions of
+    rows — it must never funnel through the driver (round-2 VERDICT #2).
+    """
     from ._io import clean_read
 
     ds = clean_read(f"{sf_dir}/documents.parquet",
@@ -469,17 +467,21 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
         ids = sorted(group["doc_id"].to_pylist())
         pairs = [{"doc_a": x, "doc_b": y, "jaccard": 1.0}
                  for i, x in enumerate(ids) for y in ids[i + 1:]]
-        return pa.Table.from_pylist(pairs, schema=pa.schema([
-            ("doc_a", pa.int64()), ("doc_b", pa.int64()),
-            ("jaccard", pa.float64())]))
+        return pa.Table.from_pylist(pairs, schema=_PAIR_SCHEMA)
 
-    out = (ds.map_batches(add_hash, batch_format="pyarrow")
-           .groupby("text_md5").map_groups(dup_pairs, batch_format="pyarrow"))
-    # materialize the (tiny) pair list as an Arrow table so an EMPTY result
-    # still carries its schema through the driver's pandas conversion
-    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                        ("jaccard", pa.float64())])
-    return pa.Table.from_pylist(out.take_all(), schema=schema)
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+            .groupby("text_md5")
+            .map_groups(dup_pairs, batch_format="pyarrow"))
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """Driver-gate face of ``ngram_jaccard_pairs_ds``: materializes the
+    (small at test scale) pair list as an Arrow table so an EMPTY result
+    still carries its schema through the driver's pandas conversion
+    (an empty Ray Dataset loses column names in to_pandas).  Pipelines
+    must compose the ``_ds`` variant instead."""
+    out = ngram_jaccard_pairs_ds(sf_dir, threshold)
+    return pa.Table.from_pylist(out.take_all(), schema=_PAIR_SCHEMA)
 
 
 NGRAM_JACCARD_SQL = """
@@ -501,12 +503,15 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
     sum(label) is a convergence certificate: equal sums across rounds
     == fixpoint (checked with a cheap scalar aggregate, no join).
 
-    Input: Dataset/table with (doc_a, doc_b) edges.  Output:
-    pa.Table(doc_id, cluster_id) where cluster_id = min doc_id of the
-    component (the final result is collected — it is O(#docs with an
-    edge), sparse by construction).  Each round also pointer-jumps
-    (label <- label(label)) so chains converge in O(log diameter)
-    rounds; warns if max_rounds is still hit before the fixpoint.
+    Input: Dataset/table with (doc_a, doc_b) edges.  Output: a DATASET
+    of (doc_id, cluster_id) where cluster_id = min doc_id of the
+    component — it stays distributed so the 100-TB dup population
+    (billions of edge-touched docs at typical 30-50% dup rates) never
+    funnels through the driver; consumers join against it or write it
+    (round-2 VERDICT #2 closed the old take_all tail here).  Each round
+    also pointer-jumps (label <- label(label)) so chains converge in
+    O(log diameter) rounds; warns if max_rounds is still hit before the
+    fixpoint.
     """
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
@@ -518,12 +523,15 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
     # repartition physically drops the schema-LESS empty blocks that
     # upstream join/map stages emit (Ray skips UDFs on empty blocks, so
     # they can never be re-typed by a map); such blocks break the hash-
-    # shuffle join's Acero key resolution.
-    edges = (pairs_ds.select_columns(["doc_a", "doc_b"])
-             .repartition(4).materialize())
-    nparts = _num_partitions(edges.count())
-    if edges.count() == 0:
-        return pa.Table.from_pylist([], schema=out_schema)
+    # shuffle join's Acero key resolution.  Sized from the edge count
+    # (a fixed repartition(4) capped scan parallelism on large edge
+    # sets — round-2 ADVICE).
+    edges0 = (pairs_ds.select_columns(["doc_a", "doc_b"]).materialize())
+    n_edges = edges0.count()
+    if n_edges == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    nparts = _num_partitions(n_edges)
+    edges = edges0.repartition(nparts).materialize()
 
     def seed(batch: pa.Table) -> pa.Table:
         both = np.concatenate([
@@ -602,9 +610,8 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
             f"{max_rounds} rounds; cluster ids may be non-minimal for "
             f"components of diameter > {max_rounds}", RuntimeWarning)
 
-    rows = sorted(({"doc_id": r["doc_id"], "cluster_id": r["label"]}
-                   for r in labels.take_all()), key=lambda r: r["doc_id"])
-    return pa.Table.from_pylist(rows, schema=out_schema)
+    return (labels.rename_columns({"label": "cluster_id"})
+            .map_batches(_with_schema(out_schema), batch_format="pyarrow"))
 
 
 def dedup_survivors(sf_dir: str, near: bool = False):
@@ -616,32 +623,45 @@ def dedup_survivors(sf_dir: str, near: bool = False):
 
     Formulation: cluster non-survivors are the docs whose cluster_id
     differs from their own id; survivors = corpus LEFT ANTI JOIN
-    non-survivors — a hash-partitioned anti join, so the corpus itself
-    never funnels through the driver.
+    non-survivors — a hash-partitioned anti join, Dataset to Dataset,
+    so neither the corpus nor the cluster table ever funnels through
+    the driver.
     """
     import ray.data as rd
 
     from ._io import clean_read
 
-    pairs = ngram_jaccard_pairs(sf_dir)
+    pairs_ds = ngram_jaccard_pairs_ds(sf_dir)
     if near:
         mh = minhash_lsh_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
-        pairs_ds = rd.from_arrow(pairs.select(["doc_a", "doc_b"])).union(mh)
-    else:
-        pairs_ds = pairs
+        pairs_ds = pairs_ds.select_columns(["doc_a", "doc_b"]).union(mh)
     clusters = dedup_clusters(pairs_ds)
-    losers = clusters.filter(
-        pa.compute.not_equal(clusters["doc_id"], clusters["cluster_id"]))
+    losers = cluster_losers(clusters).materialize()
 
     docs = clean_read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    if losers.num_rows == 0:
+    if losers.count() == 0:
+        # anti-joining an entirely-empty right side makes Ray's hash
+        # shuffle build schema-less partitions that break Acero
         return docs
     nparts = _num_partitions(docs.count())
-    return (docs.join(rd.from_arrow(losers.select(["doc_id"])),
-                      "left_anti", num_partitions=nparts, on=("doc_id",))
+    return (docs.join(losers, "left_anti", num_partitions=nparts,
+                      on=("doc_id",))
             # drop the join's schema-less empty partition blocks so the
             # result composes into further joins (see module docstring)
             .repartition(max(2, nparts // 2)))
+
+
+def cluster_losers(clusters_ds):
+    """(doc_id,) Dataset of cluster members that are NOT their cluster's
+    survivor (doc_id != cluster_id) — the subtract set for dedup."""
+    id_schema = pa.schema([("doc_id", pa.int64())])
+
+    def non_survivors(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.not_equal(batch["doc_id"], batch["cluster_id"])
+        return batch.filter(keep).select(["doc_id"])
+
+    return (clusters_ds.map_batches(non_survivors, batch_format="pyarrow")
+            .map_batches(_with_schema(id_schema), batch_format="pyarrow"))
 
 
 DEDUP_SURVIVORS_SQL = """
@@ -652,12 +672,16 @@ SELECT doc_id FROM (
 """
 
 
-def exact_dup_clusters(sf_dir: str):
+def exact_dup_clusters(sf_dir: str) -> pa.Table:
     """Cluster assignments for exact-duplicate docs (cluster = min doc_id
     of each md5-equal group with >1 member) — the SQL-checkable face of
-    dedup_clusters, fed by the exact-dup pair list."""
-    pairs = ngram_jaccard_pairs(sf_dir)
-    return dedup_clusters(pairs)
+    dedup_clusters, fed by the exact-dup pair Dataset.  Driver-gate
+    materialization only (sorted, schema pinned for the empty case);
+    pipelines compose dedup_clusters/cluster_losers as Datasets."""
+    clusters = dedup_clusters(ngram_jaccard_pairs_ds(sf_dir))
+    schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+    rows = sorted(clusters.take_all(), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows, schema=schema)
 
 
 EXACT_DUP_CLUSTERS_SQL = """
