@@ -42,8 +42,14 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     import ray.data as rd
 
     from ..functions._io import clean_read
+    from ..functions._part import nparts_for as _num_partitions
     from ..functions.corpus_prep import _tokens, contamination_check
-    from ..functions.dedup import _num_partitions, dedup_survivors
+    from ..functions.dedup import (
+        cluster_losers,
+        dedup_clusters,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs_ds,
+    )
     from ..functions.textops import _ASCII_WS  # noqa: F401 (doc parity)
 
     manifest: dict = {"input": sf_dir}
@@ -67,40 +73,69 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
 
     verdicts = docs.map_batches(classify, batch_format="pyarrow",
                                 batch_size=4096).materialize()
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Min
     drop_counts = {r["reason"]: r["n"] for r in
                    verdicts.groupby("reason")
                    .aggregate(Count(alias_name="n")).take_all()}
     manifest["quality_filter"] = drop_counts
-    quality_ok = verdicts.filter(expr="reason == 'kept'") \
-        .select_columns(["doc_id"])
+    nparts = _num_partitions(n_input)
+    quality_ok = (verdicts.filter(expr="reason == 'kept'")
+                  .select_columns(["doc_id"])
+                  .repartition(max(2, nparts // 2))  # drop empty blocks
+                  .materialize())
 
-    # -- stage 2: dedup survivors (exact ∪ near) ------------------------
-    survivors = dedup_survivors(sf_dir, near=near_dedup)
-    n_before_dedup = drop_counts.get("kept", 0)
+    # -- stage 2: dedup among the QUALITY-KEPT docs ---------------------
+    # Each cluster's survivor is the min doc_id among its quality-KEPT
+    # members — picking the global cluster min silently lost whole
+    # near-dup clusters whenever the min member itself failed the
+    # quality filter (round-2 ADVICE), and misattributed those docs to
+    # 'dedup_removed'.  All id-set algebra is hash-partitioned joins.
+    pairs_ds = ngram_jaccard_pairs_ds(sf_dir)
+    if near_dedup:
+        pairs_ds = pairs_ds.select_columns(["doc_a", "doc_b"]).union(
+            minhash_lsh_pairs(sf_dir).select_columns(["doc_a", "doc_b"]))
+    clusters = dedup_clusters(pairs_ds).materialize()
+    if clusters.count() > 0 and quality_ok.count() > 0:
+        members_kept = (clusters.join(quality_ok, "left_semi",
+                                      num_partitions=nparts,
+                                      on=("doc_id",))
+                        .repartition(max(2, nparts // 2)).materialize())
+        if members_kept.count() > 0:
+            survivor_ids = (members_kept.groupby("cluster_id")
+                            .aggregate(Min("doc_id", alias_name="doc_id"))
+                            .select_columns(["doc_id"])
+                            # drop the sort-groupby's schema-less empty
+                            # blocks before using this as a join side
+                            .repartition(2).materialize())
+            losers = (members_kept.select_columns(["doc_id"])
+                      .join(survivor_ids, "left_anti",
+                            num_partitions=nparts, on=("doc_id",))
+                      .repartition(max(2, nparts // 2)).materialize())
+        else:
+            losers = None
+    else:
+        losers = None
 
     # -- stage 3: decontamination ---------------------------------------
     contaminated = contamination_check(sf_dir, n_probe_docs=n_probe_docs) \
         .select_columns(["doc_id"]).materialize()
 
-    # id-set algebra as anti/semi joins (hash-partitioned; only ids move)
-    nparts = _num_partitions(n_input)
-    keep = quality_ok.join(survivors.select_columns(["doc_id"]),
-                           "left_semi", num_partitions=nparts,
-                           on=("doc_id",))
-    if contaminated.count() > 0:
+    keep = quality_ok
+    n_losers = 0
+    if losers is not None and losers.count() > 0:
         # joining against an entirely-empty side makes Ray's hash
         # shuffle build schema-less partitions that break Acero — skip
         # the anti join when there is nothing to subtract
+        n_losers = losers.count()
+        keep = keep.join(losers, "left_anti",
+                         num_partitions=nparts, on=("doc_id",))
+    if contaminated.count() > 0:
         keep = keep.join(contaminated, "left_anti",
                          num_partitions=nparts, on=("doc_id",))
     keep = (keep.repartition(max(2, nparts // 2))  # drop empty blocks
             .materialize())
     n_keep = keep.count()
-    manifest["dedup_removed"] = int(
-        n_before_dedup - quality_ok.join(
-            survivors.select_columns(["doc_id"]), "left_semi",
-            num_partitions=nparts, on=("doc_id",)).count())
+    manifest["dedup_removed"] = int(n_losers)
     manifest["kept_docs"] = int(n_keep)
 
     # -- stage 4: chunk the surviving docs and write --------------------

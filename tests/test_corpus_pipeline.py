@@ -69,3 +69,38 @@ class TestPrepareCorpus:
         import json
         disk = json.load(open(f"{out}/manifest.json"))
         assert disk["kept_docs"] == m["kept_docs"]
+
+    def test_cluster_min_quality_reject_keeps_kept_member(
+            self, ray_session, tmp_path):
+        """Round-2 ADVICE (medium): a dup cluster whose min-id member
+        FAILS the quality filter must not lose every member — the
+        survivor is the min doc_id among quality-KEPT members."""
+        from ocr_ray.pipelines.corpus_pipeline import prepare_corpus
+
+        body = " ".join(f"w{i} tok{(i * 3) % 7} fine{(i * 5) % 11}"
+                        for i in range(60))
+        rows = [
+            # doc 5: exact-dup text but TOO SHORT variant can't be an
+            # exact dup; instead make 5 a quality reject that is a
+            # NEAR dup of 6/7 (shares almost all shingles but padded
+            # with digits to fail low_alpha)
+            {"doc_id": 5, "text": body + " 123456789 " * 40},
+            {"doc_id": 6, "text": body},
+            {"doc_id": 7, "text": body},
+        ]
+        d = tmp_path / "corpus"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows),
+                       str(d / "documents.parquet"))
+        out = str(tmp_path / "out")
+        m = prepare_corpus(str(d), out, n_probe_docs=0)
+        chunks = pads.dataset(f"{out}/chunks").to_table()
+        kept_ids = set(chunks["doc_id"].to_pylist())
+        # 6 and 7 are exact dups; 5 is quality-rejected.  Old behavior:
+        # if 5 clustered with {6,7} the global min (5) was the survivor
+        # but 5 itself was rejected -> the whole cluster vanished.  Now
+        # the min KEPT member (6) survives.
+        assert 6 in kept_ids
+        assert 7 not in kept_ids
+        assert 5 not in kept_ids
+        assert m["dedup_removed"] == 1

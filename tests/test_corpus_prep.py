@@ -94,6 +94,40 @@ class TestCorpusPrep:
         assert set(out["doc_id"]) == {10}
         assert int(out["n_hits"].iloc[0]) >= 1
 
+    def test_contamination_external_probe_file(self, ray_session,
+                                               tmp_path):
+        """Decontaminate against a SEPARATE eval parquet (the real use:
+        the benchmark is not part of the training corpus)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions import corpus_prep as cp
+
+        bench = ("alpha beta gamma delta epsilon zeta eta theta "
+                 "iota kappa lambda mu")
+        corpus = [
+            {"doc_id": 1, "text": f"prefix {bench} suffix"},    # leaked
+            {"doc_id": 2, "text": "clean corpus document " * 6},
+        ]
+        pq.write_table(pa.Table.from_pylist(corpus),
+                       str(tmp_path / "documents.parquet"))
+        evalset = [{"text": bench},
+                   {"text": "held out benchmark question two " * 3}]
+        probe = str(tmp_path / "evalset.parquet")
+        pq.write_table(pa.Table.from_pylist(evalset), probe)
+        out = cp.contamination_check(str(tmp_path),
+                                     probe_path=probe).to_pandas()
+        assert set(out["doc_id"]) == {1}
+
+    def test_min_k_ids_streaming(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.corpus_prep import _min_k_ids
+
+        ds = rd.from_items([{"doc_id": v} for v in
+                            [9, 4, 7, 1, 8, 3, 12, 2]]).repartition(4)
+        assert _min_k_ids(ds, "doc_id", 3) == [1, 2, 3]
+
     def test_bm25_scores_exact(self, ray_session):
         from ocr_ray.functions import corpus_prep as cp
         _check(cp.bm25_keyword_scores(SF), cp._bm25_sql())
@@ -105,6 +139,40 @@ class TestCorpusPrep:
     def test_lang_char_quantiles_exact(self, ray_session):
         from ocr_ray.functions import corpus_prep as cp
         _check(cp.lang_char_quantiles(SF), cp.LANG_CHAR_QUANTILES_SQL)
+
+    def test_lang_char_quantiles_group_larger_than_batch(
+            self, ray_session, tmp_path):
+        """One skewed group far bigger than any batch: the histogram
+        aggregate must reproduce DuckDB quantile_disc exactly (the old
+        map_groups shape held the whole group in one task)."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions import corpus_prep as cp
+
+        rng = np.random.RandomState(3)
+        n = 20_000
+        langs = ["en"] * n + ["fr"] * 7      # en >> any batch size
+        chars = np.concatenate([rng.randint(10, 5000, n),
+                                np.array([3, 9, 27, 81, 243, 729, 2187])])
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(langs)), pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "n_chars": pa.array(chars, pa.int64()),
+            "text": pa.array([""] * len(langs), pa.string()),
+        }), str(tmp_path / "documents.parquet"))
+        got = cp.lang_char_quantiles(str(tmp_path)).to_pandas() \
+            .sort_values("lang").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{tmp_path}/documents.parquet'")
+        want = con.execute(cp.LANG_CHAR_QUANTILES_SQL + " ORDER BY lang") \
+            .fetchdf().reset_index(drop=True)
+        assert list(got["lang"]) == list(want["lang"])
+        for c in ("p25", "p50", "p95"):
+            assert [int(v) for v in got[c]] == [int(v) for v in want[c]], c
 
 
 class TestBigramScores:
