@@ -39,8 +39,36 @@ def read_documents(path: str, *, columns: list[str] | None = None):
 
 
 def write_table(ds, path: str, **kwargs):
-    """Write a Dataset to the pluggable storage layer (Parquet here;
-    swap for write_lance on clusters with pylance)."""
+    """Write a Dataset to the pluggable storage layer.
+
+    A ``.lance`` suffix / ``lance://`` scheme selects the Lance path
+    (north-rule output layout): the Dataset is streamed batch-by-batch
+    into ``lance.write_dataset`` via a RecordBatchReader — bounded
+    memory, no full materialization.  On a cluster the distributed
+    alternative is ``ds.write_lance`` (per-fragment writes); the
+    checkpointed pipeline writes per-shard through this function either
+    way, so shard parallelism comes from the shard fan-out, not the
+    single write call.  Everything else writes Parquet with the
+    identical schema.
+    """
+    if path.endswith(".lance") or path.startswith("lance://"):
+        if not _has_lance():
+            raise RuntimeError(
+                "Lance output requested but pylance is not installed; "
+                "use a Parquet output path (same schema) instead.")
+        import lance
+
+        target = path.removeprefix("lance://")
+        schema = ds.schema().base_schema
+
+        def batches():
+            for tbl in ds.iter_batches(batch_format="pyarrow"):
+                yield from tbl.to_batches()
+
+        reader = pa.RecordBatchReader.from_batches(schema, batches())
+        lance.write_dataset(reader, target, schema=schema,
+                            mode=kwargs.get("mode", "create"))
+        return
     ds.write_parquet(path, **kwargs)
 
 
