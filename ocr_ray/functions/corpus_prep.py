@@ -285,7 +285,7 @@ def quality_filter_stats(sf_dir: str, min_chars: int = 200,
                  np.where(ratio < min_alpha_ratio, "low_alpha", "kept")))
         t = pa.table({"reason": pa.array(reason, pa.string()),
                       "chars": pa.array(length.to_numpy(), pa.int64())})
-        return _gb(t, ["reason"], [("chars", "count"), ("chars", "sum")],
+        return _gb(t, ["reason"], [("chars", "count_all"), ("chars", "sum")],
                    ["n_docs", "sum_chars"])
 
     return (ds.map_batches(classify, batch_format="pyarrow",
@@ -439,7 +439,7 @@ def stratified_sample_stats(sf_dir: str):
                 for d in batch["doc_id"].to_pylist()]
         sel = batch.filter(pa.array(keep))
         return _gb(sel.select(["lang", "n_chars"]), ["lang"],
-                   [("n_chars", "count"), ("n_chars", "sum")],
+                   [("n_chars", "count_all"), ("n_chars", "sum")],
                    ["n_docs", "sum_chars"])
 
     return (ds.map_batches(pick, batch_format="pyarrow", batch_size=8192)

@@ -39,7 +39,7 @@ def events_by_type(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"event_type": batch["event_type"],
                       "v": _val_milli(batch["value"])})
-        return _gb(t, ["event_type"], [("v", "sum"), ("v", "count")],
+        return _gb(t, ["event_type"], [("v", "sum"), ("v", "count_all")],
                    ["v", "n"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
@@ -79,7 +79,7 @@ def events_daily(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         day = pc.strftime(batch["ts"], format="%Y-%m-%d")
         t = pa.table({"day": day, "v": _val_milli(batch["value"])})
-        return _gb(t, ["day"], [("v", "sum"), ("v", "count")], ["v", "n"])
+        return _gb(t, ["day"], [("v", "sum"), ("v", "count_all")], ["v", "n"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby("day") \
         .aggregate(Sum("v", alias_name="v"), Sum("n", alias_name="n_events"))
@@ -184,7 +184,7 @@ def props_k_stats(sf_dir: str):
         t = pa.table({"event_type": batch["event_type"],
                       "k": pa.array(ks, pa.int64())})
         return _gb(t, ["event_type"],
-                   [("k", "sum"), ("k", "max"), ("k", "min"), ("k", "count")],
+                   [("k", "sum"), ("k", "max"), ("k", "min"), ("k", "count_all")],
                    ["sum_k", "max_k", "min_k", "n"])
 
     agg = ds.map_batches(parse, batch_format="pyarrow").groupby("event_type") \
@@ -237,7 +237,7 @@ def user_activity_join(sf_dir: str):
         t = pa.table({"c_mktsegment": pa.array(segs, pa.string()),
                       "v": _val_milli(batch["value"])})
         t = t.filter(pa.compute.is_valid(t["c_mktsegment"]))
-        return _gb(t, ["c_mktsegment"], [("v", "sum"), ("v", "count")],
+        return _gb(t, ["c_mktsegment"], [("v", "sum"), ("v", "count_all")],
                    ["v", "n"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
@@ -272,7 +272,7 @@ def events_hourly_histogram(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         hours = pc.cast(pc.hour(batch["ts"]), pa.int64())
         return _gb(pa.table({"hour": hours}), ["hour"],
-                   [("hour", "count")], ["n"])
+                   [("hour", "count_all")], ["n"])
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         "hour").aggregate(Sum("n", alias_name="n_events"))
@@ -338,7 +338,7 @@ def events_windows_watermark(sf_dir: str, lateness_hours: int = 12):
     def partial(batch: pa.Table) -> pa.Table:
         day = pc.strftime(batch["ts"], format="%Y-%m-%d")
         t = pa.table({"day": day, "v": _val_milli(batch["value"])})
-        return _gb(t, ["day"], [("v", "sum"), ("v", "count")], ["v", "n"])
+        return _gb(t, ["day"], [("v", "sum"), ("v", "count_all")], ["v", "n"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby("day") \
         .aggregate(Sum("v", alias_name="v"), Sum("n", alias_name="n_events"))

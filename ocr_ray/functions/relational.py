@@ -41,11 +41,18 @@ def _gb(t: pa.Table, keys: list[str], aggs: list[tuple[str, str]],
         names: list[str]) -> pa.Table:
     """Arrow-native partial groupby: ``pa.TableGroupBy`` without the
     to_pandas/from_pandas copies the round-1 partials paid per batch.
-    ``aggs`` are (column, fn) pairs; ``names`` the output column names."""
-    g = t.group_by(keys).aggregate(aggs)
+    ``aggs`` are (column, fn) pairs; ``names`` the output column names.
+    Use fn="count_all" (column ignored) for ROW-count semantics — Arrow
+    "count" counts non-null values only, which silently diverges from
+    the SQL oracles' count(*) whenever the value column is nullable
+    (round-2 ADVICE)."""
+    pa_aggs = [([], "count_all") if fn == "count_all" else (col, fn)
+               for col, fn in aggs]
+    g = t.group_by(keys).aggregate(pa_aggs)
     cols = {k: g[k] for k in keys}
     for (col, fn), name in zip(aggs, names):
-        cols[name] = g[f"{col}_{fn}"]
+        cols[name] = g["count_all" if fn == "count_all"
+                       else f"{col}_{fn}"]
     return pa.table(cols)
 
 
@@ -145,7 +152,7 @@ def q1_pricing_summary(sf_dir: str):
         return _gb(t, ["l_returnflag", "l_linestatus"],
                    [("qty", "sum"), ("base_cents", "sum"),
                     ("disc_cents", "sum"), ("charge_cents", "sum"),
-                    ("disc_bps", "sum"), ("qty", "count")],
+                    ("disc_bps", "sum"), ("qty", "count_all")],
                    ["sum_qty", "sum_base_cents", "sum_disc_cents",
                     "sum_charge_cents", "sum_disc_bps", "count_order"])
 
@@ -377,7 +384,7 @@ def mktsegment_stats(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"c_mktsegment": batch["c_mktsegment"],
                       "bal": _cents(batch["c_acctbal"])})
-        return _gb(t, ["c_mktsegment"], [("bal", "sum"), ("bal", "count")],
+        return _gb(t, ["c_mktsegment"], [("bal", "sum"), ("bal", "count_all")],
                    ["bal", "n"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
@@ -440,7 +447,7 @@ def part_type_stats(sf_dir: str):
         t = pa.table({"p_type": batch["p_type"], "p_size": batch["p_size"],
                       "price_cents": _cents(batch["p_retailprice"])})
         return _gb(t, ["p_type"],
-                   [("p_size", "count"), ("p_size", "max"),
+                   [("p_size", "count_all"), ("p_size", "max"),
                     ("p_size", "min"), ("price_cents", "sum")],
                    ["n_parts", "max_size", "min_size", "price_cents"])
 
@@ -497,7 +504,7 @@ def orders_by_year(sf_dir: str):
         t = pa.table({"order_year": pc.cast(years, pa.int64()),
                       "price_cents": _cents(batch["o_totalprice"])})
         return _gb(t, ["order_year"],
-                   [("price_cents", "sum"), ("price_cents", "count")],
+                   [("price_cents", "sum"), ("price_cents", "count_all")],
                    ["price_cents", "n"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
@@ -566,7 +573,7 @@ def nation_customer_balance(sf_dir: str):
         names = name_arr[batch["c_nationkey"].to_numpy()]
         t = pa.table({"n_name": pa.array(names, pa.string()),
                       "bal": _cents(batch["c_acctbal"])})
-        return _gb(t, ["n_name"], [("bal", "sum"), ("bal", "count")],
+        return _gb(t, ["n_name"], [("bal", "sum"), ("bal", "count_all")],
                    ["bal", "n"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
@@ -603,7 +610,7 @@ def brand_size_matrix(sf_dir: str):
             batch["p_size"], pa.float64()), pa.scalar(10.0))), pa.int64())
         t = pa.table({"p_brand": batch["p_brand"], "size_bucket": bucket})
         return _gb(t, ["p_brand", "size_bucket"],
-                   [("p_brand", "count")], ["n"])
+                   [("p_brand", "count_all")], ["n"])
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["p_brand", "size_bucket"]).aggregate(Sum("n", alias_name="n_parts"))

@@ -98,10 +98,18 @@ def _fit_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.nd
 
 
 def ivf_index_path(sf_dir: str, n_clusters: int) -> str:
-    """Location of the bucket-partitioned IVF index for a corpus."""
-    import hashlib as _h
+    """Location of the bucket-partitioned IVF index for a corpus.
 
-    key = _h.md5(f"{sf_dir}:{n_clusters}:v2".encode()).hexdigest()[:12]
+    The cache key folds in a DATA fingerprint (size + mtime of the
+    embeddings file), so regenerating the parquet at the same path
+    invalidates the cached index instead of silently serving vectors
+    from the old corpus (round-2 ADVICE)."""
+    import hashlib as _h
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = _h.md5(f"{sf_dir}:{n_clusters}:v3:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
     return f"/tmp/ocr_ray_ivf_{key}"
 
 
@@ -138,14 +146,22 @@ def build_ivf_index(sf_dir: str, n_clusters: int = 16) -> tuple[str, np.ndarray]
         return batch.append_column(
             "bucket", pa.array(d.argmin(1).astype(np.int64), pa.int64()))
 
+    # build into a private temp dir, then PUBLISH with one atomic rename:
+    # concurrent builders each build their own candidate and the first
+    # rename wins — readers never observe a half-written index
     import shutil
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
+    tmp = f"{path}.build.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
     ds.map_batches(assign, batch_format="pyarrow", batch_size=4096) \
-        .write_parquet(path, partition_cols=["bucket"])
-    with open(cent_file, "w") as f:
+        .write_parquet(tmp, partition_cols=["bucket"])
+    with open(f"{tmp}/_centroids.json", "w") as f:
         json.dump(cent.tolist(), f)
-    open(f"{path}/_DONE", "w").close()
+    open(f"{tmp}/_DONE", "w").close()
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent build won
     return path, cent
 
 

@@ -42,7 +42,7 @@ def doc_lang_stats(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         return _gb(batch, ["lang"],
-                   [("n_chars", "count"), ("n_chars", "sum"),
+                   [("n_chars", "count_all"), ("n_chars", "sum"),
                     ("n_chars", "max"), ("n_chars", "min")],
                    ["n_docs", "sum_chars", "max_chars", "min_chars"])
 
@@ -502,7 +502,7 @@ def doc_source_stats(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         return _gb(batch, ["source"],
-                   [("n_chars", "count"), ("n_chars", "sum")],
+                   [("n_chars", "count_all"), ("n_chars", "sum")],
                    ["n_docs", "sum_chars"])
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
