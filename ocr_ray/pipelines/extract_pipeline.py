@@ -27,8 +27,9 @@ from ..sources.readers import read_documents
 from ..stages.extract_stage import (
     ExtractDocs,
     ExtractSpans,
+    add_reassembly_bucket,
     explode_spans,
-    reassemble_group,
+    reassemble_bucket,
 )
 from ..stages.validate import validate_batch
 
@@ -100,9 +101,18 @@ def _exploded_branch(ok, cfg: PipelineConfig, pool, nblocks):
             num_cpus=1,
             zero_copy_batch=True,
         )
-        .groupby("doc_id")
+        # bucketized reassembly: ONE group per hash bucket (not per doc)
+        # amortizes the per-group machinery over ~hundreds of docs; the
+        # groupby(bucket) shuffle moves the same span rows the per-doc
+        # groupby did, in nblocks streams.  At the 100-TB target only
+        # mega docs route here, so a bucket is a bounded set of docs
+        # whose spans fit one task comfortably.
+        .map_batches(add_reassembly_bucket, batch_format="pyarrow",
+                     fn_kwargs={"n_buckets": nblocks},
+                     zero_copy_batch=True)
+        .groupby("bucket")
         .map_groups(
-            reassemble_group, batch_format="pyarrow", fn_kwargs={"cfg": cfg})
+            reassemble_bucket, batch_format="pyarrow", fn_kwargs={"cfg": cfg})
     )
 
 
@@ -148,8 +158,11 @@ def build_failed(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
 
 def derive_failed_sidecar(extracted_dir: str, failed_dir: str) -> int:
     """Project the (tiny) failed rows out of a written extracted dataset
-    into the ``failed`` sidecar — a column-pruned read-back of
-    (doc_id, reject_reason) only, no recompute."""
+    into the ``failed`` sidecar — a column-pruned, STREAMING read-back
+    of (doc_id, reject_reason) only, no recompute.  The round-2 version
+    pulled the full doc_id column onto the driver via ``to_table``; at
+    the 10^12-doc target that alone is terabytes.  Filtering happens
+    per record batch with O(batch) driver memory."""
     import os
 
     import pyarrow as pa
@@ -159,17 +172,24 @@ def derive_failed_sidecar(extracted_dir: str, failed_dir: str) -> int:
 
     from ..schema import FAILED_SCHEMA
 
-    frag = pads.dataset(extracted_dir)
-    if frag.files:
-        tbl = frag.to_table(columns=["doc_id", "reject_reason"])
-        bad = tbl.filter(pc.not_equal(tbl["reject_reason"], ""))
-        failed = pa.Table.from_arrays([bad["doc_id"], bad["reject_reason"]],
-                                      schema=FAILED_SCHEMA)
-    else:  # empty input shard
-        failed = pa.Table.from_pylist([], schema=FAILED_SCHEMA)
     os.makedirs(failed_dir, exist_ok=True)
-    pq.write_table(failed, os.path.join(failed_dir, "failed.parquet"))
-    return failed.num_rows
+    n = 0
+    frag = pads.dataset(extracted_dir)
+    with pq.ParquetWriter(os.path.join(failed_dir, "failed.parquet"),
+                          FAILED_SCHEMA) as w:
+        if frag.files:
+            for b in frag.to_batches(columns=["doc_id", "reject_reason"],
+                                     batch_size=65536):
+                mask = pc.not_equal(b.column("reject_reason"), "")
+                sel = pa.Table.from_batches([b]).filter(mask)
+                if sel.num_rows:
+                    w.write_table(pa.Table.from_arrays(
+                        [sel["doc_id"], sel["reject_reason"]],
+                        schema=FAILED_SCHEMA))
+                    n += sel.num_rows
+        if n == 0:  # always leave a typed (possibly empty) sidecar file
+            w.write_table(pa.Table.from_pylist([], schema=FAILED_SCHEMA))
+    return n
 
 
 def run_extraction(

@@ -182,35 +182,154 @@ class ExtractSpans:
         if self._calls % 50 == 0:
             import gc
             gc.collect()
-        rows = batch.to_pylist()
-        out = []
-        for r in rows:
+        # columnar in / columnar out: the kernel is per-span Python by
+        # nature, but the batch assembly need not be row dicts +
+        # from_pylist type re-inference (mirrors the nested-path
+        # ExtractDocs rewrite; measurable on the exploded hot path)
+        kinds = batch["kind"].to_pylist()
+        texts = batch["text"].to_pylist()
+        media_refs = batch["media_ref"].to_pylist()
+        cols: dict[str, list] = {n: [] for n in SPAN_RESULT_SCHEMA.names
+                                 if n not in ("doc_id", "kind",
+                                              "media_ref", "offset")}
+        for kind, text, media_ref in zip(kinds, texts, media_refs):
             st = CleanStats()
             t0 = time.monotonic()
-            cleaned, meta = extract_span(
-                r["kind"], r["text"], r["media_ref"], self.cfg, stats=st)
-            span_ms = (time.monotonic() - t0) * 1000.0
-            out.append({
-                "doc_id": r["doc_id"],
-                "kind": r["kind"],
-                "text": cleaned,
-                "media_ref": r["media_ref"],
-                "offset": r["offset"],
-                "quality": meta["quality"],
-                "retried": int(meta["retried"]),
-                "confs": meta["confs"],
-                "kept_lines": st.kept_lines,
-                "min_length_lines": st.min_length_lines,
-                "forbidden_lines": st.forbidden_lines,
-                "low_alpha_lines": st.low_alpha_lines,
-                "high_digit_lines": st.high_digit_lines,
-                "non_ascii_lines": st.non_ascii_lines,
-                "num_ents": count_entities(cleaned),
-                "clean_chars": st.total_clean_chars,
-                "original_chars": st.total_original_chars,
-                "span_ms": span_ms,
-            })
-        return pa.Table.from_pylist(out, schema=SPAN_RESULT_SCHEMA)
+            cleaned, meta = extract_span(kind, text, media_ref,
+                                         self.cfg, stats=st)
+            cols["span_ms"].append((time.monotonic() - t0) * 1000.0)
+            cols["text"].append(cleaned)
+            cols["quality"].append(meta["quality"])
+            cols["retried"].append(int(meta["retried"]))
+            cols["confs"].append(meta["confs"])
+            cols["kept_lines"].append(st.kept_lines)
+            cols["min_length_lines"].append(st.min_length_lines)
+            cols["forbidden_lines"].append(st.forbidden_lines)
+            cols["low_alpha_lines"].append(st.low_alpha_lines)
+            cols["high_digit_lines"].append(st.high_digit_lines)
+            cols["non_ascii_lines"].append(st.non_ascii_lines)
+            cols["num_ents"].append(count_entities(cleaned))
+            cols["clean_chars"].append(st.total_clean_chars)
+            cols["original_chars"].append(st.total_original_chars)
+        passthrough = {"doc_id": batch["doc_id"], "kind": batch["kind"],
+                       "media_ref": batch["media_ref"],
+                       "offset": batch["offset"]}
+        arrays = [passthrough[f.name] if f.name in passthrough
+                  else pa.array(cols[f.name], type=f.type)
+                  for f in SPAN_RESULT_SCHEMA]
+        return pa.Table.from_arrays(arrays, schema=SPAN_RESULT_SCHEMA)
+
+
+def add_reassembly_bucket(batch: pa.Table, n_buckets: int = 64) -> pa.Table:
+    """Tag each span row with hash(doc_id) % n_buckets so reassembly can
+    group ONCE per bucket instead of once per document: 24k per-doc
+    map_groups invocations (each building a 1-row table) dominated the
+    exploded path's reassembly cost (round-2 VERDICT #9); bucketing
+    amortizes the per-group machinery over ~hundreds of docs while the
+    shuffle still distributes spans evenly.  crc32 is deterministic
+    across processes (unlike Python's salted str hash)."""
+    import zlib
+
+    b = [zlib.crc32(d.encode()) % n_buckets
+         for d in batch["doc_id"].to_pylist()]
+    return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+
+def reassemble_bucket(group: pa.Table,
+                      cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Rebuild every document in one bucket, columnar.
+
+    Sort by (doc_id, offset) once; span lists become ONE ListArray built
+    from the per-doc boundary offsets (no per-span dicts); integer
+    metrics sum via np.add.reduceat (order-free, exact).  The float
+    quality/conf accumulation walks spans in offset order per doc — the
+    same sequential adds as extract_doc, so means match the nested path
+    bit for bit.
+    """
+    import numpy as np
+
+    g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+    n = g.num_rows
+    doc_np = np.asarray(g["doc_id"].to_pylist(), dtype=object)
+    change = np.nonzero(doc_np[1:] != doc_np[:-1])[0] + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    bounds = np.concatenate([starts, [n]])
+
+    def one(col):
+        a = g[col].combine_chunks()
+        return (pa.concat_arrays(a.chunks) if isinstance(a, pa.ChunkedArray)
+                else a)
+
+    struct = pa.StructArray.from_arrays(
+        [one("kind"), one("text"), one("media_ref"), one("offset")],
+        names=["kind", "text", "media_ref", "offset"])
+    spans_arr = pa.ListArray.from_arrays(
+        pa.array(bounds, pa.int32()), struct)
+
+    def rseg(col):
+        a = g[col].to_numpy(zero_copy_only=False)
+        return np.add.reduceat(a, starts)
+
+    kept = rseg("kept_lines")
+    minl = rseg("min_length_lines")
+    forb = rseg("forbidden_lines")
+    lowa = rseg("low_alpha_lines")
+    hidg = rseg("high_digit_lines")
+    nonas = rseg("non_ascii_lines")
+    ents = rseg("num_ents")
+    cchars = rseg("clean_chars")
+    ochars = rseg("original_chars")
+    dropped = minl + forb + lowa + hidg + nonas
+    n_spans = (bounds[1:] - bounds[:-1]).astype(np.int64)
+
+    kinds_l = g["kind"].to_pylist()
+    qual_l = g["quality"].to_pylist()
+    retr_l = g["retried"].to_pylist()
+    conf_l = g["confs"].to_pylist()
+    ms_l = g["span_ms"].to_pylist()
+    media_spans, qmeans, retries, hists, procs = [], [], [], [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        qs: list[float] = []
+        cs: list[float] = []
+        rt = 0
+        tms = 0.0
+        for i in range(s, e):
+            tms += ms_l[i]
+            if kinds_l[i] == "media":
+                qs.append(qual_l[i])
+                cs.extend(conf_l[i])
+                rt += retr_l[i]
+        media_spans.append(len(qs))
+        qmeans.append(round(sum(qs) / len(qs), 4) if qs else -1.0)
+        retries.append(rt)
+        hists.append(conf_histogram(cs, cfg.ocr_conf_bins))
+        procs.append(round(tms, 3))
+
+    ndocs = len(starts)
+    cols = {
+        "doc_id": pa.array(doc_np[starts], pa.string()),
+        "spans": spans_arr,
+        "n_spans": pa.array(n_spans, pa.int64()),
+        "media_spans": pa.array(media_spans, pa.int64()),
+        "blocks_kept": pa.array(kept, pa.int64()),
+        "blocks_dropped": pa.array(dropped, pa.int64()),
+        "clean_chars": pa.array(cchars, pa.int64()),
+        "original_chars": pa.array(ochars, pa.int64()),
+        "min_length_lines": pa.array(minl, pa.int64()),
+        "forbidden_lines": pa.array(forb, pa.int64()),
+        "low_alpha_lines": pa.array(lowa, pa.int64()),
+        "high_digit_lines": pa.array(hidg, pa.int64()),
+        "non_ascii_lines": pa.array(nonas, pa.int64()),
+        "num_ents": pa.array(ents, pa.int64()),
+        "quality_mean": pa.array(qmeans, pa.float64()),
+        "retried_spans": pa.array(retries, pa.int64()),
+        "conf_hist": pa.array(hists, pa.list_(pa.int64())),
+        "reject_reason": pa.array([""] * ndocs, pa.string()),
+        "proc_ms": pa.array(procs, pa.float64()),
+    }
+    arrays = [cols[f.name].cast(f.type) if cols[f.name].type != f.type
+              else cols[f.name] for f in RESULT_SCHEMA]
+    return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
 
 
 def reassemble_group(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
@@ -218,26 +337,37 @@ def reassemble_group(group: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> p
 
     Metric aggregation mirrors extract_doc exactly — including summing
     media qualities in offset order so float means match bit for bit.
+    (Kept as the single-doc reference implementation; the pipeline uses
+    the bucketized ``reassemble_bucket``, tested equal against this.)
     """
-    rows = sorted(group.to_pylist(), key=lambda r: r["offset"])
-    doc_id = rows[0]["doc_id"]
-    spans, qualities, confs = [], [], []
+    # columnar: sort_by + per-column reads instead of sorted(to_pylist)
+    # row dicts (round-2 VERDICT #9).  Integer metric sums are
+    # order-free; the float quality/conf accumulation below stays in
+    # offset order so means match the nested path bit for bit.
+    g = group.sort_by("offset")
+    doc_id = g["doc_id"][0].as_py()
+    kinds = g["kind"].to_pylist()
+    texts = g["text"].to_pylist()
+    media_refs = g["media_ref"].to_pylist()
+    offsets = g["offset"].to_pylist()
+    spans = [{"kind": k, "text": t, "media_ref": m, "offset": o}
+             for k, t, m, o in zip(kinds, texts, media_refs, offsets)]
+    agg = {k: int(pc.sum(g[k]).as_py() or 0)
+           for k in ("kept_lines", "min_length_lines", "forbidden_lines",
+                     "low_alpha_lines", "high_digit_lines",
+                     "non_ascii_lines", "num_ents", "clean_chars",
+                     "original_chars")}
+    total_ms = float(sum(g["span_ms"].to_pylist()))
+    qualities, confs = [], []
     retries = 0
-    total_ms = 0.0
-    agg = {k: 0 for k in ("kept_lines", "min_length_lines", "forbidden_lines",
-                          "low_alpha_lines", "high_digit_lines",
-                          "non_ascii_lines", "num_ents", "clean_chars",
-                          "original_chars")}
-    for r in rows:
-        total_ms += r["span_ms"]
-        spans.append({"kind": r["kind"], "text": r["text"],
-                      "media_ref": r["media_ref"], "offset": r["offset"]})
-        for k in agg:
-            agg[k] += r[k]
-        if r["kind"] == "media":
-            qualities.append(r["quality"])
-            confs.extend(r["confs"])
-            retries += r["retried"]
+    q_col = g["quality"].to_pylist()
+    r_col = g["retried"].to_pylist()
+    c_col = g["confs"].to_pylist()
+    for i, kind in enumerate(kinds):
+        if kind == "media":
+            qualities.append(q_col[i])
+            confs.extend(c_col[i])
+            retries += r_col[i]
     dropped = (agg["min_length_lines"] + agg["forbidden_lines"] +
                agg["low_alpha_lines"] + agg["high_digit_lines"] +
                agg["non_ascii_lines"])

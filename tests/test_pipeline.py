@@ -100,3 +100,43 @@ class TestValidateVectorized:
         ns = out.column("n_spans").to_pylist()
         for i, row in enumerate(small_corpus.to_pylist()):
             assert ns[i] == (len(row["spans"]) if row["spans"] is not None else 0)
+
+
+class TestBucketizedReassembly:
+    def test_bucket_equals_per_doc_reference(self, ray_session,
+                                             small_corpus):
+        """reassemble_bucket (the pipeline path) must be row-for-row
+        equal to the single-doc reference reassemble_group, including
+        float quality means (offset-order summation)."""
+        import pyarrow as pa
+
+        from ocr_ray.stages.extract_stage import (
+            ExtractSpans,
+            add_reassembly_bucket,
+            explode_spans,
+            reassemble_bucket,
+            reassemble_group,
+        )
+        from ocr_ray.stages.validate import validate_batch
+
+        ok = validate_batch(small_corpus)
+        ok = ok.filter(pa.compute.equal(ok["reject_reason"], ""))
+        spans = ExtractSpans()(explode_spans(ok))
+        bucketed = add_reassembly_bucket(spans, n_buckets=3)
+        parts = []
+        for b in range(3):
+            grp = bucketed.filter(pa.compute.equal(bucketed["bucket"], b))
+            if grp.num_rows:
+                parts.append(reassemble_bucket(grp))
+        got = pa.concat_tables(parts).sort_by("doc_id").to_pylist()
+        want = []
+        for doc_id in set(spans["doc_id"].to_pylist()):
+            grp = spans.filter(pa.compute.equal(spans["doc_id"], doc_id))
+            want.extend(reassemble_group(grp).to_pylist())
+        want.sort(key=lambda r: r["doc_id"])
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            for k in w:
+                if k == "proc_ms":
+                    continue  # wall-clock timing, not comparable
+                assert g[k] == w[k], (g["doc_id"], k)
