@@ -303,3 +303,66 @@ def write_corpus(path: str, n_docs: int, seed: int = 42, docs_per_file: int = 20
         pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"))
         part += 1
     return path
+
+
+# ------------------------------------------------ near-dup recall corpus
+
+def write_neardup_corpus(path: str, n_background: int = 240,
+                         n_near: int = 40, n_exact: int = 20,
+                         n_vec_pairs: int = 40, n_vec_bg: int = 40,
+                         seed: int = 13) -> str:
+    """Deterministic planted near-duplicate corpus for RECALL measurement
+    (bench entries dedup_recall_{minhash,simhash,embedding}): background
+    docs, exact-dup pairs, near-dup pairs (a few tail tokens swapped, so
+    shingle Jaccard lands ~0.85-0.95), and an embeddings table with
+    pairs planted at cosine ~0.95-0.96 plus random background vectors.
+    Ground truth is computed brute-force by the bench (the corpus is
+    small by design); all content is a pure function of (seed, i).
+    """
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+
+    def words(tag: str, n: int = 110) -> list[str]:
+        rng = DetRand(seed, "ndc", tag)
+        return [f"{tag}w{i}t{rng.randint(0, 9999)}" for i in range(n)]
+
+    rows = []
+    did = 0
+    for i in range(n_background):
+        rows.append({"doc_id": did, "text": " ".join(words(f"bg{i}"))})
+        did += 1
+    for i in range(n_exact):
+        t = " ".join(words(f"ex{i}"))
+        rows.append({"doc_id": did, "text": t}); did += 1
+        rows.append({"doc_id": did, "text": t}); did += 1
+    for i in range(n_near):
+        w = words(f"nr{i}")
+        a = " ".join(w)
+        w2 = list(w)
+        for j in range(1, 6):       # swap 5 tail tokens -> J ~ 0.87
+            w2[-j] = f"alt{i}x{j}"
+        rows.append({"doc_id": did, "text": a}); did += 1
+        rows.append({"doc_id": did, "text": " ".join(w2)}); did += 1
+    pq.write_table(pa.Table.from_pylist(
+        [{"doc_id": r["doc_id"], "text": r["text"]} for r in rows]),
+        os.path.join(path, "documents.parquet"))
+
+    rng = np.random.RandomState(seed)
+    vecs, vid = [], 0
+    for i in range(n_vec_pairs):
+        u = rng.randn(32); u /= np.linalg.norm(u)
+        w = rng.randn(32); w -= (w @ u) * u; w /= np.linalg.norm(w)
+        c = 0.952 + 0.008 * rng.rand()
+        v = c * u + np.sqrt(1 - c * c) * w
+        vecs.append({"vec_id": vid, "embedding": u.tolist()}); vid += 1
+        vecs.append({"vec_id": vid, "embedding": v.tolist()}); vid += 1
+    for _ in range(n_vec_bg):
+        vecs.append({"vec_id": vid,
+                     "embedding": rng.randn(32).tolist()}); vid += 1
+    pq.write_table(pa.Table.from_pylist(vecs),
+                   os.path.join(path, "embeddings.parquet"))
+    return path

@@ -130,12 +130,24 @@ def build_ivf_index(sf_dir: str, n_clusters: int = 16) -> tuple[str, np.ndarray]
         cent = np.asarray(json.load(open(cent_file)), dtype=np.float64)
         return path, cent
 
-    # stream only the first 512 rows off disk for centroid fitting (a
-    # full-column read here would scan the corpus at scale)
+    # centroid fitting streams a STRIDED sample: a few rows from the
+    # head of every row group (first-512-rows sampling biased the
+    # centroids toward whatever order the file was written in; a
+    # full-column read would scan the corpus at scale)
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    first = next(pf.iter_batches(batch_size=512, columns=["embedding"]))
-    sample = np.asarray(first.column("embedding").to_pylist(),
-                        dtype=np.float64)
+    n_rg = pf.metadata.num_row_groups
+    # at most 8 evenly-spaced row groups: a row group's column chunk is
+    # the parquet IO unit, so this bounds the sampling IO to 8 chunks
+    # regardless of corpus size
+    pick = sorted({int(i) for i in
+                   np.linspace(0, n_rg - 1, num=min(n_rg, 8))})
+    per_rg = max(1, 512 // len(pick))
+    parts = []
+    for rg in pick:
+        t = pf.read_row_group(rg, columns=["embedding"])
+        parts.append(np.asarray(t["embedding"][:per_rg].to_pylist(),
+                                dtype=np.float64))
+    sample = np.concatenate(parts)[:512]
     cent = _fit_centroids(sample, min(n_clusters, len(sample)))
 
     ds = _read(sf_dir, ["vec_id", "embedding"])
