@@ -522,43 +522,57 @@ def char_bigram_logprob_scores(sf_dir: str, add_k: float = 0.5):
 
 # ------------------------------------------------- per-group quantiles
 
-def lang_char_quantiles(sf_dir: str):
-    """Exact discrete quantiles of n_chars per language via a
-    VALUE-HISTOGRAM aggregate: groupby(lang, n_chars).count collapses
-    the corpus to one row per distinct (lang, value) pair — bounded by
-    the VALUE DOMAIN (n_chars is a small int), not the corpus size —
-    then per-lang quantiles fall out of the cumulative counts.
+def grouped_quantiles(ds, key: str, value: str,
+                      qs: dict[str, float] | None = None) -> pa.Table:
+    """Exact per-group discrete quantiles of an integer column via a
+    VALUE-HISTOGRAM aggregate: groupby(key, value).count collapses the
+    corpus to one row per distinct (group, value) pair — bounded by the
+    VALUE DOMAIN, not the corpus size — then each group's quantiles
+    fall out of its cumulative counts.
 
-    This replaces the round-2 ``groupby(lang).map_groups`` shape, which
-    put one language's ENTIRE value vector into a single task — at
-    corpus scale the dominant language (English) is most of the data,
-    so that task was unbounded (VERDICT r2 #5 / what's-wrong #3).  The
-    histogram rows that reach the driver are O(#langs x #distinct
+    This replaces the round-2 ``groupby(key).map_groups`` shape, which
+    put one group's ENTIRE value vector into a single task — at corpus
+    scale the dominant group (English) is most of the data, so that
+    task was unbounded (VERDICT r2 #5 / what's-wrong #3).  The
+    histogram rows that reach the driver are O(#groups x #distinct
     values) regardless of row count.  quantile_disc rule: the
     ceil(q*n)-th order statistic (1-based) — NOT floor((n-1)*q).
     """
     from ray.data.aggregate import Count
 
-    ds = _read(sf_dir, ["lang", "n_chars"])
-    hist = (ds.groupby(["lang", "n_chars"])
+    if qs is None:
+        qs = {"p25": 0.25, "p50": 0.5, "p95": 0.95}
+    hist = (ds.groupby([key, value])
             .aggregate(Count(alias_name="n")).to_pandas())
 
     out = []
-    for lang, g in hist.groupby("lang", sort=True):
-        g = g.sort_values("n_chars")
+    for grp, g in hist.groupby(key, sort=True):
+        g = g.sort_values(value)
         cum = g["n"].cumsum().to_numpy()
-        vals = g["n_chars"].to_numpy()
+        vals = g[value].to_numpy()
         total = int(cum[-1])
 
         def pick(q):
             rank = math.ceil(q * total)         # 1-based order statistic
             return int(vals[np.searchsorted(cum, rank, side="left")])
 
-        out.append({"lang": lang, "p25": pick(0.25), "p50": pick(0.5),
-                    "p95": pick(0.95)})
+        out.append({key: grp, **{name: pick(q) for name, q in qs.items()}})
     return pa.Table.from_pylist(out, schema=pa.schema(
-        [("lang", pa.string()), ("p25", pa.int64()),
-         ("p50", pa.int64()), ("p95", pa.int64())]))
+        [(key, pa.string())] + [(name, pa.int64()) for name in qs]))
+
+
+def lang_char_quantiles(sf_dir: str):
+    """Exact n_chars quantiles per language (see grouped_quantiles for
+    the scale design and the quantile_disc rule)."""
+    return grouped_quantiles(_read(sf_dir, ["lang", "n_chars"]),
+                             "lang", "n_chars")
+
+
+def source_char_quantiles(sf_dir: str):
+    """The per-source corpus describe (reference G7 generalized: at any
+    real scale describe() is per-source/per-language, not per-corpus)."""
+    return grouped_quantiles(_read(sf_dir, ["source", "n_chars"]),
+                             "source", "n_chars")
 
 
 LANG_CHAR_QUANTILES_SQL = """
@@ -567,4 +581,12 @@ SELECT lang,
        CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
        CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
 FROM documents GROUP BY lang
+"""
+
+SOURCE_CHAR_QUANTILES_SQL = """
+SELECT source,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
+FROM documents GROUP BY source
 """

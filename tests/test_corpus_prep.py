@@ -140,6 +140,10 @@ class TestCorpusPrep:
         from ocr_ray.functions import corpus_prep as cp
         _check(cp.lang_char_quantiles(SF), cp.LANG_CHAR_QUANTILES_SQL)
 
+    def test_source_char_quantiles_exact(self, ray_session):
+        from ocr_ray.functions import corpus_prep as cp
+        _check(cp.source_char_quantiles(SF), cp.SOURCE_CHAR_QUANTILES_SQL)
+
     def test_lang_char_quantiles_group_larger_than_batch(
             self, ray_session, tmp_path):
         """One skewed group far bigger than any batch: the histogram
