@@ -84,6 +84,80 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def knn_batch_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 5):
+    """Batched multi-query exact cosine top-k — the shape a training
+    pipeline actually runs (dedup/retrieval of a whole query SET against
+    the corpus), not one query at a time.
+
+    The query matrix (the ``n_queries`` smallest vec_ids, deterministic
+    and oracle-expressible) is broadcast once via fn_kwargs; each batch
+    does ONE (batch x dim) @ (dim x n_queries) matmul and keeps its
+    local top-k PER QUERY, so only n_queries*k rows per batch reach the
+    final per-query groupby — the distributed-top-k reduction
+    generalized to a query batch.  Exact SQL oracle (QUALIFY rank).
+    """
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", n_queries)])
+    order = pc.sort_indices(tbl["vec_id"])
+    qids = pc.take(tbl["vec_id"], order).to_numpy(zero_copy_only=False)
+    Q = np.asarray(pc.take(tbl["embedding"], order).to_pylist(),
+                   dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    ds = _read(sf_dir, ["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table, Qn=None, qids=None, k=5) -> pa.Table:
+        m = _batch_matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cos = np_round_half_up((m @ Qn.T) / norms[:, None], 6)  # (n, q)
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
+        take = min(k, len(ids))
+        out_q, out_v, out_c = [], [], []
+        for j in range(cos.shape[1]):
+            sel = np.lexsort((ids, -cos[:, j]))[:take]
+            out_q.extend([int(qids[j])] * take)
+            out_v.extend(ids[sel].tolist())
+            out_c.extend(cos[sel, j].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
+
+    def final_topk(group: pa.Table, k=5) -> pa.Table:
+        ids = np.asarray(group["vec_id"].to_pylist())
+        cos = np.asarray(group["cosine"].to_pylist())
+        sel = np.lexsort((ids, -cos))[:k]
+        return pa.table({"query_id": group["query_id"].take(
+                             pa.array(sel)),
+                         "vec_id": pa.array(ids[sel], pa.int64()),
+                         "cosine": pa.array(cos[sel], pa.float64())})
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=4096,
+                           fn_kwargs={"Qn": Qn, "qids": qids, "k": k})
+            .groupby("query_id")
+            .map_groups(final_topk, batch_format="pyarrow",
+                        fn_kwargs={"k": k}))
+
+
+KNN_BATCH_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 8)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT q.query_id, e.vec_id,
+         floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+               * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY floor(list_cosine_similarity(
+                                CAST(e.embedding AS DOUBLE[]), q.qe)
+                                * 1000000.0 + 0.5) / 1000000.0 DESC,
+                            e.vec_id ASC) AS rnk
+  FROM embeddings e, q
+) WHERE rnk <= 5
+"""
+
+
 def _fit_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndarray:
     """Deterministic Lloyd iterations; init = first n distinct rows."""
     cent = sample[:n_clusters].copy()

@@ -42,3 +42,37 @@ class TestIvfIndex:
                       nprobe=1).take_all()
         assert top and top[0]["vec_id"] == 0
         assert top[0]["cosine"] == pytest.approx(1.0)
+
+
+class TestKnnBatch:
+    def test_batch_topk_vs_sql(self, ray_session):
+        import duckdb
+
+        from ocr_ray.functions.similarity import (
+            KNN_BATCH_SQL,
+            knn_batch_bruteforce,
+        )
+
+        got = knn_batch_bruteforce(SF).to_pandas() \
+            .sort_values(["query_id", "cosine", "vec_id"],
+                         ascending=[True, False, True]) \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"'{SF}/embeddings.parquet'")
+        want = con.execute(
+            KNN_BATCH_SQL + " ORDER BY query_id, cosine DESC, vec_id") \
+            .fetchdf().reset_index(drop=True)
+        assert len(got) == len(want) == 8 * 5
+        assert list(got["query_id"]) == list(want["query_id"])
+        assert list(got["vec_id"]) == list(want["vec_id"])
+        assert np.allclose(got["cosine"], want["cosine"], atol=0)
+
+    def test_each_query_is_own_top_hit(self, ray_session):
+        from ocr_ray.functions.similarity import knn_batch_bruteforce
+
+        out = knn_batch_bruteforce(SF).to_pandas()
+        for qid, g in out.groupby("query_id"):
+            top = g.sort_values(["cosine", "vec_id"],
+                                ascending=[False, True]).iloc[0]
+            assert top["vec_id"] == qid and top["cosine"] == 1.0
