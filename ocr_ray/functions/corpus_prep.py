@@ -488,20 +488,25 @@ def char_bigram_logprob_scores(sf_dir: str, add_k: float = 0.5):
 
     ds = _read(sf_dir, ["doc_id", "text"])
 
-    def count_bigrams(batch: pa.Table) -> pa.Table:
-        m = np.zeros((_BIGRAM_DIM, _BIGRAM_DIM), dtype=np.int64)
-        for text in batch["text"].to_pylist():
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(state: np.ndarray, blk: pa.Table) -> np.ndarray:
+        for text in blk["text"].to_pylist():
             ids = _bigram_ids(text)
             if len(ids) >= 2:
-                np.add.at(m, (ids[:-1], ids[1:]), 1)
-        return pa.table({"counts": pa.array([m.ravel().tolist()],
-                                            pa.list_(pa.int64()))})
+                np.add.at(state, (ids[:-1], ids[1:]), 1)
+        return state
 
-    rows = ds.map_batches(count_bigrams, batch_format="pyarrow",
-                          batch_size=4096).take_all()
-    counts = np.zeros(_BIGRAM_DIM * _BIGRAM_DIM, dtype=np.int64)
-    for r in rows:
-        counts += np.asarray(r["counts"], dtype=np.int64)
+    # one associative aggregate: per-block count matrices merge in the
+    # tree (round 2 pulled one row per batch onto the driver and summed
+    # there — millions of rows at corpus scale)
+    agg = AggregateFn(
+        init=lambda _: np.zeros((_BIGRAM_DIM, _BIGRAM_DIM), np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=acc_block,
+        finalize=lambda m: m.ravel().tobytes(),
+        name="bigrams")
+    counts = np.frombuffer(ds.aggregate(agg)["bigrams"], np.int64)
     m = counts.reshape(_BIGRAM_DIM, _BIGRAM_DIM).astype(np.float64)
     logp = np.log((m + add_k) / (m.sum(axis=1, keepdims=True)
                                  + add_k * _BIGRAM_DIM))

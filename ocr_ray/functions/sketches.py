@@ -62,16 +62,18 @@ def approx_distinct(ds, column: str, k: int = 1024):
     driver (a few KB regardless of input size). Returns a one-row
     pyarrow Table {approx_distinct: float64}.
     """
-    def per_batch(batch: pa.Table, column=column, k=k) -> pa.Table:
-        sk = kmv_sketch(batch[column].to_pylist(), k)
-        return pa.table({
-            "sketch": pa.array([sk.astype(np.int64)], pa.list_(pa.int64()))})
+    from ray.data.aggregate import AggregateFn
 
-    rows = ds.map_batches(per_batch, batch_format="pyarrow",
-                          batch_size=65536).take_all()
-    sketches = [np.asarray(r["sketch"], dtype=np.int64).astype(np.uint64)
-                for r in rows]
-    est = kmv_estimate(kmv_merge(sketches, k), k)
+    agg = AggregateFn(
+        init=lambda _: np.array([], dtype=np.uint64),
+        merge=lambda a, b: kmv_merge([a, b], k),
+        accumulate_block=lambda s, blk: kmv_merge(
+            [s, kmv_sketch(blk[column].to_pylist(), k)], k),
+        finalize=lambda s: s.astype(np.int64).tobytes(),
+        name="kmv")
+    blob = ds.aggregate(agg)["kmv"]
+    sk = np.frombuffer(blob, np.int64).astype(np.uint64)
+    est = kmv_estimate(sk, k)
     return pa.table({"approx_distinct": pa.array([round(est, 1)], pa.float64())})
 
 
@@ -119,21 +121,18 @@ def heavy_hitters(ds, column: str, k: int = 16):
     """
     import pyarrow.compute as pc
 
-    def per_batch(batch: pa.Table, column=column, k=k) -> pa.Table:
-        sk = mg_sketch(batch[column].to_pylist(), k)
-        return pa.table({
-            "key": pa.array([str(key) for key in sk], pa.string()),
-            "cnt": pa.array(list(sk.values()), pa.int64()),
-            "n": pa.array([batch.num_rows] * len(sk), pa.int64()),
-        })
+    from ray.data.aggregate import AggregateFn
 
-    rows = ds.map_batches(per_batch, batch_format="pyarrow",
-                          batch_size=65536).take_all()
-    # fold the summary rows (merging singleton summaries is equivalent;
-    # the MG merge bound composes)
-    merged: dict = {}
-    for r in rows:
-        merged = mg_merge(merged, {r["key"]: r["cnt"]}, k)
+    agg = AggregateFn(
+        init=lambda _: {},
+        merge=lambda a, b: mg_merge(a, b, k),
+        accumulate_block=lambda s, blk: mg_merge(
+            s, mg_sketch([str(v) for v in blk[column].to_pylist()], k), k),
+        name="mg")
+    # tree-merged in the aggregate (the MG merge bound composes in any
+    # order; round-2 folded per-batch summary rows on the driver, which
+    # at corpus scale is millions of tiny driver merges)
+    merged: dict = ds.aggregate(agg)["mg"]
     support = ds.count() // (k + 1)
     candidates = sorted(merged)
     if not candidates:
