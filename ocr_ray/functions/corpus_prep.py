@@ -553,17 +553,24 @@ def grouped_quantiles(ds, key: str, value: str,
     out = []
     for grp, g in hist.groupby(key, sort=True):
         g = g.sort_values(value)
-        cum = g["n"].cumsum().to_numpy()
-        vals = g[value].to_numpy()
-        total = int(cum[-1])
-
-        def pick(q):
-            rank = math.ceil(q * total)         # 1-based order statistic
-            return int(vals[np.searchsorted(cum, rank, side="left")])
-
-        out.append({key: grp, **{name: pick(q) for name, q in qs.items()}})
+        picks = quantiles_from_hist(g[value].to_numpy(),
+                                    g["n"].to_numpy(), list(qs.values()))
+        out.append({key: grp,
+                    **{name: p for name, p in zip(qs, picks)}})
     return pa.Table.from_pylist(out, schema=pa.schema(
         [(key, pa.string())] + [(name, pa.int64()) for name in qs]))
+
+
+def quantiles_from_hist(vals: np.ndarray, counts: np.ndarray,
+                        qs: list[float]) -> list[int]:
+    """quantile_disc over a (sorted values, counts) histogram: the
+    ceil(q*n)-th 1-based order statistic, located by binary search on
+    the cumulative counts — equivalent to sorting the expanded vector
+    without ever materializing it."""
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    return [int(vals[np.searchsorted(cum, math.ceil(q * total),
+                                     side="left")]) for q in qs]
 
 
 def lang_char_quantiles(sf_dir: str):

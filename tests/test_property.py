@@ -149,3 +149,28 @@ class TestCleanerProperties:
         merged = CleanStats().merge(sa).merge(sb)
         _, s_all = clean_lines(a + "\n" + b)
         assert merged.as_dict() == s_all.as_dict()
+
+
+class TestHistQuantileProperty:
+    """quantiles_from_hist must equal the direct sorted-vector
+    quantile_disc rule (ceil(q*n)-th order statistic, 1-based) for ANY
+    multiset — the rule silently diverges from floor((n-1)*q) on
+    adversarial (n, q) pairs, so exercise it broadly."""
+
+    @given(st.lists(st.integers(min_value=0, max_value=40),
+                    min_size=1, max_size=200),
+           st.floats(min_value=0.01, max_value=1.0,
+                     allow_nan=False, allow_infinity=False))
+    @settings(max_examples=200, deadline=None)
+    def test_matches_expanded_vector(self, values, q):
+        import math
+
+        import numpy as np
+
+        from ocr_ray.functions.corpus_prep import quantiles_from_hist
+
+        vals, counts = np.unique(np.asarray(values), return_counts=True)
+        got = quantiles_from_hist(vals, counts, [q])[0]
+        v = np.sort(np.asarray(values))
+        want = int(v[math.ceil(q * len(v)) - 1])
+        assert got == want
