@@ -434,3 +434,95 @@ SELECT user_id,
                  / 1000.0 END AS avg_gap_s
 FROM jj GROUP BY user_id
 """
+
+
+def error_click_range_join(sf_dir: str, window_minutes: int = 5):
+    """RANGE JOIN as a custom distributed operator (the third of the
+    brief's lacking-in-Ray-Data trio: as-of ✓, windowed ✓, range ✓):
+    for every 'error' event, count the same user's 'click' events with
+    |click_ts - error_ts| <= window (inclusive both ends).
+
+    Scale design — bucketized band join, NOT a per-user group: time is
+    cut into buckets of exactly the window width; each error lands in
+    its own bucket, each click is REPLICATED to its bucket and both
+    neighbors (any in-range partner of an error in bucket b lives in
+    b-1..b+1), and ONE groupby((user_id, bucket)) co-locates every
+    error with all its candidate clicks.  Group size is bounded by the
+    events in a 3-window time slice of one user — NOT by the user's
+    total history (the per-user sessionize assumption does not apply
+    here; a hot user's year of events still splits across buckets).
+    In-group counting is one vectorized searchsorted pair per group.
+    Each error appears in exactly one group, so no dedup is needed.
+    """
+    import numpy as np
+
+    from ._io import clean_read
+
+    ds = clean_read(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_type"])
+    w_us = np.int64(window_minutes) * 60 * 1_000_000
+
+    def tag(batch: pa.Table, w_us=w_us) -> pa.Table:
+        kind = batch["event_type"].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        b = ts_us // w_us
+        out_u, out_t, out_b, out_r = [], [], [], []
+        err = kind == "error"
+        clk = kind == "click"
+        # errors: one row each, in their own bucket
+        out_u.append(users[err]); out_t.append(ts_us[err])
+        out_b.append(b[err]); out_r.append(np.zeros(err.sum(), np.int64))
+        # clicks: replicated to bucket-1, bucket, bucket+1
+        for d in (-1, 0, 1):
+            out_u.append(users[clk]); out_t.append(ts_us[clk])
+            out_b.append(b[clk] + d)
+            out_r.append(np.ones(clk.sum(), np.int64))
+        return pa.table({
+            "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+            "ts_us": pa.array(np.concatenate(out_t), pa.int64()),
+            "bucket": pa.array(np.concatenate(out_b), pa.int64()),
+            "is_click": pa.array(np.concatenate(out_r), pa.int64()),
+        })
+
+    def per_group(group: pa.Table, w_us=w_us) -> pa.Table:
+        is_click = group["is_click"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        errs = ts[is_click == 0]
+        if len(errs) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "ts_us": pa.array([], pa.int64()),
+                             "n_nearby_clicks": pa.array([], pa.int64())})
+        clicks = np.sort(ts[is_click == 1])
+        lo = np.searchsorted(clicks, errs - w_us, side="left")
+        hi = np.searchsorted(clicks, errs + w_us, side="right")
+        uid = group["user_id"][0]
+        return pa.table({
+            "user_id": pa.array(np.full(len(errs), uid.as_py()), pa.int64()),
+            "ts_us": pa.array(errs, pa.int64()),
+            "n_nearby_clicks": pa.array(hi - lo, pa.int64()),
+        })
+
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby(["user_id", "bucket"])
+           .map_groups(per_group, batch_format="pyarrow"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": pc.cast(batch["ts_us"], pa.timestamp("us")),
+            "n_nearby_clicks": batch["n_nearby_clicks"],
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+ERROR_CLICK_RANGE_SQL = """
+WITH e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT e.user_id, e.ts, CAST(count(c.ts) AS BIGINT) AS n_nearby_clicks
+FROM e LEFT JOIN c ON e.user_id = c.user_id
+  AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+GROUP BY e.user_id, e.ts
+"""

@@ -123,3 +123,62 @@ class TestDegradePayload:
                 for r in golden_result["extracted"].to_pylist()}
         for _, row in l2.iterrows():
             assert [s["offset"] for s in row["spans"]] == base[row["doc_id"]]
+
+
+class TestRangeJoin:
+    def test_error_click_range_vs_sql(self, ray_session):
+        """Bucketized band range join vs DuckDB interval join, both
+        scale factors, including errors with zero nearby clicks."""
+        import duckdb
+        import pandas as pd
+
+        from ocr_ray.functions.events import (
+            ERROR_CLICK_RANGE_SQL,
+            error_click_range_join,
+        )
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            got = error_click_range_join(sf).to_pandas()
+            con = duckdb.connect()
+            con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                        f"'{sf}/events.parquet'")
+            want = con.execute(ERROR_CLICK_RANGE_SQL).df()
+            key = ["user_id", "ts", "n_nearby_clicks"]
+            got = got[key].sort_values(key).reset_index(drop=True)
+            want = want[key].sort_values(key).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_window_boundary_inclusive(self, ray_session, tmp_path):
+        """Clicks exactly AT the +/- window edge count (inclusive), one
+        microsecond outside does not — and partners in the NEIGHBOR
+        bucket are found (the replication contract)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions.events import error_click_range_join
+
+        w_us = 5 * 60 * 1_000_000
+        base = 10 * w_us + 123  # error near a bucket's start
+        rows = [
+            {"event_id": 1, "ts": base, "user_id": 7,
+             "event_type": "error", "value": 0.0, "props": "{}"},
+            # exactly at the edges (count), just outside (don't)
+            {"event_id": 2, "ts": base - w_us, "user_id": 7,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 3, "ts": base + w_us, "user_id": 7,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 4, "ts": base - w_us - 1, "user_id": 7,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 5, "ts": base + w_us + 1, "user_id": 7,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            # other user: never joins
+            {"event_id": 6, "ts": base, "user_id": 8,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+        ]
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(t.schema.get_field_index("ts"),
+                         "ts", pa.compute.cast(t["ts"], pa.timestamp("us")))
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = error_click_range_join(str(tmp_path)).to_pandas()
+        assert len(out) == 1
+        assert int(out["n_nearby_clicks"].iloc[0]) == 2
