@@ -145,3 +145,80 @@ def media_features(media_ds, *, codec: str = "fake", batch_size: int = 32,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+FRAME_SCHEMA = pa.schema([
+    ("media_ref", pa.string()),
+    ("frame_idx", pa.int32()),
+    ("frame_ts_ms", pa.int32()),
+    ("frame", pa.binary()),
+])
+
+
+class FrameSampler:
+    """Actor-pool flat-map stage: one media row -> one row per sampled
+    frame (the video/audio analog of explode_spans).  Slicing happens on
+    the raw payload via zero-copy buffer views; a real container parser
+    (ffmpeg) plugs in at the same seam as the feature codec.  Output
+    rows are narrow (one frame each), so downstream per-frame stages
+    batch them freely regardless of source-file size — that is the
+    point: a 2-hour video fans out across the cluster instead of
+    pinning one actor.
+    """
+
+    def __init__(self, codec: str = "fake", frame_stride: int = 4000,
+                 frame_bytes: int = 1024, max_frames: int = 64):
+        if codec not in ("fake", "stub"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.codec = codec
+        self.frame_stride = frame_stride
+        self.frame_bytes = frame_bytes
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.codec == "stub":
+            raise NotImplementedError(
+                "real frame extraction requires ffmpeg — register a codec; "
+                "the 'fake' codec slices deterministic payload windows")
+        payloads = batch["payload"].combine_chunks()
+        refs = batch["media_ref"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        metas = batch["meta"].to_pylist()
+        out_ref, out_idx, out_ts, out_frame = [], [], [], []
+        for i in range(batch.num_rows):
+            payload = payloads[i].as_py()
+            if types[i] == "image":
+                n_frames, ms_per = 1, 0
+            else:
+                n_frames = min(self.max_frames, max(
+                    1, metas[i]["n_frames"] // self.frame_stride))
+                sr = max(1, metas[i]["sample_rate"])
+                ms_per = self.frame_stride * 1000 // sr
+            span = max(1, (len(payload) - self.frame_bytes)
+                       // max(1, n_frames))
+            for f in range(n_frames):
+                lo = min(f * span, max(0, len(payload) - self.frame_bytes))
+                out_ref.append(refs[i])
+                out_idx.append(f)
+                out_ts.append(f * ms_per)
+                out_frame.append(payload[lo:lo + self.frame_bytes])
+        return pa.table({
+            "media_ref": pa.array(out_ref, pa.string()),
+            "frame_idx": pa.array(out_idx, pa.int32()),
+            "frame_ts_ms": pa.array(out_ts, pa.int32()),
+            "frame": pa.array(out_frame, pa.binary()),
+        })
+
+
+def sample_frames(media_ds, *, codec: str = "fake", frame_stride: int = 4000,
+                  batch_size: int = 16, concurrency=(1, 8)):
+    """media table -> frame table (actor pool; batches stay SMALL because
+    input rows are wide — the output is narrow and re-batches freely)."""
+    return media_ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"codec": codec, "frame_stride": frame_stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -182,3 +182,42 @@ class TestRangeJoin:
         out = error_click_range_join(str(tmp_path)).to_pandas()
         assert len(out) == 1
         assert int(out["n_nearby_clicks"].iloc[0]) == 2
+
+
+class TestFrameSampling:
+    def test_frames_match_meta_and_are_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.stages.multimodal import (
+            FrameSampler,
+            sample_frames,
+            synth_media_table,
+        )
+
+        media = synth_media_table(40)
+        out = sample_frames(rd.from_arrow(media)).to_pandas()
+        metas = {r["media_ref"]: r for r in media.to_pylist()}
+        for ref, g in out.groupby("media_ref"):
+            m = metas[ref]
+            if m["media_type"] == "image":
+                assert len(g) == 1 and int(g["frame_idx"].iloc[0]) == 0
+            else:
+                want = min(64, max(1, m["meta"]["n_frames"] // 4000))
+                assert len(g) == want
+                assert list(g.sort_values("frame_idx")["frame_idx"]) \
+                    == list(range(want))
+            assert all(len(f) > 0 for f in g["frame"])
+        # pure function: a second pass over the same table is identical
+        again = sample_frames(rd.from_arrow(media)).to_pandas()
+        key = ["media_ref", "frame_idx"]
+        a = out.sort_values(key).reset_index(drop=True)
+        b = again.sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_stub_codec_marks_real_seam(self, ray_session):
+        import pytest as _pytest
+
+        from ocr_ray.stages.multimodal import FrameSampler, synth_media_table
+
+        with _pytest.raises(NotImplementedError):
+            FrameSampler(codec="stub")(synth_media_table(2))
