@@ -57,6 +57,14 @@ def _keyword_hits_corpus(sf_dir: str):
         keyword_hits(extracted, keywords=FLAT_CORPUS_KEYWORDS))
 
 
+def _error_click_range_join_us(sf_dir: str):
+    """Bucketized band range join (ts as epoch-us ints on both engines
+    so the value hash is dtype-robust)."""
+    from ocr_ray.functions.events import error_click_range_join
+
+    return error_click_range_join(sf_dir, ts_as="us")
+
+
 def _running_user_totals(sf_dir: str):
     """Incremental per-user aggregation in bucket actors (the raw-actor
     streaming escape hatch, ocr_ray/stages/streaming.py); final state is
@@ -137,8 +145,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": tx.lang_id,
         "doc_fingerprints": tx.doc_fingerprints,
         "doc_entity_counts": tx.doc_entity_counts,
-        "doc_summaries": tx.doc_summaries,
-        "semantic_keyword_hits": tx.semantic_keyword_hits,
+        # doc_summaries / semantic_keyword_hits moved to exact golden
+        # pytest oracles (tests/test_golden_textops.py — stronger than
+        # the rows-only driver check) to free registry slots for two
+        # SQL-checked operators under the 50-entry driver cap:
+        "error_click_range_join": _error_click_range_join_us,
+        "knn_batch_topk": sim.knn_batch_bruteforce,
         # sketches (mergeable approx aggregates; deterministic hash-based)
         "approx_distinct_orderkeys": _approx_distinct_orderkeys,
         # relational (SURVEY.md §2.5-2.6 shapes)
@@ -201,6 +213,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_histogram": ev.EVENTS_HOURLY_SQL,
         "events_daily_moving_avg": ev.EVENTS_MOVING_AVG_SQL,
         "error_click_asof": ev.ERROR_CLICK_ASOF_SQL,
+        "error_click_range_join": ev.ERROR_CLICK_RANGE_US_SQL,
+        "knn_batch_topk": sim.KNN_BATCH_SQL,
         "running_user_totals": _RUNNING_USER_TOTALS_SQL,
         "doc_lang_stats": tx.DOC_LANG_STATS_SQL,
         "doc_sample_stats": tx.DOC_SAMPLE_SQL,

@@ -436,7 +436,8 @@ FROM jj GROUP BY user_id
 """
 
 
-def error_click_range_join(sf_dir: str, window_minutes: int = 5):
+def error_click_range_join(sf_dir: str, window_minutes: int = 5,
+                           ts_as: str = "timestamp"):
     """RANGE JOIN as a custom distributed operator (the third of the
     brief's lacking-in-Ray-Data trio: as-of ✓, windowed ✓, range ✓):
     for every 'error' event, count the same user's 'click' events with
@@ -508,10 +509,14 @@ def error_click_range_join(sf_dir: str, window_minutes: int = 5):
            .groupby(["user_id", "bucket"])
            .map_groups(per_group, batch_format="pyarrow"))
 
-    def finalize(batch: pa.Table) -> pa.Table:
+    def finalize(batch: pa.Table, ts_as=ts_as) -> pa.Table:
+        # ts_as="us": epoch-microsecond int64 (dtype-robust for the
+        # driver's cross-engine value hash); "timestamp": arrow ts[us]
+        ts = (batch["ts_us"] if ts_as == "us"
+              else pc.cast(batch["ts_us"], pa.timestamp("us")))
         return pa.table({
             "user_id": batch["user_id"],
-            "ts": pc.cast(batch["ts_us"], pa.timestamp("us")),
+            "ts": ts,
             "n_nearby_clicks": batch["n_nearby_clicks"],
         })
 
@@ -522,6 +527,18 @@ ERROR_CLICK_RANGE_SQL = """
 WITH e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
      c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
 SELECT e.user_id, e.ts, CAST(count(c.ts) AS BIGINT) AS n_nearby_clicks
+FROM e LEFT JOIN c ON e.user_id = c.user_id
+  AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+GROUP BY e.user_id, e.ts
+"""
+
+# registry variant: ts as epoch microseconds on BOTH engines, so the
+# driver's value hash never depends on timestamp-dtype round-tripping
+ERROR_CLICK_RANGE_US_SQL = """
+WITH e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT e.user_id, epoch_us(e.ts) AS ts,
+       CAST(count(c.ts) AS BIGINT) AS n_nearby_clicks
 FROM e LEFT JOIN c ON e.user_id = c.user_id
   AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
 GROUP BY e.user_id, e.ts
