@@ -80,11 +80,10 @@ from ocr_ray.stages.streaming import RUNNING_USER_TOTALS_SQL as _RUNNING_USER_TO
 def _approx_distinct_orderkeys(sf_dir: str):
     """KMV sketch distinct-count of lineitem.l_orderkey (rows-only: the
     estimator is deterministic but not SQL-replicable)."""
-    import ray.data as rd
-
+    from ocr_ray.functions._io import clean_read
     from ocr_ray.functions.sketches import approx_distinct
 
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    ds = clean_read(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
     return approx_distinct(ds, "l_orderkey")
 
 
