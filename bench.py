@@ -233,6 +233,11 @@ def main_single():
 
     ray.shutdown()
 
+    # print the base record FIRST: if a scaling subprocess below hangs
+    # or is killed with the driver, the computed record is already on
+    # stdout (the augmented line printed after supersedes it on success)
+    print(json.dumps(result), flush=True)
+
     # north-rule scaling evidence in the DRIVER-VISIBLE record (round-2
     # VERDICT #4): the same flagship job in two fresh processes at the
     # 4/16-CPU pair (both below this box's memory-bandwidth saturation —
@@ -250,15 +255,17 @@ def main_single():
             }
             result["scaling_efficiency"] = round(
                 (tp_hi / tp_lo) / (hi / lo), 3)
+            print(json.dumps(result), flush=True)  # augmented record
         except Exception as e:  # pragma: no cover - defensive
             result["scaling_efficiency"] = f"error: {type(e).__name__}"
-    print(json.dumps(result))
+            print(json.dumps(result), flush=True)
 
 
 def run_at(ncpu: int) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_FLAGSHIP_ONLY="1")
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                         env=env, capture_output=True, text=True, check=True)
+                         env=env, capture_output=True, text=True, check=True,
+                         timeout=900)  # a hung leg must not lose the record
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

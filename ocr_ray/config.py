@@ -64,6 +64,15 @@ class PipelineConfig:
     # large clusters (observed: 16 capped the 32-CPU bench at 8-CPU speed).
     extract_concurrency: int | tuple = (1, 128)
     ocr_conf_bins: int = 10               # confidence histogram 0..100 step 10
+    # exploded-path reassembly bucket count (None = cluster-sized
+    # default, ~4x CPUs).  A bucket's group holds ~n_docs/buckets docs'
+    # span rows, so for LARGE full-corpus exploded runs this must scale
+    # with the data to bound per-task memory: run_extraction sizes it
+    # automatically from the input's (metadata-cheap) row count at
+    # reassembly_docs_per_bucket docs per bucket; other entry points can
+    # set it explicitly.
+    reassembly_buckets: int | None = None
+    reassembly_docs_per_bucket: int = 256
 
     # --- output layout
     shard_partitions: int = 16            # checkpointable output partitions

@@ -545,17 +545,30 @@ def grouped_quantiles(ds, key: str, value: str,
     """
     from ray.data.aggregate import Count
 
+    import pyarrow.compute as pc
+
     if qs is None:
         qs = {"p25": 0.25, "p50": 0.5, "p95": 0.95}
-    hist = (ds.groupby([key, value])
+
+    # SQL GROUP BY keeps a NULL-keyed group, but Ray's sort-based
+    # groupby cannot order None against strings — carry nullness as a
+    # separate int column and fill the key, then map back in the fold
+    def null_safe(batch: pa.Table) -> pa.Table:
+        k = batch[key]
+        return pa.table({key: pc.fill_null(k, ""),
+                         "__knull": pc.cast(pc.is_null(k), pa.int64()),
+                         value: batch[value]})
+
+    hist = (ds.map_batches(null_safe, batch_format="pyarrow")
+            .groupby([key, "__knull", value])
             .aggregate(Count(alias_name="n")).to_pandas())
 
     out = []
-    for grp, g in hist.groupby(key, sort=True):
+    for (grp, knull), g in hist.groupby([key, "__knull"], sort=True):
         g = g.sort_values(value)
         picks = quantiles_from_hist(g[value].to_numpy(),
                                     g["n"].to_numpy(), list(qs.values()))
-        out.append({key: grp,
+        out.append({key: None if knull else grp,
                     **{name: p for name, p in zip(qs, picks)}})
     return pa.Table.from_pylist(out, schema=pa.schema(
         [(key, pa.string())] + [(name, pa.int64()) for name in qs]))

@@ -495,14 +495,19 @@ def error_click_range_join(sf_dir: str, window_minutes: int = 5,
             return pa.table({"user_id": pa.array([], pa.int64()),
                              "ts_us": pa.array([], pa.int64()),
                              "n_nearby_clicks": pa.array([], pa.int64())})
+        # duplicate (user, ts) error rows collapse into ONE output row
+        # whose count is multiplicity * clicks-in-range — exactly the
+        # oracle's GROUP BY e.user_id, e.ts over the joined pairs
+        # (duplicates always share this group: same user, same bucket)
+        uniq, mult = np.unique(errs, return_counts=True)
         clicks = np.sort(ts[is_click == 1])
-        lo = np.searchsorted(clicks, errs - w_us, side="left")
-        hi = np.searchsorted(clicks, errs + w_us, side="right")
+        lo = np.searchsorted(clicks, uniq - w_us, side="left")
+        hi = np.searchsorted(clicks, uniq + w_us, side="right")
         uid = group["user_id"][0]
         return pa.table({
-            "user_id": pa.array(np.full(len(errs), uid.as_py()), pa.int64()),
-            "ts_us": pa.array(errs, pa.int64()),
-            "n_nearby_clicks": pa.array(hi - lo, pa.int64()),
+            "user_id": pa.array(np.full(len(uniq), uid.as_py()), pa.int64()),
+            "ts_us": pa.array(uniq, pa.int64()),
+            "n_nearby_clicks": pa.array((hi - lo) * mult, pa.int64()),
         })
 
     out = (ds.map_batches(tag, batch_format="pyarrow")

@@ -37,15 +37,18 @@ _N_FPREF = 16
 _PREFIX_CHARS = 2
 
 
-def _band_rows(doc_ids, texts, a, b):
-    """(band_id, band_hash, prefix, doc_id) rows + per-doc shingle blobs."""
+def _band_rows(doc_ids, texts, a, b, with_blobs: bool = True):
+    """(band_id, band_hash, prefix, doc_id) rows; per-doc sorted shingle
+    blobs only when requested (the bands-only index pass skips the
+    O(s log s) sort + serialization per doc)."""
     import hashlib
 
     band_id, band_hash, prefix, ids = [], [], [], []
     blobs = []
     for doc_id, text in zip(doc_ids, texts):
         sh = _shingles(text)
-        blobs.append(np.sort(sh).tobytes())
+        if with_blobs:
+            blobs.append(np.sort(sh).tobytes())
         sig = _minhash(sh, a, b)
         for band in range(_BANDS):
             chunk = sig[band * _ROWS_PER_BAND:(band + 1) * _ROWS_PER_BAND]
@@ -73,7 +76,8 @@ def build_band_index(sf_dir: str, index_dir: str) -> str:
 
     def to_bands(batch: pa.Table) -> pa.Table:
         band_id, band_hash, prefix, ids, _ = _band_rows(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist(), a, b)
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist(), a, b,
+            with_blobs=False)
         return pa.table({"band_id": pa.array(band_id, pa.int64()),
                          "band_hash": pa.array(band_hash, pa.string()),
                          "prefix": pa.array(prefix, pa.string()),

@@ -104,11 +104,14 @@ def _exploded_branch(ok, cfg: PipelineConfig, pool, nblocks):
         # bucketized reassembly: ONE group per hash bucket (not per doc)
         # amortizes the per-group machinery over ~hundreds of docs; the
         # groupby(bucket) shuffle moves the same span rows the per-doc
-        # groupby did, in nblocks streams.  At the 100-TB target only
-        # mega docs route here, so a bucket is a bounded set of docs
-        # whose spans fit one task comfortably.
+        # groupby did.  Bucket count must scale with the DATA (a fixed
+        # cluster-sized count makes group size grow with the corpus):
+        # run_extraction sizes cfg.reassembly_buckets from the input's
+        # metadata row count; the cluster-sized value only backstops
+        # entry points that cannot count cheaply.
         .map_batches(add_reassembly_bucket, batch_format="pyarrow",
-                     fn_kwargs={"n_buckets": nblocks},
+                     fn_kwargs={"n_buckets":
+                                cfg.reassembly_buckets or nblocks},
                      zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(
@@ -216,6 +219,19 @@ def run_extraction(
     import shutil
 
     ds = read_documents(input_path)
+    if (cfg.pipeline_mode in ("exploded", "hybrid")
+            and cfg.reassembly_buckets is None):
+        # size reassembly buckets from the data: count() on an
+        # untransformed file read is parquet-metadata-only (no scan)
+        from dataclasses import replace as _replace
+
+        import ray
+
+        total = int(ray.cluster_resources().get("CPU", 8))
+        est_docs = ds.count()
+        cfg = _replace(cfg, reassembly_buckets=int(max(
+            max(16, total * 4),
+            -(-est_docs // cfg.reassembly_docs_per_bucket))))
     result = build_extracted(ds, cfg)
     # fresh-run semantics: write_parquet APPENDS into existing dirs, so a
     # rerun would silently duplicate docs; resumability lives in the

@@ -58,6 +58,11 @@ def write_table(ds, path: str, **kwargs):
                 "use a Parquet output path (same schema) instead.")
         import lance
 
+        mode = kwargs.pop("mode", "create")
+        if kwargs:  # refuse, don't silently drop (e.g. partition_cols)
+            raise ValueError(
+                f"write_table(lance) supports only mode=; got "
+                f"{sorted(kwargs)}")
         target = path.removeprefix("lance://")
         schema = ds.schema().base_schema
 
@@ -66,9 +71,11 @@ def write_table(ds, path: str, **kwargs):
                 yield from tbl.to_batches()
 
         reader = pa.RecordBatchReader.from_batches(schema, batches())
-        lance.write_dataset(reader, target, schema=schema,
-                            mode=kwargs.get("mode", "create"))
+        lance.write_dataset(reader, target, schema=schema, mode=mode)
         return
+    if "mode" in kwargs:
+        raise ValueError("mode= applies to Lance targets only; "
+                         "write_parquet has no mode")
     ds.write_parquet(path, **kwargs)
 
 

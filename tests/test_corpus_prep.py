@@ -228,3 +228,31 @@ class TestBigramScores:
         got = {r["doc_id"]: r["avg_logprob"] for r in
                char_bigram_logprob_scores(str(tmp_path)).take_all()}
         assert got[9] < got[1]  # gibberish well below fluent text
+
+    def test_lang_char_quantiles_null_group_key(self, ray_session,
+                                                tmp_path):
+        """SQL GROUP BY keeps a NULL-keyed group; the histogram fold
+        must too (pandas' groupby default silently dropped it)."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions import corpus_prep as cp
+
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "lang": pa.array(["en", "en", None, None], pa.string()),
+            "n_chars": pa.array([10, 30, 7, 9], pa.int64()),
+            "text": pa.array([""] * 4, pa.string()),
+        }), str(tmp_path / "documents.parquet"))
+        got = cp.lang_char_quantiles(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{tmp_path}/documents.parquet'")
+        want = con.execute(cp.LANG_CHAR_QUANTILES_SQL).fetchdf()
+        assert len(got) == len(want) == 2
+        nullrow = got[got["lang"].isna()]
+        wantnull = want[want["lang"].isna()]
+        assert len(nullrow) == 1
+        for c in ("p25", "p50", "p95"):
+            assert int(nullrow[c].iloc[0]) == int(wantnull[c].iloc[0])

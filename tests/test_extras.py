@@ -221,3 +221,42 @@ class TestFrameSampling:
 
         with _pytest.raises(NotImplementedError):
             FrameSampler(codec="stub")(synth_media_table(2))
+
+    def test_duplicate_error_timestamps_match_sql_group_by(
+            self, ray_session, tmp_path):
+        """Duplicate (user_id, ts) error rows must collapse into ONE
+        output row with multiplicity * clicks-in-range, exactly like
+        the oracle's GROUP BY over the joined pairs."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions.events import (
+            ERROR_CLICK_RANGE_SQL,
+            error_click_range_join,
+        )
+
+        base = 10_000_000_000
+        rows = [
+            {"event_id": 1, "ts": base, "user_id": 7,
+             "event_type": "error", "value": 0.0, "props": "{}"},
+            {"event_id": 2, "ts": base, "user_id": 7,     # duplicate ts
+             "event_type": "error", "value": 0.0, "props": "{}"},
+            {"event_id": 3, "ts": base + 1000, "user_id": 7,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 4, "ts": base + 2000, "user_id": 7,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+        ]
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         pa.compute.cast(t["ts"], pa.timestamp("us")))
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = error_click_range_join(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{tmp_path}/events.parquet'")
+        want = con.execute(ERROR_CLICK_RANGE_SQL).df()
+        assert len(got) == len(want) == 1
+        assert int(got["n_nearby_clicks"].iloc[0]) \
+            == int(want["n_nearby_clicks"].iloc[0]) == 4  # 2 errors x 2
