@@ -548,3 +548,65 @@ FROM e LEFT JOIN c ON e.user_id = c.user_id
   AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
 GROUP BY e.user_id, e.ts
 """
+
+
+def distinct_users_by_type(sf_dir: str, n_salts: int = 16):
+    """Exact per-key COUNT(DISTINCT user_id) via a SALTED groupby — the
+    skew mechanism the north rule names, applied where partial
+    aggregation alone cannot help (distinct state is not decomposable
+    by row subsets).
+
+    Salt = user_id % n_salts (VALUE-hash salting): every occurrence of
+    one user lands in the same (event_type, salt) group, so per-group
+    distinct counts are disjoint and their per-key SUM is exact.  A hot
+    event_type's distinct-user state is split across n_salts groups —
+    per-task state is bounded by |distinct users| / n_salts instead of
+    the full key's cardinality.  Raise n_salts with the user universe.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import AggregateFn, Sum
+
+    from ._io import clean_read
+
+    ds = clean_read(f"{sf_dir}/events.parquet",
+                    columns=["event_type", "user_id"])
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        # local pre-dedup: one row per (type, salt, user) per batch
+        t = pa.table({"event_type": batch["event_type"],
+                      "salt": pa.array(users % n_salts, pa.int64()),
+                      "user_id": batch["user_id"]})
+        g = t.group_by(["event_type", "salt", "user_id"]).aggregate([])
+        return g
+
+    # state is a sorted LIST: partial accumulators round-trip through
+    # Arrow blocks between the map and reduce sides of the shuffle, so a
+    # Python set would come back as a list — keep one canonical type
+    agg = AggregateFn(
+        init=lambda _: [],
+        merge=lambda a, b: sorted(set(a) | set(b)),
+        accumulate_block=lambda s, blk: sorted(
+            set(s) | set(blk["user_id"].to_pylist())),
+        finalize=lambda s: len(s),
+        name="n_distinct")
+
+    per_salt = (ds.map_batches(add_salt, batch_format="pyarrow",
+                               batch_size=8192)
+                .groupby(["event_type", "salt"])
+                .aggregate(agg))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "n_distinct": batch["n_distinct"]})
+
+    return (per_salt.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_distinct", alias_name="n_users")))
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""

@@ -260,3 +260,38 @@ class TestFrameSampling:
         assert len(got) == len(want) == 1
         assert int(got["n_nearby_clicks"].iloc[0]) \
             == int(want["n_nearby_clicks"].iloc[0]) == 4  # 2 errors x 2
+
+
+class TestSaltedDistinct:
+    def test_salted_distinct_vs_sql(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from ocr_ray.functions.events import (
+            DISTINCT_USERS_SQL,
+            distinct_users_by_type,
+        )
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            got = distinct_users_by_type(sf).to_pandas() \
+                .sort_values("event_type").reset_index(drop=True)
+            con = duckdb.connect()
+            con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                        f"'{sf}/events.parquet'")
+            want = con.execute(DISTINCT_USERS_SQL + " ORDER BY event_type") \
+                .df().reset_index(drop=True)
+            pd.testing.assert_frame_equal(got[["event_type", "n_users"]],
+                                          want, check_dtype=False)
+
+    def test_salting_partitions_are_disjoint(self, ray_session):
+        """Same user always lands in the same salt bucket, so summing
+        per-salt distinct counts cannot double count: with n_salts=1
+        (no salting) the answer must be identical."""
+        from ocr_ray.functions.events import distinct_users_by_type
+
+        sf = "/root/testdata/sf0.001"
+        a = distinct_users_by_type(sf, n_salts=16).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        b = distinct_users_by_type(sf, n_salts=1).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        assert a.equals(b)
