@@ -58,6 +58,18 @@ _MAX_HUBS = 16        # rehub rounds for oversized buckets
 from ._part import nparts_for as _num_partitions  # shared sizing rule
 
 
+def _compact_parts(n_rows: int, rows_per_part: int = 100_000) -> int:
+    """Repartition count that can never EXCEED the row count: Ray's
+    repartition emits zero-column empty blocks when asked for more
+    blocks than rows, and those blocks break Acero hash joins
+    downstream ("No match for key field") nondeterministically
+    depending on row placement.  Floor of 1 (not 2) for tiny sets;
+    ceil(n/rows_per_part) <= n for every n >= 1, so the count never
+    exceeds the rows."""
+    return int(max(1, min(256, (n_rows + rows_per_part - 1)
+                          // rows_per_part)))
+
+
 def _with_schema(schema: pa.Schema):
     """map_batches fn that pins empty blocks to an explicit schema.
 
@@ -431,6 +443,10 @@ def embedding_dup_pairs(sf_dir: str, cosine_threshold: float = 0.95,
     return (ds.map_batches(to_sig, batch_format="pyarrow")
             .groupby(["table_id", "sig"])
             .map_groups(bucket_verified_pairs, batch_format="pyarrow")
+            # repartition drops the zero-column blocks a sort partition
+            # whose buckets ALL verified empty emits (they only trigger
+            # Ray's schema-unify warning, but keep the lineage clean)
+            .repartition(4)
             # the same true pair surfaces in up to n_tables buckets;
             # collapse to one row (cosine identical in every copy)
             .groupby(["vec_a", "vec_b"])
@@ -531,7 +547,11 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
     if n_edges == 0:
         return rd.from_arrow(out_schema.empty_table())
     nparts = _num_partitions(n_edges)
-    edges = edges0.repartition(nparts).materialize()
+    # block counts sized to never exceed rows (_compact_parts): Ray's
+    # repartition can emit zero-column empty blocks for over-split tiny
+    # sets, which break the Acero joins below nondeterministically
+    edges = edges0.repartition(_compact_parts(n_edges)).materialize()
+    label_parts = _compact_parts(2 * n_edges)
 
     def seed(batch: pa.Table) -> pa.Table:
         both = np.concatenate([
@@ -545,7 +565,7 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
     labels = (edges.map_batches(seed, batch_format="pyarrow")
               .groupby("doc_id").aggregate(Min("label", alias_name="label"))
               .map_batches(_with_schema(label_schema), batch_format="pyarrow")
-              .repartition(nparts).materialize())
+              .repartition(label_parts).materialize())
 
     def label_sum(ds) -> int:
         return int(ds.aggregate(Sum("label", alias_name="s"))["s"])
@@ -584,7 +604,7 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
                                                 alias_name="label"))
                .map_batches(_with_schema(label_schema),
                             batch_format="pyarrow")
-               .repartition(nparts)
+               .repartition(label_parts)
                .materialize())
         # pointer jumping: label <- label(label) (every label value IS a
         # doc_id present in the table, so the self-join is total); chain
@@ -597,7 +617,7 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
                   .map_batches(shorten, batch_format="pyarrow")
                   .map_batches(_with_schema(label_schema),
                                batch_format="pyarrow")
-                  .repartition(nparts)
+                  .repartition(label_parts)
                   .materialize())
         cur_sum = label_sum(labels)
         if cur_sum == prev_sum:
@@ -639,10 +659,14 @@ def dedup_survivors(sf_dir: str, near: bool = False):
     losers = cluster_losers(clusters).materialize()
 
     docs = clean_read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    if losers.count() == 0:
+    n_losers = losers.count()
+    if n_losers == 0:
         # anti-joining an entirely-empty right side makes Ray's hash
         # shuffle build schema-less partitions that break Acero
         return docs
+    # compact to row-bounded blocks: drops any inherited empty blocks
+    # and never creates new ones (see _compact_parts)
+    losers = losers.repartition(_compact_parts(n_losers)).materialize()
     nparts = _num_partitions(docs.count())
     return (docs.join(losers, "left_anti", num_partitions=nparts,
                       on=("doc_id",))

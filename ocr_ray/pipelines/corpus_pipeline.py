@@ -45,6 +45,7 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     from ..functions._part import nparts_for as _num_partitions
     from ..functions.corpus_prep import _tokens, contamination_check
     from ..functions.dedup import (
+        _compact_parts,
         cluster_losers,
         dedup_clusters,
         minhash_lsh_pairs,
@@ -80,9 +81,9 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     manifest["quality_filter"] = drop_counts
     nparts = _num_partitions(n_input)
     quality_ok = (verdicts.filter(expr="reason == 'kept'")
-                  .select_columns(["doc_id"])
-                  .repartition(max(2, nparts // 2))  # drop empty blocks
-                  .materialize())
+                  .select_columns(["doc_id"]).materialize())
+    quality_ok = (quality_ok.repartition(              # drop empty blocks
+        _compact_parts(max(1, quality_ok.count()))).materialize())
 
     # -- stage 2: dedup among the QUALITY-KEPT docs ---------------------
     # Each cluster's survivor is the min doc_id among its quality-KEPT
@@ -94,23 +95,33 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     if near_dedup:
         pairs_ds = pairs_ds.select_columns(["doc_a", "doc_b"]).union(
             minhash_lsh_pairs(sf_dir).select_columns(["doc_a", "doc_b"]))
+    # every repartition below is sized to never exceed the row count
+    # (_compact_parts): over-split tiny sets make Ray emit zero-column
+    # empty blocks that break the Acero joins nondeterministically
     clusters = dedup_clusters(pairs_ds).materialize()
     if clusters.count() > 0 and quality_ok.count() > 0:
         members_kept = (clusters.join(quality_ok, "left_semi",
                                       num_partitions=nparts,
                                       on=("doc_id",))
-                        .repartition(max(2, nparts // 2)).materialize())
-        if members_kept.count() > 0:
-            survivor_ids = (members_kept.groupby("cluster_id")
+                        .materialize())
+        n_members = members_kept.count()
+        if n_members > 0:
+            members_kept = members_kept.repartition(
+                _compact_parts(n_members)).materialize()
+            survivor_raw = (members_kept.groupby("cluster_id")
                             .aggregate(Min("doc_id", alias_name="doc_id"))
-                            .select_columns(["doc_id"])
-                            # drop the sort-groupby's schema-less empty
-                            # blocks before using this as a join side
-                            .repartition(2).materialize())
+                            .select_columns(["doc_id"]).materialize())
+            # count first, THEN compact: drops the sort-groupby's
+            # schema-less empty blocks without over-splitting
+            survivor_ids = survivor_raw.repartition(
+                _compact_parts(survivor_raw.count())).materialize()
             losers = (members_kept.select_columns(["doc_id"])
                       .join(survivor_ids, "left_anti",
                             num_partitions=nparts, on=("doc_id",))
-                      .repartition(max(2, nparts // 2)).materialize())
+                      .materialize())
+            n_losers0 = losers.count()
+            losers = (losers.repartition(_compact_parts(n_losers0))
+                      .materialize() if n_losers0 > 0 else None)
         else:
             losers = None
     else:
@@ -132,8 +143,9 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     if contaminated.count() > 0:
         keep = keep.join(contaminated, "left_anti",
                          num_partitions=nparts, on=("doc_id",))
-    keep = (keep.repartition(max(2, nparts // 2))  # drop empty blocks
-            .materialize())
+    keep = keep.materialize()
+    keep = (keep.repartition(                          # drop empty blocks
+        _compact_parts(max(1, keep.count()))).materialize())
     n_keep = keep.count()
     manifest["dedup_removed"] = int(n_losers)
     manifest["kept_docs"] = int(n_keep)

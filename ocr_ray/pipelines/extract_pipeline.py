@@ -113,6 +113,10 @@ def _exploded_branch(ok, cfg: PipelineConfig, pool, nblocks):
                      fn_kwargs={"n_buckets":
                                 cfg.reassembly_buckets or nblocks},
                      zero_copy_batch=True)
+        # NOTE: Ray's sort-based groupby logs a benign "new schema: ."
+        # warning when a sort partition holds no groups (it emits a
+        # zero-column empty block internally); every shuffle INPUT
+        # block here is verified non-empty and fully typed
         .groupby("bucket")
         .map_groups(
             reassemble_bucket, batch_format="pyarrow", fn_kwargs={"cfg": cfg})
