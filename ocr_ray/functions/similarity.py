@@ -296,6 +296,96 @@ def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10,
             .sort(["cosine", "vec_id"], descending=[True, False]).limit(k))
 
 
+def knn_ivf_batch(sf_dir: str, n_queries: int = 8, k: int = 5,
+                  n_clusters: int = 16, nprobe: int = 4):
+    """Batched multi-query IVF top-k: ONE read over the UNION of every
+    query's probed partitions (deduplicated file list), one matmul per
+    batch against the broadcast query matrix, per-query local top-k,
+    final per-query groupby — the scale path for retrieving a whole
+    query set, paying each probed partition's IO once no matter how
+    many queries probe it.  Per-query results are filtered to that
+    query's own probed buckets, so each query's answer is identical to
+    running knn_ivf alone (verified in tests)."""
+    import ray.data as rd
+
+    index_path, cent = build_ivf_index(sf_dir, n_clusters)
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", n_queries)])
+    order = pc.sort_indices(tbl["vec_id"])
+    qids = pc.take(tbl["vec_id"], order).to_numpy(zero_copy_only=False)
+    Q = np.asarray(pc.take(tbl["embedding"], order).to_pylist(),
+                   dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    # per-query probed buckets; one deduplicated file list for the read
+    per_q_buckets = []
+    all_paths: dict[str, None] = {}
+    path_bucket = {}
+    for q in Q:
+        probe = np.argsort(((cent - q) ** 2).sum(1))[:nprobe]
+        per_q_buckets.append(set(int(b) for b in probe))
+        for p in probe_partitions(index_path, cent, q, nprobe):
+            all_paths[p] = None
+            path_bucket[p] = int(p.split("bucket=")[1].split("/")[0])
+    if not all_paths:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+
+    # distributed read of ONLY the probed files; each row's bucket is
+    # derived from its file path so per-query filtering stays exact
+    raw = rd.read_parquet(sorted(all_paths),
+                          columns=["vec_id", "embedding"],
+                          include_paths=True)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = [int(p.split("bucket=")[1].split("/")[0])
+             for p in batch["path"].to_pylist()]
+        return batch.drop_columns(["path"]).append_column(
+            "bucket", pa.array(b, pa.int64()))
+
+    ds = raw.map_batches(add_bucket, batch_format="pyarrow")
+
+    mask = np.array([[b in bq for bq in per_q_buckets]
+                     for b in range(n_clusters)])  # (bucket, query)
+
+    def local_topk(batch: pa.Table, Qn=Qn, qids=qids, k=k,
+                   mask=mask) -> pa.Table:
+        m = _batch_matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cos = np_round_half_up((m @ Qn.T) / norms[:, None], 6)
+        buckets = batch["bucket"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
+        out_q, out_v, out_c = [], [], []
+        for j in range(cos.shape[1]):
+            ok = mask[buckets, j]          # row visible to query j?
+            if not ok.any():
+                continue
+            sel_ids, sel_cos = ids[ok], cos[ok, j]
+            sel = np.lexsort((sel_ids, -sel_cos))[:min(k, len(sel_ids))]
+            out_q.extend([int(qids[j])] * len(sel))
+            out_v.extend(sel_ids[sel].tolist())
+            out_c.extend(sel_cos[sel].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
+
+    def final_topk(group: pa.Table, k=k) -> pa.Table:
+        ids = np.asarray(group["vec_id"].to_pylist())
+        cos = np.asarray(group["cosine"].to_pylist())
+        sel = np.lexsort((ids, -cos))[:k]
+        return pa.table({"query_id": group["query_id"].take(pa.array(sel)),
+                         "vec_id": pa.array(ids[sel], pa.int64()),
+                         "cosine": pa.array(cos[sel], pa.float64())})
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=4096)
+            .groupby("query_id")
+            .map_groups(final_topk, batch_format="pyarrow"))
+
+
 def embedding_label_centroids(sf_dir: str):
     """Mean embedding norm + count per label — groupby aggregate over a
     vector column (demonstrates nested-column aggregation)."""

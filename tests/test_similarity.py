@@ -76,3 +76,21 @@ class TestKnnBatch:
             top = g.sort_values(["cosine", "vec_id"],
                                 ascending=[False, True]).iloc[0]
             assert top["vec_id"] == qid and top["cosine"] == 1.0
+
+
+class TestKnnIvfBatch:
+    def test_batch_matches_per_query_ivf(self, ray_session):
+        """Each query's batched answer must equal running knn_ivf for
+        that query alone (same index, same nprobe) — the batching only
+        dedups IO, never changes visibility."""
+        from ocr_ray.functions.similarity import knn_ivf, knn_ivf_batch
+
+        out = knn_ivf_batch(SF, n_queries=4, k=5,
+                            n_clusters=8, nprobe=3).to_pandas()
+        for qid in range(4):
+            got = out[out.query_id == qid].sort_values(
+                ["cosine", "vec_id"], ascending=[False, True])
+            want = knn_ivf(SF, query_vec_id=qid, k=5,
+                           n_clusters=8, nprobe=3).to_pandas()
+            assert list(got["vec_id"]) == list(want["vec_id"]), qid
+            assert list(got["cosine"]) == list(want["cosine"]), qid
