@@ -13,8 +13,11 @@ entries, so these are pytest-gated instead):
   stats broadcast.
 * ``stratified_sample_stats`` — deterministic per-language hash sample
   (md5 threshold) + rollup: auditable stratified subset selection.
-* ``lang_char_quantiles``  — exact per-group quantiles via
-  groupby(lang).map_groups (the windowed-quantile shape).
+* ``lang_char_quantiles`` / ``source_char_quantiles`` — exact
+  per-group quantiles via the value-histogram aggregate (bounded by
+  the value domain, not the corpus).
+* ``repetition_stats``    — Gopher-style duplicate-line / top-bigram
+  repetition signals (exact-integer outputs, SQL-checked).
 """
 
 from __future__ import annotations
@@ -614,4 +617,73 @@ SELECT source,
        CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
        CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
 FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------- repetition (Gopher-style) stats
+
+def repetition_stats(sf_dir: str):
+    """Per-doc repetition signals of the Gopher/Rae-et-al. filter
+    family: duplicate-line counts and the most-frequent word-bigram's
+    share — the standard "remove boilerplate/looping text" inputs of a
+    pretraining pipeline.  All outputs are exact integers (ratios are
+    the consumer's division), so the SQL oracle matches bit for bit.
+    Vectorized per batch; one map, no shuffle."""
+    from collections import Counter
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_lines, dup_lines, n_bigrams, top_big = [], [], [], []
+        for text in batch["text"].to_pylist():
+            lines = text.split("\n")
+            n_lines.append(len(lines))
+            dup_lines.append(len(lines) - len(set(lines)))
+            toks = _tokens(text)
+            if len(toks) < 2:
+                n_bigrams.append(0)
+                top_big.append(0)
+            else:
+                c = Counter(zip(toks, toks[1:]))
+                n_bigrams.append(len(toks) - 1)
+                top_big.append(max(c.values()))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "dup_lines": pa.array(dup_lines, pa.int64()),
+            "n_bigrams": pa.array(n_bigrams, pa.int64()),
+            "top_bigram_count": pa.array(top_big, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+REPETITION_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text, {_SQL_WS})) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text, {_SQL_WS}),
+                                      '[ \t\n\r\f\v]+') END AS t,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+gcounts AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count,
+         CAST(sum(c) AS BIGINT) AS n_bigrams
+  FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(toks.lines) AS BIGINT) AS n_lines,
+       CAST(len(toks.lines) - len(list_distinct(toks.lines)) AS BIGINT)
+         AS dup_lines,
+       coalesce(gcounts.n_bigrams, 0) AS n_bigrams,
+       coalesce(gcounts.top_bigram_count, 0) AS top_bigram_count
+FROM toks LEFT JOIN gcounts ON toks.doc_id = gcounts.doc_id
 """

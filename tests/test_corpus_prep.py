@@ -256,3 +256,41 @@ class TestBigramScores:
         assert len(nullrow) == 1
         for c in ("p25", "p50", "p95"):
             assert int(nullrow[c].iloc[0]) == int(wantnull[c].iloc[0])
+
+
+class TestRepetitionStats:
+    def test_exact_vs_sql(self, ray_session):
+        from ocr_ray.functions import corpus_prep as cp
+        _check(cp.repetition_stats(SF), cp.REPETITION_STATS_SQL)
+
+    def test_planted_repetition(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions import corpus_prep as cp
+
+        rows = [
+            {"doc_id": 1, "text": "same line\nsame line\nother"},
+            {"doc_id": 2, "text": "loop loop loop loop loop"},
+            {"doc_id": 3, "text": "one"},          # <2 tokens
+            {"doc_id": 4, "text": ""},
+        ]
+        pq.write_table(pa.Table.from_pylist(rows),
+                       str(tmp_path / "documents.parquet"))
+        out = cp.repetition_stats(str(tmp_path)).to_pandas() \
+            .set_index("doc_id")
+        assert int(out.loc[1, "dup_lines"]) == 1
+        # 'loop loop' appears 4 times of 4 bigrams
+        assert int(out.loc[2, "top_bigram_count"]) == 4
+        assert int(out.loc[2, "n_bigrams"]) == 4
+        assert int(out.loc[3, "n_bigrams"]) == 0
+        assert int(out.loc[4, "n_bigrams"]) == 0
+        import duckdb
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{tmp_path}/documents.parquet'")
+        want = con.execute(cp.REPETITION_STATS_SQL).df() \
+            .set_index("doc_id").sort_index()
+        got = out.sort_index()
+        for c in ("n_lines", "dup_lines", "n_bigrams", "top_bigram_count"):
+            assert list(got[c]) == [int(v) for v in want[c]], c
