@@ -55,19 +55,8 @@ _ALL_PAIRS_CAP = 64   # buckets up to this size emit/verify every pair
 _MAX_HUBS = 16        # rehub rounds for oversized buckets
 
 
-from ._part import nparts_for as _num_partitions  # shared sizing rule
-
-
-def _compact_parts(n_rows: int, rows_per_part: int = 100_000) -> int:
-    """Repartition count that can never EXCEED the row count: Ray's
-    repartition emits zero-column empty blocks when asked for more
-    blocks than rows, and those blocks break Acero hash joins
-    downstream ("No match for key field") nondeterministically
-    depending on row placement.  Floor of 1 (not 2) for tiny sets;
-    ceil(n/rows_per_part) <= n for every n >= 1, so the count never
-    exceeds the rows."""
-    return int(max(1, min(256, (n_rows + rows_per_part - 1)
-                          // rows_per_part)))
+from ._part import compact_parts as _compact_parts  # shared sizing rules
+from ._part import nparts_for as _num_partitions
 
 
 def _with_schema(schema: pa.Schema):
@@ -440,13 +429,17 @@ def embedding_dup_pairs(sf_dir: str, cosine_threshold: float = 0.95,
                     for x, y, c in _rehub_pairs(ids, ok_fn)]
         return pa.Table.from_pylist(rows, schema=out_schema)
 
-    return (ds.map_batches(to_sig, batch_format="pyarrow")
-            .groupby(["table_id", "sig"])
-            .map_groups(bucket_verified_pairs, batch_format="pyarrow")
-            # repartition drops the zero-column blocks a sort partition
-            # whose buckets ALL verified empty emits (they only trigger
-            # Ray's schema-unify warning, but keep the lineage clean)
-            .repartition(4)
+    raw = (ds.map_batches(to_sig, batch_format="pyarrow")
+           .groupby(["table_id", "sig"])
+           .map_groups(bucket_verified_pairs, batch_format="pyarrow")
+           .materialize())
+    n_raw = raw.count()
+    if n_raw == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    # count-first compact repartition: drops the zero-column blocks a
+    # sort partition whose buckets ALL verified empty emits, without
+    # over-splitting a tiny pair set (never more blocks than rows)
+    return (raw.repartition(_compact_parts(n_raw))
             # the same true pair surfaces in up to n_tables buckets;
             # collapse to one row (cosine identical in every copy)
             .groupby(["vec_a", "vec_b"])
@@ -667,12 +660,15 @@ def dedup_survivors(sf_dir: str, near: bool = False):
     # compact to row-bounded blocks: drops any inherited empty blocks
     # and never creates new ones (see _compact_parts)
     losers = losers.repartition(_compact_parts(n_losers)).materialize()
-    nparts = _num_partitions(docs.count())
+    n_docs = docs.count()
+    nparts = _num_partitions(n_docs)
+    # survivor count is known analytically (losers ⊆ docs), so the final
+    # repartition is row-bounded without another count pass: drops the
+    # join's schema-less empty partition blocks so the result composes
+    # into further joins, and never over-splits a tiny survivor set
     return (docs.join(losers, "left_anti", num_partitions=nparts,
                       on=("doc_id",))
-            # drop the join's schema-less empty partition blocks so the
-            # result composes into further joins (see module docstring)
-            .repartition(max(2, nparts // 2)))
+            .repartition(_compact_parts(max(1, n_docs - n_losers))))
 
 
 def cluster_losers(clusters_ds):

@@ -573,13 +573,20 @@ def distinct_users_by_type(sf_dir: str, n_salts: int = 16):
                     columns=["event_type", "user_id"])
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        # NULL user_ids: count(DISTINCT) ignores them, but the GROUP
+        # must still exist (an all-NULL key yields a 0 row in SQL) —
+        # null rows ride through under salt 0 and the accumulator
+        # skips them, so they contribute presence, not a count
+        valid = pc.is_valid(batch["user_id"])
+        users = pc.fill_null(batch["user_id"], 0) \
+            .to_numpy(zero_copy_only=False)
+        salt = np.where(valid.to_numpy(zero_copy_only=False),
+                        users % n_salts, 0)
         # local pre-dedup: one row per (type, salt, user) per batch
         t = pa.table({"event_type": batch["event_type"],
-                      "salt": pa.array(users % n_salts, pa.int64()),
+                      "salt": pa.array(salt, pa.int64()),
                       "user_id": batch["user_id"]})
-        g = t.group_by(["event_type", "salt", "user_id"]).aggregate([])
-        return g
+        return t.group_by(["event_type", "salt", "user_id"]).aggregate([])
 
     # state is a sorted LIST: partial accumulators round-trip through
     # Arrow blocks between the map and reduce sides of the shuffle, so a
@@ -588,7 +595,8 @@ def distinct_users_by_type(sf_dir: str, n_salts: int = 16):
         init=lambda _: [],
         merge=lambda a, b: sorted(set(a) | set(b)),
         accumulate_block=lambda s, blk: sorted(
-            set(s) | set(blk["user_id"].to_pylist())),
+            set(s) | {u for u in blk["user_id"].to_pylist()
+                      if u is not None}),
         finalize=lambda s: len(s),
         name="n_distinct")
 

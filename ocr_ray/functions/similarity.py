@@ -308,34 +308,41 @@ def knn_ivf_batch(sf_dir: str, n_queries: int = 8, k: int = 5,
     running knn_ivf alone (verified in tests)."""
     import ray.data as rd
 
+    import os
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
     index_path, cent = build_ivf_index(sf_dir, n_clusters)
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"],
                         filters=[("vec_id", "<", n_queries)])
+    if tbl.num_rows == 0:
+        return empty
     order = pc.sort_indices(tbl["vec_id"])
     qids = pc.take(tbl["vec_id"], order).to_numpy(zero_copy_only=False)
     Q = np.asarray(pc.take(tbl["embedding"], order).to_pylist(),
                    dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
-    # per-query probed buckets; one deduplicated file list for the read
+    # per-query probed buckets (one argsort per query), then ONE
+    # deduplicated file list for the read
     per_q_buckets = []
-    all_paths: dict[str, None] = {}
-    path_bucket = {}
     for q in Q:
         probe = np.argsort(((cent - q) ** 2).sum(1))[:nprobe]
-        per_q_buckets.append(set(int(b) for b in probe))
-        for p in probe_partitions(index_path, cent, q, nprobe):
-            all_paths[p] = None
-            path_bucket[p] = int(p.split("bucket=")[1].split("/")[0])
+        per_q_buckets.append({int(b) for b in probe})
+    all_paths = []
+    for b in sorted(set().union(*per_q_buckets)):
+        d = f"{index_path}/bucket={b}"
+        if os.path.isdir(d):
+            all_paths.extend(f"{d}/{f}" for f in sorted(os.listdir(d))
+                             if f.endswith(".parquet"))
     if not all_paths:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "vec_id": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
+        return empty
 
     # distributed read of ONLY the probed files; each row's bucket is
     # derived from its file path so per-query filtering stays exact
-    raw = rd.read_parquet(sorted(all_paths),
+    raw = rd.read_parquet(all_paths,
                           columns=["vec_id", "embedding"],
                           include_paths=True)
 

@@ -42,10 +42,10 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     import ray.data as rd
 
     from ..functions._io import clean_read
+    from ..functions._part import compact_parts as _compact_parts
     from ..functions._part import nparts_for as _num_partitions
     from ..functions.corpus_prep import _tokens, contamination_check
     from ..functions.dedup import (
-        _compact_parts,
         cluster_losers,
         dedup_clusters,
         minhash_lsh_pairs,

@@ -295,3 +295,38 @@ class TestSaltedDistinct:
         b = distinct_users_by_type(sf, n_salts=1).to_pandas() \
             .sort_values("event_type").reset_index(drop=True)
         assert a.equals(b)
+
+    def test_null_user_ids_ignored_like_sql(self, ray_session, tmp_path):
+        """count(DISTINCT user_id) ignores NULLs but keeps the group;
+        the salted path must match on mixed and all-NULL groups."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions.events import (
+            DISTINCT_USERS_SQL,
+            distinct_users_by_type,
+        )
+
+        rows = [
+            {"event_id": 1, "ts": 1000, "user_id": 7,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 2, "ts": 2000, "user_id": None,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 3, "ts": 3000, "user_id": None,
+             "event_type": "error", "value": 0.0, "props": "{}"},  # all-NULL group
+        ]
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         pa.compute.cast(t["ts"], pa.timestamp("us")))
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = distinct_users_by_type(str(tmp_path)).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{tmp_path}/events.parquet'")
+        want = con.execute(DISTINCT_USERS_SQL + " ORDER BY event_type") \
+            .df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["event_type", "n_users"]],
+                                      want, check_dtype=False)
