@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "knn_ivf",
     "keyword_hits_corpus",
+    "error_click_range_join",
+    "knn_batch_topk",
 ]
 
 
