@@ -23,10 +23,12 @@ import pyarrow.compute as pc
 
 
 def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
-                   n_probe_docs: int = 3, chunk_tokens: int = 128,
+                   n_probe_docs: int = 3, probe_path: str | None = None,
+                   chunk_tokens: int = 128,
                    overlap: int = 16, min_chars: int = 200,
                    max_chars: int = 20000,
-                   min_alpha_ratio: float = 0.5) -> dict:
+                   min_alpha_ratio: float = 0.5,
+                   write_chunks: bool = True) -> dict:
     """Run the full preparation flow; returns the manifest dict.
 
     Output layout: ``{out_dir}/chunks/`` (doc_id, chunk_id, n_tokens,
@@ -128,7 +130,8 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
         losers = None
 
     # -- stage 3: decontamination ---------------------------------------
-    contaminated = contamination_check(sf_dir, n_probe_docs=n_probe_docs) \
+    contaminated = contamination_check(sf_dir, n_probe_docs=n_probe_docs,
+                                       probe_path=probe_path) \
         .select_columns(["doc_id"]).materialize()
 
     keep = quality_ok
@@ -149,6 +152,18 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     n_keep = keep.count()
     manifest["dedup_removed"] = int(n_losers)
     manifest["kept_docs"] = int(n_keep)
+
+    if not write_chunks:
+        # id-only mode (resumable runner's stage A): persist the keep
+        # set DISTRIBUTED (never through the driver) and stop before
+        # the chunk write
+        os.makedirs(out_dir, exist_ok=True)
+        shutil.rmtree(f"{out_dir}/keep_ids", ignore_errors=True)
+        keep.write_parquet(f"{out_dir}/keep_ids")
+        manifest["n_chunks"] = None
+        with open(f"{out_dir}/manifest.json", "w") as f:
+            json.dump(manifest, f, indent=2)
+        return manifest
 
     # -- stage 4: chunk the surviving docs and write --------------------
     kept_docs = docs.join(keep, "left_semi", num_partitions=nparts,
@@ -196,5 +211,147 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     manifest["n_chunks"] = frag.count_rows() if frag.files else 0
     manifest["input_docs"] = int(n_input)
     with open(f"{out_dir}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def prepare_corpus_checkpointed(sf_dir: str, out_dir: str, *,
+                                n_shards: int = 8, resume: bool = True,
+                                **prep_kwargs) -> dict:
+    """Resumable corpus preparation (the CheckpointedRunner discipline
+    applied to the prep flow).
+
+    Stage A (global, run once): quality filter + dedup + decontamination
+    produce the KEEP id set — committed atomically as
+    ``{out}/_keep/keep_ids.parquet`` (tmp + rename, marker last) together
+    with the stage manifest.  Stage B (resumable): the chunk+write fans
+    out over ``n_shards`` hash shards of the keep set; each shard writes
+    ``{out}/chunks/shard=<k>`` via tmp + atomic rename and commits a
+    lineage marker — a killed job re-runs only uncommitted shards and
+    never duplicates rows.  At corpus scale the shard filter rides the
+    storage layout (many input files / a partitioned keep table); on the
+    single-file test corpora each shard re-scans and filters, which is
+    the documented small-scale degenerate case.
+    """
+    import json
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..functions._io import clean_read
+    from ..functions.corpus_prep import _tokens
+
+    keep_dir = os.path.join(out_dir, "_keep")
+    keep_marker = os.path.join(keep_dir, "_COMMITTED")
+    lineage = os.path.join(out_dir, "_lineage")
+    os.makedirs(lineage, exist_ok=True)
+
+    if not resume:
+        shutil.rmtree(keep_dir, ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, "chunks"), ignore_errors=True)
+        for f in os.listdir(lineage):
+            os.unlink(os.path.join(lineage, f))
+
+    # -- stage A: global id stages, committed once ----------------------
+    if not os.path.exists(keep_marker):
+        tmp = os.path.join(out_dir, "_keep.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        prepare_corpus(sf_dir, tmp, write_chunks=False, **prep_kwargs)
+        shutil.rmtree(keep_dir, ignore_errors=True)
+        os.rename(tmp, keep_dir)           # atomic publish, marker last
+        open(keep_marker, "w").write("ok")
+    manifest = json.load(open(os.path.join(keep_dir, "manifest.json")))
+
+    # -- stage B: sharded resumable chunk write -------------------------
+    # each shard is a hash slice of the KEEP set; chunk rows come from a
+    # hash-partitioned semi join (no driver-side id broadcast) and
+    # publish atomically (tmp -> rename, marker last)
+    import zlib
+
+    import ray.data as rd
+
+    from ..functions._part import compact_parts as _compact_parts
+    from ..functions._part import nparts_for as _num_partitions
+
+    chunk_tokens = prep_kwargs.get("chunk_tokens", 128)
+    overlap = prep_kwargs.get("overlap", 16)
+    step = chunk_tokens - overlap
+
+    def add_bucket(batch: pa.Table, n=n_shards) -> pa.Table:
+        b = [zlib.crc32(str(d).encode()) % n
+             for d in batch["doc_id"].to_pylist()]
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    keep_all = (rd.read_parquet(os.path.join(keep_dir, "keep_ids"))
+                .map_batches(add_bucket, batch_format="pyarrow")
+                .materialize())
+    n_keep_total = keep_all.count()
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        import hashlib
+        import math
+
+        rows = {"doc_id": [], "chunk_id": [], "n_tokens": [],
+                "chunk_md5": [], "text": []}
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            toks = _tokens(text)
+            ntoks = len(toks)
+            n_chunks = 1 if ntoks <= chunk_tokens else (
+                1 + math.ceil((ntoks - chunk_tokens) / step))
+            for i in range(n_chunks):
+                w = toks[i * step: i * step + chunk_tokens]
+                joined = " ".join(w)
+                rows["doc_id"].append(doc_id)
+                rows["chunk_id"].append(i)
+                rows["n_tokens"].append(len(w))
+                rows["chunk_md5"].append(
+                    hashlib.md5(joined.encode()).hexdigest())
+                rows["text"].append(joined)
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "chunk_id": pa.array(rows["chunk_id"], pa.int64()),
+            "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+            "chunk_md5": pa.array(rows["chunk_md5"], pa.string()),
+            "text": pa.array(rows["text"], pa.string()),
+        })
+
+    committed = {int(f[len("chunk-shard-"):-len(".json")])
+                 for f in os.listdir(lineage)
+                 if f.startswith("chunk-shard-")}
+    chunks_root = os.path.join(out_dir, "chunks")
+    os.makedirs(chunks_root, exist_ok=True)
+    for k in range(n_shards):
+        if k in committed:
+            continue
+        keep_k = keep_all.filter(expr=f"bucket == {k}") \
+            .select_columns(["doc_id"]).materialize()
+        n_k = keep_k.count()
+        tmp = os.path.join(out_dir, f".chunks-tmp-{k:05d}")
+        final = os.path.join(chunks_root, f"shard={k}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        if n_k == 0:
+            os.makedirs(tmp, exist_ok=True)
+        else:
+            keep_k = keep_k.repartition(_compact_parts(n_k)).materialize()
+            docs = clean_read(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+            (docs.join(keep_k, "left_semi",
+                       num_partitions=_num_partitions(n_keep_total),
+                       on=("doc_id",))
+             .map_batches(chunk, batch_format="pyarrow", batch_size=1024)
+             .write_parquet(tmp))
+        os.rename(tmp, final)
+        with open(os.path.join(lineage, f"chunk-shard-{k:05d}.json"),
+                  "w") as f:
+            json.dump({"shard": k}, f)
+
+    frag = pads.dataset(chunks_root)
+    manifest["n_chunks"] = frag.count_rows() if frag.files else 0
+    manifest["n_shards"] = n_shards
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest

@@ -104,3 +104,67 @@ class TestPrepareCorpus:
         assert 7 not in kept_ids
         assert 5 not in kept_ids
         assert m["dedup_removed"] == 1
+
+
+class TestCheckpointedPrep:
+    def test_resume_skips_committed_shards(self, ray_session,
+                                           prep_corpus_dir, tmp_path):
+        """Kill-and-resume: after a simulated crash with some shards
+        committed, a re-run only does the missing shards and the final
+        chunk set equals the non-resumable pipeline's."""
+        import json
+        import os
+
+        import pyarrow.dataset as pads
+
+        from ocr_ray.pipelines.corpus_pipeline import (
+            prepare_corpus,
+            prepare_corpus_checkpointed,
+        )
+
+        out = str(tmp_path / "ckpt")
+        m = prepare_corpus_checkpointed(prep_corpus_dir, out, n_shards=4)
+        chunks = pads.dataset(f"{out}/chunks").to_table() \
+            .sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+
+        # reference: the plain pipeline over the same corpus
+        ref_out = str(tmp_path / "plain")
+        prepare_corpus(prep_corpus_dir, ref_out)
+        ref = pads.dataset(f"{ref_out}/chunks").to_table() \
+            .sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+        assert chunks.select(["doc_id", "chunk_id", "chunk_md5"]).equals(
+            ref.select(["doc_id", "chunk_id", "chunk_md5"]))
+        assert m["n_chunks"] == ref.num_rows
+
+        # simulate a crash: delete two shard outputs + their markers
+        import shutil
+        for k in (1, 3):
+            shutil.rmtree(f"{out}/chunks/shard={k}")
+            os.unlink(f"{out}/_lineage/chunk-shard-{k:05d}.json")
+        # stamp the surviving shards to prove they are not rewritten
+        survivors = {k: os.path.getmtime(f"{out}/chunks/shard={k}")
+                     for k in (0, 2)}
+        m2 = prepare_corpus_checkpointed(prep_corpus_dir, out, n_shards=4)
+        for k, mt in survivors.items():
+            assert os.path.getmtime(f"{out}/chunks/shard={k}") == mt
+        again = pads.dataset(f"{out}/chunks").to_table()
+        assert again.num_rows == ref.num_rows
+        assert m2["n_chunks"] == ref.num_rows
+
+    def test_no_resume_rebuilds_everything(self, ray_session,
+                                           prep_corpus_dir, tmp_path):
+        import pyarrow.dataset as pads
+
+        from ocr_ray.pipelines.corpus_pipeline import (
+            prepare_corpus_checkpointed,
+        )
+
+        out = str(tmp_path / "ckpt2")
+        m1 = prepare_corpus_checkpointed(prep_corpus_dir, out, n_shards=2)
+        m2 = prepare_corpus_checkpointed(prep_corpus_dir, out, n_shards=2,
+                                         resume=False)
+        assert m1["n_chunks"] == m2["n_chunks"] > 0
+        # no duplicated rows after the full rebuild
+        t = pads.dataset(f"{out}/chunks").to_table()
+        keys = list(zip(t["doc_id"].to_pylist(), t["chunk_id"].to_pylist()))
+        assert len(keys) == len(set(keys))
