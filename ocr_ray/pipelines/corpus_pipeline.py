@@ -355,3 +355,67 @@ def prepare_corpus_checkpointed(sf_dir: str, out_dir: str, *,
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
+
+
+def extract_and_prepare(input_path: str, out_dir: str, *,
+                        cfg=None, **prep_kwargs) -> dict:
+    """The full raw-to-training-data flow: interleaved (text+media)
+    documents -> span extraction (HTML strip + OCR) -> per-doc clean
+    text -> corpus preparation (filter -> dedup -> decontaminate ->
+    chunk) -> partitioned chunks + manifest.
+
+    Stage 1 streams the extraction pipeline and writes an intermediate
+    ``documents``-shaped table (doc_id int64 derived from a stable hash
+    of the string id, text = offset-ordered concatenation of clean span
+    texts) under ``{out_dir}/_extracted_docs``; stage 2 runs
+    prepare_corpus over it.  Rejected docs never reach the corpus
+    stage — they are the extraction pipeline's failed sidecar, and the
+    prep manifest accounts for everything else, so provenance is
+    complete across BOTH pipelines.
+    """
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from ..config import DEFAULT_CONFIG
+    from .extract_pipeline import build_extracted
+    from ..sources.readers import read_documents
+
+    cfg = cfg or DEFAULT_CONFIG
+    extracted = build_extracted(read_documents(input_path), cfg)
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        ok = pc.equal(batch["reject_reason"], "")
+        sel = batch.filter(ok)
+        import hashlib
+
+        ids, texts = [], []
+        spans_col = sel["spans"].combine_chunks() if sel.num_rows else None
+        for i in range(sel.num_rows):
+            doc_id = sel["doc_id"][i].as_py()
+            spans = sorted(spans_col[i].as_py(), key=lambda s: s["offset"])
+            # stable positive int64 id from the string id (64-bit blake2b
+            # >> 1; collision odds negligible at any corpus size we run)
+            ids.append(int.from_bytes(hashlib.blake2b(
+                doc_id.encode(), digest_size=8).digest(), "big") >> 1)
+            texts.append("\n".join(s["text"] for s in spans
+                                   if s["text"]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs_dir = os.path.join(out_dir, "_extracted_docs")
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    os.makedirs(docs_dir, exist_ok=True)
+    extracted.map_batches(to_docs, batch_format="pyarrow") \
+        .write_parquet(docs_dir)
+    # prepare_corpus reads {dir}/documents.parquet; point it at the
+    # written directory via a view directory containing the parts
+    view = os.path.join(out_dir, "_docs_view")
+    shutil.rmtree(view, ignore_errors=True)
+    os.makedirs(view, exist_ok=True)
+    os.symlink(os.path.abspath(docs_dir),
+               os.path.join(view, "documents.parquet"))
+    manifest = prepare_corpus(view, out_dir, **prep_kwargs)
+    manifest["extraction_input"] = input_path
+    return manifest

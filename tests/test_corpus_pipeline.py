@@ -168,3 +168,26 @@ class TestCheckpointedPrep:
         t = pads.dataset(f"{out}/chunks").to_table()
         keys = list(zip(t["doc_id"].to_pylist(), t["chunk_id"].to_pylist()))
         assert len(keys) == len(set(keys))
+
+
+class TestExtractAndPrepare:
+    def test_raw_to_chunks_end_to_end(self, ray_session, tmp_path):
+        """Interleaved corpus -> extraction -> clean text -> prepared
+        chunks: rejects never reach the corpus stage; chunk text derives
+        from CLEANED span text (boilerplate stripped)."""
+        import pyarrow.dataset as pads
+
+        from ocr_ray.fixtures import write_corpus
+        from ocr_ray.pipelines.corpus_pipeline import extract_and_prepare
+
+        corpus = write_corpus(str(tmp_path / "raw"), 60, seed=5)
+        out = str(tmp_path / "prep")
+        m = extract_and_prepare(corpus, out, n_probe_docs=0,
+                                min_chars=50)
+        assert m["input_docs"] > 0
+        assert m["kept_docs"] > 0
+        chunks = pads.dataset(f"{out}/chunks").to_table()
+        assert m["n_chunks"] == chunks.num_rows > 0
+        # extracted text must be CLEAN: no raw HTML markup survives
+        for t in chunks["text"].to_pylist()[:50]:
+            assert "<div" not in t and "<script" not in t
