@@ -48,6 +48,40 @@ def _tokens(text: str) -> list[str]:
 
 # -------------------------------------------------------------- chunking
 
+def chunk_batch_with_text(batch: pa.Table, chunk_tokens: int = 128,
+                          overlap: int = 16) -> pa.Table:
+    """Shared chunk-window kernel (doc_id, chunk_id, n_tokens,
+    chunk_md5, text) used by both prepare_corpus pipelines — ONE copy of
+    the window/md5 geometry so the plain and checkpointed outputs can
+    never drift apart."""
+    step = chunk_tokens - overlap
+    rows = {"doc_id": [], "chunk_id": [], "n_tokens": [],
+            "chunk_md5": [], "text": []}
+    for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+        toks = _tokens(text)
+        n = len(toks)
+        n_chunks = 1 if n <= chunk_tokens else (
+            1 + math.ceil((n - chunk_tokens) / step))
+        for i in range(n_chunks):
+            w = toks[i * step: i * step + chunk_tokens]
+            joined = " ".join(w)
+            rows["doc_id"].append(doc_id)
+            rows["chunk_id"].append(i)
+            rows["n_tokens"].append(len(w))
+            rows["chunk_md5"].append(
+                hashlib.md5(joined.encode()).hexdigest())
+            rows["text"].append(joined)
+    return pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "chunk_id": pa.array(rows["chunk_id"], pa.int64()),
+        "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+        "chunk_md5": pa.array(rows["chunk_md5"], pa.string()),
+        "text": pa.array(rows["text"], pa.string()),
+    })
+
+
+
 def chunk_documents(sf_dir: str, chunk_tokens: int = 128,
                     overlap: int = 16):
     """Overlapping token-window chunks per document.

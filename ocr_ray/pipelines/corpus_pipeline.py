@@ -159,8 +159,18 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
         # the chunk write
         os.makedirs(out_dir, exist_ok=True)
         shutil.rmtree(f"{out_dir}/keep_ids", ignore_errors=True)
-        keep.write_parquet(f"{out_dir}/keep_ids")
+        if n_keep > 0:
+            keep.write_parquet(f"{out_dir}/keep_ids")
+        else:
+            # write_parquet skips zero-row blocks entirely -> the read
+            # side would find no files; leave a typed empty file
+            import pyarrow.parquet as _pq
+            os.makedirs(f"{out_dir}/keep_ids", exist_ok=True)
+            _pq.write_table(
+                pa.table({"doc_id": pa.array([], pa.int64())}),
+                f"{out_dir}/keep_ids/empty.parquet")
         manifest["n_chunks"] = None
+        manifest["input_docs"] = int(n_input)
         with open(f"{out_dir}/manifest.json", "w") as f:
             json.dump(manifest, f, indent=2)
         return manifest
@@ -169,39 +179,11 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     kept_docs = docs.join(keep, "left_semi", num_partitions=nparts,
                           on=("doc_id",))
 
-    import hashlib
-    import math
+    from ..functions.corpus_prep import chunk_batch_with_text
 
-    step = chunk_tokens - overlap
-
-    def chunk(batch: pa.Table) -> pa.Table:
-        rows = {"doc_id": [], "chunk_id": [], "n_tokens": [],
-                "chunk_md5": [], "text": []}
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            toks = _tokens(text)
-            n = len(toks)
-            n_chunks = 1 if n <= chunk_tokens else (
-                1 + math.ceil((n - chunk_tokens) / step))
-            for i in range(n_chunks):
-                w = toks[i * step: i * step + chunk_tokens]
-                joined = " ".join(w)
-                rows["doc_id"].append(doc_id)
-                rows["chunk_id"].append(i)
-                rows["n_tokens"].append(len(w))
-                rows["chunk_md5"].append(
-                    hashlib.md5(joined.encode()).hexdigest())
-                rows["text"].append(joined)
-        return pa.table({
-            "doc_id": pa.array(rows["doc_id"], pa.int64()),
-            "chunk_id": pa.array(rows["chunk_id"], pa.int64()),
-            "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
-            "chunk_md5": pa.array(rows["chunk_md5"], pa.string()),
-            "text": pa.array(rows["text"], pa.string()),
-        })
-
-    chunks = kept_docs.map_batches(chunk, batch_format="pyarrow",
-                                   batch_size=1024)
+    chunks = kept_docs.map_batches(
+        chunk_batch_with_text, batch_format="pyarrow", batch_size=1024,
+        fn_kwargs={"chunk_tokens": chunk_tokens, "overlap": overlap})
     shutil.rmtree(f"{out_dir}/chunks", ignore_errors=True)
     os.makedirs(f"{out_dir}/chunks", exist_ok=True)
     chunks.write_parquet(f"{out_dir}/chunks")
@@ -238,10 +220,8 @@ def prepare_corpus_checkpointed(sf_dir: str, out_dir: str, *,
     import shutil
 
     import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
 
     from ..functions._io import clean_read
-    from ..functions.corpus_prep import _tokens
 
     keep_dir = os.path.join(out_dir, "_keep")
     keep_marker = os.path.join(keep_dir, "_COMMITTED")
@@ -254,14 +234,29 @@ def prepare_corpus_checkpointed(sf_dir: str, out_dir: str, *,
         for f in os.listdir(lineage):
             os.unlink(os.path.join(lineage, f))
 
+    # a resume MUST run with the committed run's exact configuration:
+    # lineage markers are keyed by shard index, so a different n_shards
+    # (or different filter/chunk kwargs) would silently mix geometries
+    run_config = {"n_shards": n_shards,
+                  **{k: v for k, v in sorted(prep_kwargs.items())}}
+    config_path = os.path.join(keep_dir, "run_config.json")
+
     # -- stage A: global id stages, committed once ----------------------
     if not os.path.exists(keep_marker):
         tmp = os.path.join(out_dir, "_keep.tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         prepare_corpus(sf_dir, tmp, write_chunks=False, **prep_kwargs)
+        with open(os.path.join(tmp, "run_config.json"), "w") as f:
+            json.dump(run_config, f)
         shutil.rmtree(keep_dir, ignore_errors=True)
         os.rename(tmp, keep_dir)           # atomic publish, marker last
         open(keep_marker, "w").write("ok")
+    committed_config = json.load(open(config_path))
+    if committed_config != run_config:
+        raise ValueError(
+            f"resume with a different configuration than the committed "
+            f"run ({committed_config} != {run_config}); pass "
+            f"resume=False to rebuild from scratch")
     manifest = json.load(open(os.path.join(keep_dir, "manifest.json")))
 
     # -- stage B: sharded resumable chunk write -------------------------
@@ -275,9 +270,10 @@ def prepare_corpus_checkpointed(sf_dir: str, out_dir: str, *,
     from ..functions._part import compact_parts as _compact_parts
     from ..functions._part import nparts_for as _num_partitions
 
+    from ..functions.corpus_prep import chunk_batch_with_text
+
     chunk_tokens = prep_kwargs.get("chunk_tokens", 128)
     overlap = prep_kwargs.get("overlap", 16)
-    step = chunk_tokens - overlap
 
     def add_bucket(batch: pa.Table, n=n_shards) -> pa.Table:
         b = [zlib.crc32(str(d).encode()) % n
@@ -289,40 +285,21 @@ def prepare_corpus_checkpointed(sf_dir: str, out_dir: str, *,
                 .materialize())
     n_keep_total = keep_all.count()
 
-    def chunk(batch: pa.Table) -> pa.Table:
-        import hashlib
-        import math
-
-        rows = {"doc_id": [], "chunk_id": [], "n_tokens": [],
-                "chunk_md5": [], "text": []}
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            toks = _tokens(text)
-            ntoks = len(toks)
-            n_chunks = 1 if ntoks <= chunk_tokens else (
-                1 + math.ceil((ntoks - chunk_tokens) / step))
-            for i in range(n_chunks):
-                w = toks[i * step: i * step + chunk_tokens]
-                joined = " ".join(w)
-                rows["doc_id"].append(doc_id)
-                rows["chunk_id"].append(i)
-                rows["n_tokens"].append(len(w))
-                rows["chunk_md5"].append(
-                    hashlib.md5(joined.encode()).hexdigest())
-                rows["text"].append(joined)
-        return pa.table({
-            "doc_id": pa.array(rows["doc_id"], pa.int64()),
-            "chunk_id": pa.array(rows["chunk_id"], pa.int64()),
-            "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
-            "chunk_md5": pa.array(rows["chunk_md5"], pa.string()),
-            "text": pa.array(rows["text"], pa.string()),
-        })
-
     committed = {int(f[len("chunk-shard-"):-len(".json")])
                  for f in os.listdir(lineage)
                  if f.startswith("chunk-shard-")}
     chunks_root = os.path.join(out_dir, "chunks")
     os.makedirs(chunks_root, exist_ok=True)
+    # drop anything that is not one of THIS run's shard dirs (stale flat
+    # files from a prior plain prepare_corpus run over the same out_dir
+    # would otherwise double-count in the final dataset)
+    valid = {f"shard={k}" for k in range(n_shards)}
+    for entry in os.listdir(chunks_root):
+        if entry not in valid:
+            p = os.path.join(chunks_root, entry)
+            shutil.rmtree(p, ignore_errors=True)
+            if os.path.exists(p):
+                os.unlink(p)
     for k in range(n_shards):
         if k in committed:
             continue
@@ -342,7 +319,10 @@ def prepare_corpus_checkpointed(sf_dir: str, out_dir: str, *,
             (docs.join(keep_k, "left_semi",
                        num_partitions=_num_partitions(n_keep_total),
                        on=("doc_id",))
-             .map_batches(chunk, batch_format="pyarrow", batch_size=1024)
+             .map_batches(chunk_batch_with_text, batch_format="pyarrow",
+                          batch_size=1024,
+                          fn_kwargs={"chunk_tokens": chunk_tokens,
+                                     "overlap": overlap})
              .write_parquet(tmp))
         os.rename(tmp, final)
         with open(os.path.join(lineage, f"chunk-shard-{k:05d}.json"),
@@ -376,14 +356,31 @@ def extract_and_prepare(input_path: str, out_dir: str, *,
     import os
     import shutil
 
-    import pyarrow.compute as pc
-
     from ..config import DEFAULT_CONFIG
     from .extract_pipeline import build_extracted
     from ..sources.readers import read_documents
 
     cfg = cfg or DEFAULT_CONFIG
-    extracted = build_extracted(read_documents(input_path), cfg)
+    extracted = build_extracted(read_documents(input_path), cfg) \
+        .materialize()
+
+    # extraction-stage provenance: rejects go to a sidecar (the same
+    # failed-table discipline as run_extraction), and the counts enter
+    # the manifest so NOTHING vanishes unaccounted between pipelines
+    failed_dir = os.path.join(out_dir, "_extraction_failed")
+    shutil.rmtree(failed_dir, ignore_errors=True)
+    os.makedirs(failed_dir, exist_ok=True)
+
+    def failed_rows(batch: pa.Table) -> pa.Table:
+        bad = batch.filter(pc.not_equal(batch["reject_reason"], ""))
+        return pa.table({"doc_id": bad["doc_id"],
+                         "reason": bad["reject_reason"]})
+
+    failed = extracted.map_batches(failed_rows, batch_format="pyarrow") \
+        .materialize()
+    n_failed = failed.count()
+    if n_failed > 0:
+        failed.write_parquet(failed_dir)
 
     def to_docs(batch: pa.Table) -> pa.Table:
         ok = pc.equal(batch["reject_reason"], "")
@@ -418,4 +415,9 @@ def extract_and_prepare(input_path: str, out_dir: str, *,
                os.path.join(view, "documents.parquet"))
     manifest = prepare_corpus(view, out_dir, **prep_kwargs)
     manifest["extraction_input"] = input_path
+    manifest["extraction_rejects"] = int(n_failed)
+    manifest["raw_input_docs"] = int(manifest["input_docs"] + n_failed)
+    import json as _json
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=2)
     return manifest

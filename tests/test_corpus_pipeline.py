@@ -191,3 +191,83 @@ class TestExtractAndPrepare:
         # extracted text must be CLEAN: no raw HTML markup survives
         for t in chunks["text"].to_pylist()[:50]:
             assert "<div" not in t and "<script" not in t
+
+    def test_extraction_rejects_accounted(self, ray_session, tmp_path):
+        """Rejects get a sidecar + manifest accounting: nothing vanishes
+        between the extraction and corpus stages."""
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pqt
+
+        from ocr_ray.fixtures import write_corpus
+        from ocr_ray.pipelines.corpus_pipeline import extract_and_prepare
+
+        corpus = write_corpus(str(tmp_path / "raw"), 80, seed=42)
+        out = str(tmp_path / "prep")
+        m = extract_and_prepare(corpus, out, n_probe_docs=0, min_chars=50)
+        assert m["raw_input_docs"] == m["input_docs"] + m["extraction_rejects"]
+        if m["extraction_rejects"] > 0:
+            failed = pads.dataset(f"{out}/_extraction_failed").to_table()
+            assert failed.num_rows == m["extraction_rejects"]
+            assert all(r for r in failed["reason"].to_pylist())
+
+
+class TestCheckpointedGuards:
+    def test_resume_with_different_shards_refused(self, ray_session,
+                                                  prep_corpus_dir,
+                                                  tmp_path):
+        import pytest as _pytest
+
+        from ocr_ray.pipelines.corpus_pipeline import (
+            prepare_corpus_checkpointed,
+        )
+
+        out = str(tmp_path / "g1")
+        prepare_corpus_checkpointed(prep_corpus_dir, out, n_shards=4)
+        with _pytest.raises(ValueError, match="different configuration"):
+            prepare_corpus_checkpointed(prep_corpus_dir, out, n_shards=8)
+        # resume=False rebuilds cleanly under the new config
+        m = prepare_corpus_checkpointed(prep_corpus_dir, out, n_shards=8,
+                                        resume=False)
+        assert m["n_chunks"] > 0
+
+    def test_stale_flat_chunks_removed(self, ray_session,
+                                       prep_corpus_dir, tmp_path):
+        """A prior plain prepare_corpus run's flat chunk files in the
+        same out_dir must not double-count."""
+        import pyarrow.dataset as pads
+
+        from ocr_ray.pipelines.corpus_pipeline import (
+            prepare_corpus,
+            prepare_corpus_checkpointed,
+        )
+
+        out = str(tmp_path / "g2")
+        ref = prepare_corpus(prep_corpus_dir, out)          # flat layout
+        m = prepare_corpus_checkpointed(prep_corpus_dir, out, n_shards=2)
+        assert m["n_chunks"] == ref["n_chunks"]
+        t = pads.dataset(f"{out}/chunks").to_table()
+        keys = list(zip(t["doc_id"].to_pylist(),
+                        t["chunk_id"].to_pylist()))
+        assert len(keys) == len(set(keys)) == ref["n_chunks"]
+
+    def test_empty_keep_set_survives(self, ray_session, tmp_path):
+        """Every doc quality-rejected: stage A commits an EMPTY keep set
+        and stage B still completes with zero chunks (and resumes)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pqt
+
+        from ocr_ray.pipelines.corpus_pipeline import (
+            prepare_corpus_checkpointed,
+        )
+
+        d = tmp_path / "tiny"
+        d.mkdir()
+        pqt.write_table(pa.Table.from_pylist(
+            [{"doc_id": 1, "text": "too short"},
+             {"doc_id": 2, "text": "also short"}]),
+            str(d / "documents.parquet"))
+        out = str(tmp_path / "g3")
+        m = prepare_corpus_checkpointed(str(d), out, n_shards=2)
+        assert m["n_chunks"] == 0 and m["kept_docs"] == 0
+        m2 = prepare_corpus_checkpointed(str(d), out, n_shards=2)
+        assert m2["n_chunks"] == 0
