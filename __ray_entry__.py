@@ -77,14 +77,26 @@ def _running_user_totals(sf_dir: str):
 from ocr_ray.stages.streaming import RUNNING_USER_TOTALS_SQL as _RUNNING_USER_TOTALS_SQL
 
 
-def _approx_distinct_orderkeys(sf_dir: str):
-    """KMV sketch distinct-count of lineitem.l_orderkey (rows-only: the
-    estimator is deterministic but not SQL-replicable)."""
-    from ocr_ray.functions._io import clean_read
-    from ocr_ray.functions.sketches import approx_distinct
+def _distinct_users_by_type(sf_dir: str):
+    """Salted exact COUNT(DISTINCT user_id) per event_type (the named
+    skew mechanism, ocr_ray/functions/events.py)."""
+    from ocr_ray.functions.events import distinct_users_by_type
 
-    ds = clean_read(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
-    return approx_distinct(ds, "l_orderkey")
+    return distinct_users_by_type(sf_dir)
+
+
+def _source_char_quantiles(sf_dir: str):
+    """Per-source exact quantiles via the value-histogram aggregate."""
+    from ocr_ray.functions.corpus_prep import source_char_quantiles
+
+    return source_char_quantiles(sf_dir)
+
+
+def _repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition signals (exact integers)."""
+    from ocr_ray.functions.corpus_prep import repetition_stats
+
+    return repetition_stats(sf_dir)
 
 
 def _media_features(sf_dir: str):
@@ -121,11 +133,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (deterministic fake codec; real codecs
         # plug in via MediaFeatureExtractor(codec=...))
         "media_features": _media_features,
-        # dedup family
+        # dedup family (simhash_pairs and embedding_dup_pairs rotated out
+        # of the 50-slot registry in round 4 — both are rows-only here by
+        # non-SQL-expressibility and keep their REAL oracles in pytest
+        # (tests/test_dedup.py) + bench recall-vs-brute-force (1.0/1.0);
+        # the freed slots hold SQL-hash-checked operators instead)
         "exact_dedup_groups": tx.exact_dedup_groups,
         "minhash_lsh_pairs": dd.minhash_lsh_pairs,
-        "simhash_pairs": dd.simhash_pairs,
-        "embedding_dup_pairs": dd.embedding_dup_pairs,
         "ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
         "exact_dup_clusters": dd.exact_dup_clusters,
         # similarity search
@@ -150,8 +164,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checked operators under the 50-entry driver cap:
         "error_click_range_join": _error_click_range_join_us,
         "knn_batch_topk": sim.knn_batch_bruteforce,
-        # sketches (mergeable approx aggregates; deterministic hash-based)
-        "approx_distinct_orderkeys": _approx_distinct_orderkeys,
+        # round-4 rotations into the cap (all exact-SQL-checked; they
+        # replace approx_distinct_orderkeys — KMV estimate, guarantee
+        # tests live in tests/test_sketches.py — and the two rows-only
+        # dedup entries above):
+        "distinct_users_by_type": _distinct_users_by_type,
+        "source_char_quantiles": _source_char_quantiles,
+        "repetition_stats": _repetition_stats,
         # relational (SURVEY.md §2.5-2.6 shapes)
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_order_revenue": rel.q3_top_order_revenue,
@@ -182,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_ray.functions import corpus_prep as cp
     from ocr_ray.functions import dedup as dd
     from ocr_ray.functions import events as ev
     from ocr_ray.functions import relational as rel
@@ -214,6 +234,9 @@ def oracle_sql() -> dict[str, str]:
         "error_click_asof": ev.ERROR_CLICK_ASOF_SQL,
         "error_click_range_join": ev.ERROR_CLICK_RANGE_US_SQL,
         "knn_batch_topk": sim.KNN_BATCH_SQL,
+        "distinct_users_by_type": ev.DISTINCT_USERS_SQL,
+        "source_char_quantiles": cp.SOURCE_CHAR_QUANTILES_SQL,
+        "repetition_stats": cp.REPETITION_STATS_SQL,
         "running_user_totals": _RUNNING_USER_TOTALS_SQL,
         "doc_lang_stats": tx.DOC_LANG_STATS_SQL,
         "doc_sample_stats": tx.DOC_SAMPLE_SQL,

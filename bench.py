@@ -144,7 +144,18 @@ def run_queries() -> dict:
     return times
 
 
-NEARDUP_DIR = "/tmp/ocr_ray_neardup_s13"
+def _neardup_dir() -> str:
+    """Cache dir keyed by the generator's source hash (ADVICE r3: a bare
+    _DONE marker kept measuring recall against a stale corpus after any
+    write_neardup_corpus change)."""
+    import hashlib
+    import inspect
+
+    from ocr_ray.fixtures import write_neardup_corpus
+
+    src = inspect.getsource(write_neardup_corpus)
+    tag = hashlib.md5(src.encode()).hexdigest()[:10]
+    return f"/tmp/ocr_ray_neardup_s13_{tag}"
 
 
 def run_dedup_recall() -> dict:
@@ -164,11 +175,12 @@ def run_dedup_recall() -> dict:
         simhash_pairs,
     )
 
-    if not os.path.exists(os.path.join(NEARDUP_DIR, "_DONE")):
-        write_neardup_corpus(NEARDUP_DIR)
-        open(os.path.join(NEARDUP_DIR, "_DONE"), "w").write("ok")
+    neardup_dir = _neardup_dir()
+    if not os.path.exists(os.path.join(neardup_dir, "_DONE")):
+        write_neardup_corpus(neardup_dir)
+        open(os.path.join(neardup_dir, "_DONE"), "w").write("ok")
 
-    docs = pq.read_table(f"{NEARDUP_DIR}/documents.parquet")
+    docs = pq.read_table(f"{neardup_dir}/documents.parquet")
     ids = docs["doc_id"].to_pylist()
     texts = docs["text"].to_pylist()
 
@@ -185,7 +197,7 @@ def run_dedup_recall() -> dict:
     truth_sh = {(ids[i], ids[j])
                 for i in range(len(ids)) for j in range(i + 1, len(ids))
                 if int(sigs[i] ^ sigs[j]).bit_count() <= 3}
-    emb = pq.read_table(f"{NEARDUP_DIR}/embeddings.parquet")
+    emb = pq.read_table(f"{neardup_dir}/embeddings.parquet")
     vids = emb["vec_id"].to_pylist()
     m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
@@ -199,13 +211,13 @@ def run_dedup_recall() -> dict:
 
     out = {}
     found = {(r["doc_a"], r["doc_b"])
-             for r in minhash_lsh_pairs(NEARDUP_DIR).take_all()}
+             for r in minhash_lsh_pairs(neardup_dir).take_all()}
     out["dedup_recall_minhash"] = recall(found, truth_mh)
     found = {(r["doc_a"], r["doc_b"])
-             for r in simhash_pairs(NEARDUP_DIR).take_all()}
+             for r in simhash_pairs(neardup_dir).take_all()}
     out["dedup_recall_simhash"] = recall(found, truth_sh)
     found = {(r["vec_a"], r["vec_b"])
-             for r in embedding_dup_pairs(NEARDUP_DIR).take_all()}
+             for r in embedding_dup_pairs(neardup_dir).take_all()}
     out["dedup_recall_embedding"] = recall(found, truth_emb)
     return out
 

@@ -396,13 +396,19 @@ def bm25_keyword_scores(sf_dir: str, keywords=None,
 
     def score(batch: pa.Table, idf=idf, avgdl=avgdl,
               k1=k1, b=b) -> pa.Table:
+        from collections import Counter
+
         doc_ids, out_kw, out_score = [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                 batch["text"].to_pylist()):
             toks = _tokens(text)
             dl = len(toks)
+            # one O(tokens) Counter per doc, then O(1) lookups — replaces
+            # the per-keyword toks.count scan (O(tokens x keywords),
+            # VERDICT r3 What's-wrong #3)
+            counts = Counter(toks)
             for kw in idf:
-                tf = toks.count(kw)
+                tf = counts.get(kw, 0)
                 if tf == 0:
                     continue
                 s = idf[kw] * tf * (k1 + 1) / (

@@ -467,21 +467,32 @@ def error_click_range_join(sf_dir: str, window_minutes: int = 5,
         kind = batch["event_type"].to_numpy(zero_copy_only=False)
         ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(
             zero_copy_only=False)
-        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        # NULL user_id semantics mirror the SQL oracle's equi-join:
+        # null-user clicks never join anything (dropped here); null-user
+        # errors survive as zero-count groups.  Nullness rides as a
+        # sentinel int column (uid_null) because to_numpy on a nullable
+        # int64 would produce float NaN and Ray's sort groupby cannot
+        # order None keys (ADVICE r3).
+        ua = batch["user_id"]
+        unull = pc.is_null(ua).to_numpy(zero_copy_only=False)
+        users = pc.fill_null(ua, 0).to_numpy(zero_copy_only=False)
         b = ts_us // w_us
-        out_u, out_t, out_b, out_r = [], [], [], []
+        out_u, out_t, out_b, out_r, out_n = [], [], [], [], []
         err = kind == "error"
-        clk = kind == "click"
+        clk = (kind == "click") & ~unull
         # errors: one row each, in their own bucket
         out_u.append(users[err]); out_t.append(ts_us[err])
         out_b.append(b[err]); out_r.append(np.zeros(err.sum(), np.int64))
+        out_n.append(unull[err].astype(np.int64))
         # clicks: replicated to bucket-1, bucket, bucket+1
         for d in (-1, 0, 1):
             out_u.append(users[clk]); out_t.append(ts_us[clk])
             out_b.append(b[clk] + d)
             out_r.append(np.ones(clk.sum(), np.int64))
+            out_n.append(np.zeros(clk.sum(), np.int64))
         return pa.table({
             "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+            "uid_null": pa.array(np.concatenate(out_n), pa.int64()),
             "ts_us": pa.array(np.concatenate(out_t), pa.int64()),
             "bucket": pa.array(np.concatenate(out_b), pa.int64()),
             "is_click": pa.array(np.concatenate(out_r), pa.int64()),
@@ -503,15 +514,19 @@ def error_click_range_join(sf_dir: str, window_minutes: int = 5,
         clicks = np.sort(ts[is_click == 1])
         lo = np.searchsorted(clicks, uniq - w_us, side="left")
         hi = np.searchsorted(clicks, uniq + w_us, side="right")
-        uid = group["user_id"][0]
+        if group["uid_null"][0].as_py():
+            uid_arr = pa.array([None] * len(uniq), pa.int64())
+        else:
+            uid = group["user_id"][0].as_py()
+            uid_arr = pa.array(np.full(len(uniq), uid), pa.int64())
         return pa.table({
-            "user_id": pa.array(np.full(len(uniq), uid.as_py()), pa.int64()),
+            "user_id": uid_arr,
             "ts_us": pa.array(uniq, pa.int64()),
             "n_nearby_clicks": pa.array((hi - lo) * mult, pa.int64()),
         })
 
     out = (ds.map_batches(tag, batch_format="pyarrow")
-           .groupby(["user_id", "bucket"])
+           .groupby(["user_id", "uid_null", "bucket"])
            .map_groups(per_group, batch_format="pyarrow"))
 
     def finalize(batch: pa.Table, ts_as=ts_as) -> pa.Table:

@@ -275,9 +275,9 @@ def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     q = _query_vector(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
     paths = probe_partitions(index_path, cent, q, nprobe)
-    if not paths:
-        return pa.table({"vec_id": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
+    if not paths:  # Dataset on every path, same as knn_ivf_batch
+        return rd.from_arrow(pa.table({"vec_id": pa.array([], pa.int64()),
+                                       "cosine": pa.array([], pa.float64())}))
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
 
     def local_topk(batch: pa.Table, qn=None, k=10) -> pa.Table:
@@ -310,9 +310,11 @@ def knn_ivf_batch(sf_dir: str, n_queries: int = 8, k: int = 5,
 
     import os
 
-    empty = pa.table({"query_id": pa.array([], pa.int64()),
-                      "vec_id": pa.array([], pa.int64()),
-                      "cosine": pa.array([], pa.float64())})
+    # empty edge cases return a Dataset too (ADVICE r3: a pa.Table here
+    # broke callers composing Dataset ops on the rare empty path)
+    empty = rd.from_arrow(pa.table({"query_id": pa.array([], pa.int64()),
+                                    "vec_id": pa.array([], pa.int64()),
+                                    "cosine": pa.array([], pa.float64())}))
     index_path, cent = build_ivf_index(sf_dir, n_clusters)
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"],

@@ -197,6 +197,25 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     return manifest
 
 
+def _input_fingerprint(sf_dir: str) -> str:
+    """Cheap input-identity stamp: size + mtime_ns of the documents
+    table (file, or every parquet part under a directory / symlinked
+    view).  Same trick as the IVF index cache key."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(path, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
 def prepare_corpus_checkpointed(sf_dir: str, out_dir: str, *,
                                 n_shards: int = 8, resume: bool = True,
                                 **prep_kwargs) -> dict:
@@ -234,10 +253,16 @@ def prepare_corpus_checkpointed(sf_dir: str, out_dir: str, *,
         for f in os.listdir(lineage):
             os.unlink(os.path.join(lineage, f))
 
-    # a resume MUST run with the committed run's exact configuration:
-    # lineage markers are keyed by shard index, so a different n_shards
-    # (or different filter/chunk kwargs) would silently mix geometries
+    # a resume MUST run with the committed run's exact configuration AND
+    # the committed run's exact input: lineage markers are keyed by shard
+    # index, so a different n_shards (or different filter/chunk kwargs)
+    # would silently mix geometries, and a changed sf_dir / regenerated
+    # documents.parquet would chunk the NEW corpus against the OLD keep-id
+    # set (ADVICE r3).  The input identity is sf_dir plus a cheap size +
+    # mtime_ns fingerprint of documents.parquet.
     run_config = {"n_shards": n_shards,
+                  "sf_dir": os.path.abspath(sf_dir),
+                  "input_fingerprint": _input_fingerprint(sf_dir),
                   **{k: v for k, v in sorted(prep_kwargs.items())}}
     config_path = os.path.join(keep_dir, "run_config.json")
 
@@ -406,6 +431,22 @@ def extract_and_prepare(input_path: str, out_dir: str, *,
     os.makedirs(docs_dir, exist_ok=True)
     extracted.map_batches(to_docs, batch_format="pyarrow") \
         .write_parquet(docs_dir)
+    # hash-collision guard (ADVICE r3): a 63-bit id has ~1e5 expected
+    # birthday collisions at 10^12 docs, each silently merging distinct
+    # documents into one doc_id.  Cheap distributed check: count(distinct
+    # doc_id) must equal the row count, else refuse loudly.
+    import pyarrow.dataset as _pads
+    import ray.data as _rd
+    if _pads.dataset(docs_dir).files:
+        _ids = _rd.read_parquet(docs_dir, columns=["doc_id"])
+        _n_rows = _ids.count()
+        _n_distinct = _ids.groupby("doc_id").count().count()
+        if _n_distinct != _n_rows:
+            raise RuntimeError(
+                f"doc_id hash collision detected in extract_and_prepare: "
+                f"{_n_rows} docs -> {_n_distinct} distinct 63-bit ids; "
+                f"dedup/contamination/chunk attribution would silently "
+                f"merge documents — widen the id derivation")
     # prepare_corpus reads {dir}/documents.parquet; point it at the
     # written directory via a view directory containing the parts
     view = os.path.join(out_dir, "_docs_view")
