@@ -209,29 +209,31 @@ def _min_k_ids(ds, col: str, k: int) -> list[int]:
     return [int(v) for v in ds.aggregate(agg)["min_k"]]
 
 
-def contamination_check(sf_dir: str, n_probe_docs: int = 3,
-                        window: int = 8, probe_path: str | None = None):
-    """Benchmark decontamination: which corpus docs share any ``window``-
-    token n-gram with a probe (benchmark) set — the standard train/eval
-    overlap sweep of a pretraining pipeline.
-
-    Probe set: ``probe_path`` (a parquet file with a ``text`` column —
-    the real use, decontaminating against an external eval benchmark)
-    or, by default, the ``n_probe_docs`` smallest-doc_id corpus docs
-    (the deterministic stand-in the SQL oracle replicates), selected by
-    a streaming min-k aggregate + row-filter pushdown read — the full
-    doc_id column never reaches the driver.  Probe window hashes are
-    broadcast as a set; each doc scans vectorized.  Returns
-    (doc_id, n_hits) for contaminated docs other than the probes.
-    """
-    import pyarrow.parquet as pq
-
+def _win_hashes_fn(window: int):
     def win_hashes(text: str) -> list[str]:
         toks = _tokens(text)
         if len(toks) < window:
             return []
         return [hashlib.md5(" ".join(toks[i:i + window]).encode())
                 .hexdigest() for i in range(len(toks) - window + 1)]
+    return win_hashes
+
+
+def contamination_probe(sf_dir: str, n_probe_docs: int = 3,
+                        window: int = 8,
+                        probe_path: str | None = None
+                        ) -> tuple[frozenset, frozenset]:
+    """(probe_ids, probe window-hash set) — the broadcast side of the
+    contamination scan, reusable by fused single-scan pipelines.
+
+    Probe set: ``probe_path`` (a parquet file with a ``text`` column —
+    the real use, decontaminating against an external eval benchmark)
+    or, by default, the ``n_probe_docs`` smallest-doc_id corpus docs,
+    selected by a streaming min-k aggregate + row-filter pushdown read —
+    the full doc_id column never reaches the driver."""
+    import pyarrow.parquet as pq
+
+    win_hashes = _win_hashes_fn(window)
 
     if probe_path is not None:
         probe_ids: set[int] = set()
@@ -248,6 +250,28 @@ def contamination_check(sf_dir: str, n_probe_docs: int = 3,
         probe_ids, probe_texts = set(), []
 
     probe_set = frozenset(h for t in probe_texts for h in win_hashes(t))
+    return frozenset(probe_ids), probe_set
+
+
+def contamination_check(sf_dir: str, n_probe_docs: int = 3,
+                        window: int = 8, probe_path: str | None = None):
+    """Benchmark decontamination: which corpus docs share any ``window``-
+    token n-gram with a probe (benchmark) set — the standard train/eval
+    overlap sweep of a pretraining pipeline.
+
+    Probe set: ``probe_path`` (a parquet file with a ``text`` column —
+    the real use, decontaminating against an external eval benchmark)
+    or, by default, the ``n_probe_docs`` smallest-doc_id corpus docs
+    (the deterministic stand-in the SQL oracle replicates), selected by
+    a streaming min-k aggregate + row-filter pushdown read — the full
+    doc_id column never reaches the driver.  Probe window hashes are
+    broadcast as a set; each doc scans vectorized.  Returns
+    (doc_id, n_hits) for contaminated docs other than the probes.
+    """
+    probe_ids, probe_set = contamination_probe(
+        sf_dir, n_probe_docs=n_probe_docs, window=window,
+        probe_path=probe_path)
+    win_hashes = _win_hashes_fn(window)
 
     ds = _read(sf_dir, ["doc_id", "text"])
 

