@@ -447,21 +447,38 @@ def error_click_range_join(sf_dir: str, window_minutes: int = 5,
     cut into buckets of exactly the window width; each error lands in
     its own bucket, each click is REPLICATED to its bucket and both
     neighbors (any in-range partner of an error in bucket b lives in
-    b-1..b+1), and ONE groupby((user_id, bucket)) co-locates every
+    b-1..b+1), and a hash shuffle on (user_id, bucket) co-locates every
     error with all its candidate clicks.  Group size is bounded by the
     events in a 3-window time slice of one user — NOT by the user's
     total history (the per-user sessionize assumption does not apply
     here; a hot user's year of events still splits across buckets).
-    In-group counting is one vectorized searchsorted pair per group.
-    Each error appears in exactly one group, so no dedup is needed.
+
+    Round-4 kernel (r3 VERDICT Next #4 — this was the slowest bench
+    query): the shuffle key is hash(user, bucket) %% P, NOT the raw
+    (user, bucket) pair — at sf0.1 the raw key made ~79k groups of a
+    handful of rows each and map_groups paid a Python call + Arrow
+    table build PER GROUP.  Now there are P data-sized partitions and
+    each one is counted in a single numpy pass: rows lexsorted by
+    (group, is_click, ts), every group's timestamps transposed onto a
+    disjoint 4w-wide band (enc = gid*4w + ts - bucket*w + w, clicks
+    span [0,3w) of the band, error queries ±w never leave it), then
+    ONE global searchsorted pair answers every error in the partition.
     """
     import numpy as np
 
     from ._io import clean_read
+    from ._part import nparts_for
 
     ds = clean_read(f"{sf_dir}/events.parquet",
                     columns=["user_id", "ts", "event_type"])
     w_us = np.int64(window_minutes) * 60 * 1_000_000
+
+    import pyarrow.parquet as _pq
+    n_events = _pq.ParquetFile(
+        f"{sf_dir}/events.parquet").metadata.num_rows
+    # tagged rows ~= errors + 3x clicks ~= 2x input (driver-side footer
+    # read, no data scan); partitions scale with data, floor 8
+    n_parts = nparts_for(2 * n_events, rows_per_part=500_000, floor=8)
 
     def tag(batch: pa.Table, w_us=w_us) -> pa.Table:
         kind = batch["event_type"].to_numpy(zero_copy_only=False)
@@ -490,44 +507,76 @@ def error_click_range_join(sf_dir: str, window_minutes: int = 5,
             out_b.append(b[clk] + d)
             out_r.append(np.ones(clk.sum(), np.int64))
             out_n.append(np.zeros(clk.sum(), np.int64))
+        users_c = np.concatenate(out_u)
+        bucket_c = np.concatenate(out_b)
+        # shuffle key: multiplicative hash of (user, bucket) -> P parts
+        mix = (users_c.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               + bucket_c.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        part = ((mix >> np.uint64(33)) % np.uint64(n_parts)).astype(np.int64)
         return pa.table({
-            "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+            "user_id": pa.array(users_c, pa.int64()),
             "uid_null": pa.array(np.concatenate(out_n), pa.int64()),
             "ts_us": pa.array(np.concatenate(out_t), pa.int64()),
-            "bucket": pa.array(np.concatenate(out_b), pa.int64()),
+            "bucket": pa.array(bucket_c, pa.int64()),
             "is_click": pa.array(np.concatenate(out_r), pa.int64()),
+            "part": pa.array(part, pa.int64()),
         })
 
-    def per_group(group: pa.Table, w_us=w_us) -> pa.Table:
-        is_click = group["is_click"].to_numpy(zero_copy_only=False)
-        ts = group["ts_us"].to_numpy(zero_copy_only=False)
-        errs = ts[is_click == 0]
-        if len(errs) == 0:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "ts_us": pa.array([], pa.int64()),
-                             "n_nearby_clicks": pa.array([], pa.int64())})
+    _EMPTY = pa.table({"user_id": pa.array([], pa.int64()),
+                       "ts_us": pa.array([], pa.int64()),
+                       "n_nearby_clicks": pa.array([], pa.int64())})
+
+    def per_part(part: pa.Table, w_us=w_us) -> pa.Table:
+        users = part["user_id"].to_numpy(zero_copy_only=False)
+        unull = part["uid_null"].to_numpy(zero_copy_only=False)
+        ts = part["ts_us"].to_numpy(zero_copy_only=False)
+        bucket = part["bucket"].to_numpy(zero_copy_only=False)
+        is_click = part["is_click"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, is_click, bucket, users, unull))
+        users, unull, ts = users[order], unull[order], ts[order]
+        bucket, is_click = bucket[order], is_click[order]
+        new = np.empty(len(users), bool)
+        new[0] = True
+        new[1:] = ((users[1:] != users[:-1]) | (bucket[1:] != bucket[:-1])
+                   | (unull[1:] != unull[:-1]))
+        gid = np.cumsum(new) - 1
+        # band encoding: rel = ts - bucket*w is in [0,w) for errors (own
+        # bucket) and [-w,2w) for replicated clicks, so enc = gid*4w +
+        # rel + w packs each group into a disjoint [gid*4w, gid*4w+3w)
+        # band and error queries enc±w stay inside it.  int64 headroom:
+        # gid*4w overflows only past ~7e9 groups PER PARTITION — size
+        # rows_per_part well below that.
+        enc = gid * (4 * w_us) + (ts - bucket * w_us) + w_us
+        clk = is_click == 1
+        clicks_enc = enc[clk]          # globally sorted by (gid, ts)
+        e_sel = ~clk
+        e_ts = ts[e_sel]
+        if len(e_ts) == 0:
+            return _EMPTY
+        e_gid, e_enc = gid[e_sel], enc[e_sel]
         # duplicate (user, ts) error rows collapse into ONE output row
         # whose count is multiplicity * clicks-in-range — exactly the
         # oracle's GROUP BY e.user_id, e.ts over the joined pairs
-        # (duplicates always share this group: same user, same bucket)
-        uniq, mult = np.unique(errs, return_counts=True)
-        clicks = np.sort(ts[is_click == 1])
-        lo = np.searchsorted(clicks, uniq - w_us, side="left")
-        hi = np.searchsorted(clicks, uniq + w_us, side="right")
-        if group["uid_null"][0].as_py():
-            uid_arr = pa.array([None] * len(uniq), pa.int64())
-        else:
-            uid = group["user_id"][0].as_py()
-            uid_arr = pa.array(np.full(len(uniq), uid), pa.int64())
+        # (duplicates always share a group: same user, same bucket)
+        first = np.empty(len(e_gid), bool)
+        first[0] = True
+        first[1:] = (e_gid[1:] != e_gid[:-1]) | (e_ts[1:] != e_ts[:-1])
+        idx = np.flatnonzero(first)
+        mult = np.diff(np.append(idx, len(e_gid)))
+        lo = np.searchsorted(clicks_enc, e_enc[idx] - w_us, side="left")
+        hi = np.searchsorted(clicks_enc, e_enc[idx] + w_us, side="right")
+        e_null = unull[e_sel][idx].astype(bool)
+        uid_arr = pa.array(users[e_sel][idx], pa.int64(),
+                           mask=e_null if e_null.any() else None)
         return pa.table({
             "user_id": uid_arr,
-            "ts_us": pa.array(uniq, pa.int64()),
+            "ts_us": pa.array(e_ts[idx], pa.int64()),
             "n_nearby_clicks": pa.array((hi - lo) * mult, pa.int64()),
         })
 
     out = (ds.map_batches(tag, batch_format="pyarrow")
-           .groupby(["user_id", "uid_null", "bucket"])
-           .map_groups(per_group, batch_format="pyarrow"))
+           .groupby("part")
+           .map_groups(per_part, batch_format="pyarrow"))
 
     def finalize(batch: pa.Table, ts_as=ts_as) -> pa.Table:
         # ts_as="us": epoch-microsecond int64 (dtype-robust for the
