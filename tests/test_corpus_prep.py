@@ -179,6 +179,80 @@ class TestCorpusPrep:
             assert [int(v) for v in got[c]] == [int(v) for v in want[c]], c
 
 
+class TestGroupedQuantilesFloat:
+    def test_registry_query_exact(self, ray_session):
+        from ocr_ray.functions import corpus_prep as cp
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                    f"'{SF}/orders.parquet'")
+        want = con.execute(cp.PRIORITY_PRICE_QUANTILES_SQL).df()
+        got = cp.priority_price_quantiles(SF).to_pandas()
+        pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                      check_dtype=False)
+
+    def test_refinement_rounds_high_cardinality(self, ray_session,
+                                                tmp_path):
+        """Near-unique float values with a tiny gather_threshold so the
+        B-ary rank search MUST run refinement rounds (the value-
+        histogram shortcut would ship every distinct value to the
+        driver).  Exact vs DuckDB quantile_disc, including ties planted
+        at bin boundaries and a NULL group key + NULL values."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions.corpus_prep import grouped_quantiles_float
+
+        rng = np.random.RandomState(7)
+        n = 30_000
+        keys = (["en"] * n) + (["fr"] * 500) + ([None] * 100)
+        vals = np.concatenate([
+            rng.uniform(-1e6, 1e6, n - 64),
+            np.full(64, 12345.0625),          # dense tie inside a bin
+            rng.uniform(0, 1, 500),
+            rng.uniform(5, 6, 100)])
+        varr = vals.tolist()
+        varr[n + 50] = None                   # NULL value: ignored
+        pq.write_table(pa.table({
+            "k": pa.array(keys, pa.string()),
+            "v": pa.array(varr, pa.float64())}),
+            str(tmp_path / "t.parquet"))
+        import ray.data as rd
+        ds = rd.read_parquet(str(tmp_path / "t.parquet"))
+        got = grouped_quantiles_float(
+            ds, "k", "v", n_bins=16, gather_threshold=64,
+            max_rounds=8).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                    f"'{tmp_path}/t.parquet'")
+        want = con.execute(
+            "SELECT k, quantile_disc(v, 0.25) AS p25, "
+            "quantile_disc(v, 0.50) AS p50, "
+            "quantile_disc(v, 0.95) AS p95 FROM t GROUP BY k "
+            "ORDER BY k IS NULL, k").fetchdf()
+        got = got.sort_values("k", na_position="last") \
+            .reset_index(drop=True)
+        want = want.reset_index(drop=True)
+        assert list(got["k"].fillna("~")) == list(want["k"].fillna("~"))
+        for c in ("p25", "p50", "p95"):
+            assert list(got[c]) == list(want[c]), c
+
+    def test_all_identical_values_degenerate(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocr_ray.functions.corpus_prep import grouped_quantiles_float
+
+        ds = rd.from_arrow(pa.table({
+            "k": pa.array(["a"] * 1000, pa.string()),
+            "v": pa.array([3.5] * 1000, pa.float64())}))
+        got = grouped_quantiles_float(ds, "k", "v", n_bins=4,
+                                      gather_threshold=10,
+                                      max_rounds=4).to_pylist()
+        assert got == [{"k": "a", "p25": 3.5, "p50": 3.5, "p95": 3.5}]
+
+
 class TestBigramScores:
     def test_matches_pure_python_oracle(self, ray_session):
         import math

@@ -50,6 +50,12 @@ class TestConsolidatedQueries:
         from ocr_ray.functions import relational as rel
         _check(rel.distinct_order_statuses(SF), rel.DISTINCT_STATUS_SQL)
 
+    def test_mktsegment_stats(self, ray_session):
+        # rotated out of the registry in round 4 for the float grouped
+        # quantiles; oracle coverage continues here
+        from ocr_ray.functions import relational as rel
+        _check(rel.mktsegment_stats(SF), rel.MKTSEGMENT_SQL)
+
     def test_doc_source_stats(self, ray_session):
         from ocr_ray.functions import textops as tx
         _check(tx.doc_source_stats(SF), tx.DOC_SOURCE_SQL)
