@@ -143,6 +143,71 @@ def append_to_band_index(new_docs: pa.Table, index_dir: str) -> int:
     return len(ids)
 
 
+def increment_file_count(index_dir: str) -> int:
+    """Number of ``inc-*`` parquet files appended since the last build /
+    compaction — the compaction trigger metric (each append adds one
+    small file per touched partition)."""
+    n = 0
+    for sub in ("bands", "features"):
+        for root, _dirs, files in os.walk(f"{index_dir}/{sub}"):
+            n += sum(1 for f in files
+                     if f.startswith("inc-") and f.endswith(".parquet"))
+    return n
+
+
+def compact_band_index(index_dir: str, min_inc_files: int = 1) -> bool:
+    """Rewrite the band + feature tables so every hive partition holds
+    large base files again instead of a listing dominated by per-append
+    ``inc-*`` fragments (the compaction the ``append_to_band_index``
+    contract calls for).
+
+    Distributed full rewrite of ONLY the index tables — one Ray Data
+    read -> write per table, never a corpus rescan.  Crash-safe: the
+    rewrite lands in ``.compact-tmp`` siblings and is swapped in with
+    directory renames; a kill mid-rewrite leaves the live index
+    untouched, a kill mid-swap leaves a ``<sub>.old`` directory that the
+    next compaction (or probe — hive reads ignore sibling dirs) never
+    sees.  Returns False (no-op) when fewer than ``min_inc_files``
+    appended files exist.
+    """
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    if increment_file_count(index_dir) < min_inc_files:
+        return False
+
+    specs = {"bands": (["band_id", "prefix"],
+                       {"band_id": pa.int64(), "band_hash": pa.string(),
+                        "prefix": pa.string(), "doc_id": pa.int64()}),
+             "features": (["fpref"],
+                          {"doc_id": pa.int64(), "fpref": pa.int64(),
+                           "shingles": pa.binary()})}
+    for sub, (part_cols, types) in specs.items():
+        live, tmp, old = (f"{index_dir}/{sub}", f"{index_dir}/{sub}.compact-tmp",
+                          f"{index_dir}/{sub}.old")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+
+        def recast(batch: pa.Table, types=types) -> pa.Table:
+            # hive partition values come back dictionary/int32-encoded;
+            # pin the write schema to the build_band_index layout
+            cols = {n: pc.cast(batch[n].combine_chunks().cast(
+                batch[n].type.value_type
+                if pa.types.is_dictionary(batch[n].type) else batch[n].type),
+                t) for n, t in types.items()}
+            return pa.table(cols)
+
+        rd.read_parquet(live) \
+            .map_batches(recast, batch_format="pyarrow") \
+            .write_parquet(tmp, partition_cols=part_cols)
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)
+    return True
+
+
 def probe_band_paths(index_dir: str, probes: set[tuple[int, str]]):
     """Parquet files of exactly the (band_id, prefix) partitions a new
     increment hashes into — file-list-checkable pruning."""

@@ -141,6 +141,58 @@ class TestIncrementalDedup:
         assert 0 < len(paths) < len(all_files)
         assert set(paths) <= set(all_files)
 
+    def test_compaction_merges_increment_files(self, indexed_corpus,
+                                               tmp_path):
+        """After appends, compaction must leave zero inc-* fragments,
+        preserve probe results exactly, and keep hive pruning intact."""
+        import os
+        import shutil
+
+        from ocr_ray.functions.incremental import (
+            append_to_band_index,
+            compact_band_index,
+            dedup_new_against_index,
+            increment_file_count,
+        )
+
+        base, idx0 = indexed_corpus
+        idx = str(tmp_path / "index")
+        shutil.copytree(idx0, idx)
+
+        inc_text = ("compaction fixture increment with lots of band rows "
+                    "describing parquet file merges and hive partitions "
+                    "rewritten by a distributed pass over the index")
+        inc = pa.table({"doc_id": pa.array([8001], pa.int64()),
+                        "text": pa.array([inc_text], pa.string())})
+        append_to_band_index(inc, idx)
+        inc2 = pa.table({"doc_id": pa.array([8002], pa.int64()),
+                         "text": pa.array(["another appended doc about "
+                                           "rivers stones and rainfall"],
+                                          pa.string())})
+        append_to_band_index(inc2, idx)
+        assert increment_file_count(idx) > 0
+
+        probe = pa.table({
+            "doc_id": pa.array([9001], pa.int64()),
+            "text": pa.array([inc_text.replace("the index", "the table")],
+                             pa.string())})
+        before = sorted(map(tuple, (
+            (r["new_doc"], r["indexed_doc"], r["jaccard"])
+            for r in dedup_new_against_index(probe, idx).to_pylist())))
+        assert any(o == 8001 for _, o, _ in before)
+
+        assert compact_band_index(idx) is True
+        assert increment_file_count(idx) == 0
+        # no leftover tmp/old dirs from the swap
+        assert not any(x.endswith((".compact-tmp", ".old"))
+                       for x in os.listdir(idx))
+        after = sorted(map(tuple, (
+            (r["new_doc"], r["indexed_doc"], r["jaccard"])
+            for r in dedup_new_against_index(probe, idx).to_pylist())))
+        assert after == before
+        # a second compaction with nothing appended is a no-op
+        assert compact_band_index(idx) is False
+
     def test_bulk_increment_guard_raises(self, indexed_corpus):
         """A dup-heavy increment that blows the candidate-pair budget
         must be refused with guidance, not silently materialized on the
