@@ -108,6 +108,15 @@ def _priority_price_quantiles(sf_dir: str):
     return priority_price_quantiles(sf_dir)
 
 
+def _props_redaction(sf_dir: str):
+    """Vectorized RE2 pattern redaction (Arrow count/replace_substring_
+    regex) with per-event-type rollup; the PII pattern set itself is
+    exercised by planted fixtures in tests/test_redact.py."""
+    from ocr_ray.functions.redact import props_redaction
+
+    return props_redaction(sf_dir)
+
+
 def _media_features(sf_dir: str):
     """Decode/feature-extract over a deterministic synthetic media table
     (binary payload column) — rows-only; see ocr_ray/stages/multimodal.py."""
@@ -155,8 +164,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": sim.knn_bruteforce,
         "knn_ivf": sim.knn_ivf,
         "embedding_label_centroids": sim.embedding_label_centroids,
-        # text analysis
-        "doc_lang_stats": tx.doc_lang_stats,
+        # text analysis (doc_lang_stats rotated out in round 4 for the
+        # PII/pattern redaction operator — its oracle coverage continues
+        # in tests/test_registry_extras.py; lang_id + source_char_
+        # quantiles keep the lang/source shapes driver-checked)
+        "props_redaction": _props_redaction,
         "doc_sample_stats": tx.doc_sample_stats,
         "doc_token_counts": tx.doc_token_counts,
         "doc_bpe_token_counts": tx.doc_bpe_token_counts,
@@ -215,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from ocr_ray.functions import corpus_prep as cp
     from ocr_ray.functions import dedup as dd
+    from ocr_ray.functions import redact as _rd
     from ocr_ray.functions import events as ev
     from ocr_ray.functions import relational as rel
     from ocr_ray.functions import similarity as sim
@@ -250,7 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "source_char_quantiles": cp.SOURCE_CHAR_QUANTILES_SQL,
         "repetition_stats": cp.REPETITION_STATS_SQL,
         "running_user_totals": _RUNNING_USER_TOTALS_SQL,
-        "doc_lang_stats": tx.DOC_LANG_STATS_SQL,
+        "props_redaction": _rd.PROPS_REDACTION_SQL,
         "doc_sample_stats": tx.DOC_SAMPLE_SQL,
         "doc_token_counts": tx.DOC_TOKEN_COUNTS_SQL,
         "doc_bpe_token_counts": tx.DOC_BPE_TOKEN_SQL,

@@ -56,6 +56,12 @@ class TestConsolidatedQueries:
         from ocr_ray.functions import relational as rel
         _check(rel.mktsegment_stats(SF), rel.MKTSEGMENT_SQL)
 
+    def test_doc_lang_stats(self, ray_session):
+        # rotated out of the registry in round 4 for props_redaction;
+        # oracle coverage continues here
+        from ocr_ray.functions import textops as tx
+        _check(tx.doc_lang_stats(SF), tx.DOC_LANG_STATS_SQL)
+
     def test_doc_source_stats(self, ray_session):
         from ocr_ray.functions import textops as tx
         _check(tx.doc_source_stats(SF), tx.DOC_SOURCE_SQL)
