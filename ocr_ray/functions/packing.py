@@ -1,0 +1,128 @@
+"""Sequence packing: greedy token-budget packing of chunks into
+training sequences — the step between a chunked corpus and a trainer
+(padding waste is the metric; packs should sit near the budget).
+
+Deterministic distributed contract (the same shard discipline as the
+exploded-mode reassembly buckets): every chunk is routed to shard
+``hash64(doc_id) % n_shards``; within a shard, chunks are packed in
+``(doc_id, chunk_id)`` order by a greedy accumulator that closes a pack
+when the next chunk would exceed ``budget_tokens``.  The result is a
+pure function of the shard's chunk set — independent of input
+partitioning, actor count, or arrival order — so two runs (or a resume)
+pack identically.
+
+Partitioning assumption (documented per the custom-operator rule): one
+shard's chunks must fit one worker's heap — size ``n_shards`` to
+corpus_chunks / n_shards ~ a few million rows.  Packing is per-shard
+sequential by construction (greedy order matters), so parallelism comes
+from sharding, not from splitting a shard.
+
+An oversized chunk (n_tokens > budget) becomes its own pack, flagged
+``oversize`` — it needs truncation downstream, never silent dropping.
+
+The inner loop is O(#packs) `np.searchsorted` jumps on the shard's
+token cumsum, not O(#chunks) Python iterations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_SHARD_BITS = 40  # pack_id = shard << 40 | local pack index
+
+
+def _hash_shard(doc_ids: np.ndarray, n_shards: int) -> np.ndarray:
+    # splitmix-style avalanche so consecutive doc_ids spread across shards
+    x = doc_ids.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return (x % np.uint64(n_shards)).astype(np.int64)
+
+
+def pack_shard_table(tbl: pa.Table, budget_tokens: int) -> pa.Table:
+    """Pack ONE shard's chunks (greedy, (doc_id, chunk_id) order).
+
+    Returns the input rows + (pack_id, pack_seq, oversize).  Reference
+    packing loop for the property tests lives in tests/test_packing.py.
+    """
+    shard = tbl["shard"][0].as_py() if tbl.num_rows else 0
+    order = pa.compute.sort_indices(
+        tbl, sort_keys=[("doc_id", "ascending"), ("chunk_id", "ascending")])
+    tbl = tbl.take(order)
+    ntok = tbl["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ntok)
+    pack_local = np.empty(n, dtype=np.int64)
+    pack_seq = np.empty(n, dtype=np.int64)
+    oversize = np.zeros(n, dtype=bool)
+    csum = np.concatenate(([0], np.cumsum(ntok)))
+    i, p = 0, 0
+    while i < n:
+        if ntok[i] > budget_tokens:
+            j = i + 1
+            oversize[i] = True
+        else:
+            # furthest j with csum[j] - csum[i] <= budget: one log-time
+            # jump per PACK, not one step per chunk
+            j = int(np.searchsorted(csum, csum[i] + budget_tokens,
+                                    side="right")) - 1
+            j = max(j, i + 1)
+        pack_local[i:j] = p
+        pack_seq[i:j] = np.arange(j - i)
+        i, p = j, p + 1
+    pack_id = (np.int64(shard) << np.int64(_SHARD_BITS)) + pack_local
+    return (tbl
+            .append_column("pack_id", pa.array(pack_id, pa.int64()))
+            .append_column("pack_seq", pa.array(pack_seq, pa.int64()))
+            .append_column("oversize", pa.array(oversize, pa.bool_())))
+
+
+def pack_chunks(chunks_ds, budget_tokens: int = 2048, n_shards: int = 64):
+    """Distributed packing: route chunks to shards (map-side column add),
+    co-locate each shard with ONE groupby shuffle, pack per shard.
+
+    ``chunks_ds``: Dataset with (doc_id, chunk_id, n_tokens, ...).
+    Output: input columns + (shard, pack_id, pack_seq, oversize).
+    """
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array(_hash_shard(ids, n_shards), pa.int64()))
+
+    def pack_group(tbl: pa.Table) -> pa.Table:
+        return pack_shard_table(tbl, budget_tokens)
+
+    return (chunks_ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(pack_group, batch_format="pyarrow"))
+
+
+def packing_stats(packed_ds, budget_tokens: int = 2048):
+    """Per-pack rollup: (pack_id, n_chunks, fill_tokens, fill_ratio,
+    oversize) — fill_ratio near 1.0 is the packing-quality headline."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def pre(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "oversize_i", pc.cast(batch["oversize"], pa.int64()))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ratio = pc.divide(
+            pc.cast(batch["fill_tokens"], pa.float64()),
+            float(budget_tokens))
+        return batch.append_column(
+            "fill_ratio", pc.round(ratio, ndigits=6))
+
+    return (packed_ds
+            .map_batches(pre, batch_format="pyarrow")
+            .groupby("pack_id")
+            .aggregate(Count(alias_name="n_chunks"),
+                       Sum("n_tokens", alias_name="fill_tokens"),
+                       Max("oversize_i", alias_name="oversize"))
+            .map_batches(fill, batch_format="pyarrow"))

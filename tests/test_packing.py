@@ -1,0 +1,144 @@
+"""Sequence packing: reference-loop equality, invariants, and the
+partitioning-independence (determinism) contract."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def reference_pack(ntok, budget):
+    """The obvious greedy loop (one step per chunk) — the semantics
+    pack_shard_table's searchsorted jumps must reproduce."""
+    pack, seq, over = [], [], []
+    p, acc, s = 0, 0, 0
+    for i, t in enumerate(ntok):
+        if t > budget:
+            if s > 0:           # close the open pack
+                p += 1
+            pack.append(p)
+            seq.append(0)
+            over.append(True)
+            p, acc, s = p + 1, 0, 0
+            continue
+        if acc + t > budget and s > 0:
+            p, acc, s = p + 1, 0, 0
+        pack.append(p)
+        seq.append(s)
+        over.append(False)
+        acc, s = acc + t, s + 1
+    return pack, seq, over
+
+
+def shard_table(ntok, shard=3):
+    n = len(ntok)
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "chunk_id": pa.array([0] * n, pa.int64()),
+        "n_tokens": pa.array(ntok, pa.int64()),
+        "shard": pa.array([shard] * n, pa.int64()),
+    })
+
+
+class TestPackShard:
+    @pytest.mark.parametrize("seed,budget", [(0, 100), (1, 64), (2, 257),
+                                             (3, 17)])
+    def test_matches_reference_loop(self, seed, budget):
+        from ocr_ray.functions.packing import _SHARD_BITS, pack_shard_table
+
+        rng = np.random.default_rng(seed)
+        ntok = rng.integers(1, budget // 2 + 40, size=500).tolist()
+        # plant oversize chunks
+        ntok[7] = budget + 5
+        ntok[200] = budget * 3
+        out = pack_shard_table(shard_table(ntok), budget)
+        ref_pack, ref_seq, ref_over = reference_pack(ntok, budget)
+        shard = 3
+        assert out["pack_id"].to_pylist() == [
+            (shard << _SHARD_BITS) + p for p in ref_pack]
+        assert out["pack_seq"].to_pylist() == ref_seq
+        assert out["oversize"].to_pylist() == ref_over
+
+    def test_invariants(self):
+        from ocr_ray.functions.packing import pack_shard_table
+
+        rng = np.random.default_rng(42)
+        budget = 128
+        ntok = rng.integers(1, 90, size=1000).tolist()
+        out = pack_shard_table(shard_table(ntok), budget)
+        df = out.to_pandas()
+        # every non-oversize pack fits the budget
+        fills = df[~df["oversize"]].groupby("pack_id")["n_tokens"].sum()
+        assert (fills <= budget).all()
+        # greedy = adding the NEXT chunk would overflow (packs are tight):
+        # consecutive pack fill + first chunk of the next pack > budget
+        g = df.sort_values(["pack_id", "pack_seq"])
+        firsts = g.groupby("pack_id").first()["n_tokens"]
+        for (pid, fill), (nid, nxt) in zip(fills.items(),
+                                           list(firsts.items())[1:]):
+            if nid == pid + 1:
+                assert fill + nxt > budget
+        # nothing lost, order kept
+        assert len(df) == len(ntok)
+        assert df["doc_id"].tolist() == sorted(df["doc_id"].tolist())
+
+    def test_empty_shard(self):
+        from ocr_ray.functions.packing import pack_shard_table
+
+        out = pack_shard_table(shard_table([]), 100)
+        assert out.num_rows == 0
+        assert {"pack_id", "pack_seq", "oversize"} <= set(out.schema.names)
+
+
+class TestPackChunksDistributed:
+    def _chunks_table(self, n_docs=120, seed=7):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for d in range(n_docs):
+            for c in range(int(rng.integers(1, 5))):
+                rows.append({"doc_id": d, "chunk_id": c,
+                             "n_tokens": int(rng.integers(10, 120))})
+        return pa.Table.from_pylist(rows)
+
+    def test_partitioning_independence(self, ray_session):
+        """The (doc_id, chunk_id) -> (pack_id, pack_seq) mapping must not
+        depend on input block layout or row order."""
+        import ray.data as rd
+
+        from ocr_ray.functions.packing import pack_chunks
+
+        tbl = self._chunks_table()
+
+        def mapping(ds):
+            df = ds.to_pandas()
+            return {(r.doc_id, r.chunk_id): (r.pack_id, r.pack_seq)
+                    for r in df.itertuples()}
+
+        a = mapping(pack_chunks(
+            rd.from_arrow(tbl).repartition(17), budget_tokens=256,
+            n_shards=8))
+        # reversed row order, different block count
+        rev = tbl.take(pa.array(list(reversed(range(tbl.num_rows)))))
+        b = mapping(pack_chunks(
+            rd.from_arrow(rev).repartition(3), budget_tokens=256,
+            n_shards=8))
+        assert a == b and len(a) == tbl.num_rows
+
+    def test_stats_rollup(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.packing import pack_chunks, packing_stats
+
+        tbl = self._chunks_table(n_docs=60)
+        packed = pack_chunks(rd.from_arrow(tbl), budget_tokens=256,
+                             n_shards=4)
+        stats = packing_stats(packed, budget_tokens=256).to_pandas()
+        df = packed.to_pandas()
+        # rollup totals agree with the packed rows
+        assert int(stats["fill_tokens"].sum()) == int(df["n_tokens"].sum())
+        assert int(stats["n_chunks"].sum()) == len(df)
+        ok = stats[stats["oversize"] == 0]
+        assert (ok["fill_tokens"] <= 256).all()
+        assert (ok["fill_ratio"] <= 1.0).all()
+        # packing quality: mean fill of closed packs should be high on
+        # this chunk-size distribution (greedy near-budget)
+        assert ok["fill_ratio"].mean() > 0.7
