@@ -28,11 +28,16 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
                    overlap: int = 16, min_chars: int = 200,
                    max_chars: int = 20000,
                    min_alpha_ratio: float = 0.5,
-                   write_chunks: bool = True) -> dict:
+                   write_chunks: bool = True,
+                   pack_budget_tokens: int | None = None) -> dict:
     """Run the full preparation flow; returns the manifest dict.
 
     Output layout: ``{out_dir}/chunks/`` (doc_id, chunk_id, n_tokens,
-    chunk_md5, text) partitioned parquet; ``{out_dir}/manifest.json``.
+    chunk_md5, text) partitioned parquet; ``{out_dir}/manifest.json``;
+    with ``pack_budget_tokens`` set, ``{out_dir}/packs/shard=<k>/``
+    adds the greedy token-budget pack assignment (chunks + pack_id /
+    pack_seq / oversize, see functions/packing.py) and the manifest
+    gains n_packs / pack_mean_fill_ratio.
     The id-set stages (filter/dedup/decontaminate) exchange only doc_id
     sets and hashes — document text streams from storage exactly twice
     (once for scoring/hashing, once for the surviving chunk write).
@@ -226,6 +231,30 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     frag = pads.dataset(f"{out_dir}/chunks")
     manifest["n_chunks"] = frag.count_rows() if frag.files else 0
     manifest["input_docs"] = int(n_input)
+
+    # -- stage 5 (optional): pack chunks into token-budget sequences ----
+    if pack_budget_tokens and manifest["n_chunks"]:
+        from ray.data.aggregate import Mean
+
+        from ..functions.packing import pack_chunks
+
+        packed = pack_chunks(rd.read_parquet(f"{out_dir}/chunks"),
+                             budget_tokens=pack_budget_tokens)
+        shutil.rmtree(f"{out_dir}/packs", ignore_errors=True)
+        os.makedirs(f"{out_dir}/packs", exist_ok=True)
+        packed.write_parquet(f"{out_dir}/packs",
+                             partition_cols=["shard"])
+        from ..functions.packing import packing_stats
+
+        stats = packing_stats(
+            rd.read_parquet(f"{out_dir}/packs"),
+            budget_tokens=pack_budget_tokens)
+        manifest["n_packs"] = int(stats.count())
+        # scalar rollups through aggregates, never a driver table pull
+        manifest["pack_mean_fill_ratio"] = round(float(
+            stats.aggregate(Mean("fill_ratio"))["mean(fill_ratio)"]), 4)
+        manifest["pack_budget_tokens"] = int(pack_budget_tokens)
+
     with open(f"{out_dir}/manifest.json", "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest

@@ -70,6 +70,26 @@ class TestPrepareCorpus:
         disk = json.load(open(f"{out}/manifest.json"))
         assert disk["kept_docs"] == m["kept_docs"]
 
+    def test_pack_stage(self, ray_session, prep_corpus_dir, tmp_path):
+        """pack_budget_tokens adds the packs/ table + manifest rollup;
+        every chunk appears in exactly one pack and closed packs fit."""
+        from ocr_ray.pipelines.corpus_pipeline import prepare_corpus
+
+        out = str(tmp_path / "out_packed")
+        m = prepare_corpus(prep_corpus_dir, out, pack_budget_tokens=256)
+        assert m["n_packs"] > 0 and m["pack_budget_tokens"] == 256
+        assert 0 < m["pack_mean_fill_ratio"] <= 1.0
+        packs = pads.dataset(f"{out}/packs", partitioning="hive") \
+            .to_table()
+        chunks = pads.dataset(f"{out}/chunks").to_table()
+        assert packs.num_rows == chunks.num_rows == m["n_chunks"]
+        df = packs.to_pandas()
+        assert df["pack_id"].nunique() == m["n_packs"]
+        fills = df[~df["oversize"]].groupby("pack_id")["n_tokens"].sum()
+        assert (fills <= 256).all()
+        # every (doc_id, chunk_id) appears exactly once
+        assert not df.duplicated(["doc_id", "chunk_id"]).any()
+
     def test_stages_1_to_3_share_one_text_scan(self, ray_session,
                                                prep_corpus_dir, tmp_path):
         """Round-3 VERDICT What's-wrong #4: quality classify, exact-dup
