@@ -80,7 +80,13 @@ def ensure_corpus() -> str:
         docs = [gen_doc(BENCH_SEED, int(i)) for i in batch["id"].to_pylist()]
         return pa.Table.from_pylist(docs, schema=DOCUMENTS_SCHEMA)
 
-    (rd.range(BENCH_DOCS, override_num_blocks=max(32, BENCH_DOCS // 100))
+    # ~1000 docs (~15 MB) per output file: enough blocks for full gen
+    # parallelism without drowning the read side in tiny fragments (a
+    # 768k-doc corpus at //100 wrote 7,680 x 1.5 MB files, and reads
+    # bundling 39 fragments/task collapsed admission under a capped
+    # object store)
+    (rd.range(BENCH_DOCS,
+              override_num_blocks=min(2048, max(32, BENCH_DOCS // 1000)))
      .map_batches(gen_batch, batch_format="pyarrow", batch_size=50)
      .write_parquet(CORPUS_DIR))
     open(done_marker, "w").write("ok")
@@ -222,7 +228,31 @@ def run_dedup_recall() -> dict:
     return out
 
 
+def box_probe() -> dict:
+    """~2 s hardware-speed calibration stamped into every bench record:
+    the sandbox box's effective CPU speed drifts run to run (burstable /
+    shared tenancy; 3-5x swings observed within one session in round 4),
+    so absolute seconds are only comparable across rounds after
+    normalizing by this.  spin_ms: single-core pure-Python loop;
+    matmul_gflops: single-thread numpy 1000^2 GEMM."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    spin_ms = round((time.perf_counter() - t0) * 1000, 1)
+    a = np.random.default_rng(0).random((1000, 1000))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a = a @ a
+        a /= np.abs(a).max()
+    gflops = round(3 * 2e9 / (time.perf_counter() - t0) / 1e9, 2)
+    return {"spin_ms": spin_ms, "matmul_gflops": gflops}
+
+
 def main_single():
+    probe = box_probe()
     init_ray(NUM_CPUS)
     ensure_corpus()
     flag = run_flagship()
@@ -242,6 +272,7 @@ def main_single():
         "bench_docs": BENCH_DOCS,
         "docs_extracted": flag["docs"],
         "docs_per_sec": flag["docs_per_sec"],
+        "box_probe": probe,
     }
     import ray
 

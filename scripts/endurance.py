@@ -28,30 +28,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def spill_stats() -> dict:
-    """Parse cumulative spill counters from the live session's raylet log
-    (the debug-state dump Ray writes periodically; works in local mode
-    where the GCS memory-summary RPC is unavailable)."""
+    """Cumulative spill/restore counters for the LIVE Ray session, read
+    from the raylet's periodic debug-state dump (works in local mode
+    where the GCS memory-summary RPC is unavailable).  The session dir
+    is resolved from the running node — a hardcoded /tmp/ray glob broke
+    the moment the temp root nested (observed: /tmp/ray/ray/session_*)."""
+    out: dict = {"spilled_bytes": 0, "spill_requests": 0,
+                 "restore_requests": 0}
+    try:
+        import ray._private.worker as _w
+
+        logs = os.path.join(_w._global_node.get_session_dir_path(), "logs")
+    except Exception:  # pragma: no cover - no live session
+        return out
     import glob
 
-    out: dict = {"spilled_mib": 0, "spilled_objects": 0,
-                 "restored_mib": 0, "restored_objects": 0}
-    logs = sorted(glob.glob("/tmp/ray/session_latest/logs/raylet*.out"))
-    for path in logs:
+    for path in [os.path.join(logs, "debug_state.txt")] + sorted(
+            glob.glob(os.path.join(logs, "raylet*.out"))):
         try:
             txt = open(path, errors="replace").read()
         except OSError:  # pragma: no cover
             continue
-        # keep the LAST (cumulative) occurrence per log
-        for m in re.finditer(
-                r"Spilled (\d+) MiB, (\d+) objects", txt):
-            out["spilled_mib"] = max(out["spilled_mib"], int(m.group(1)))
-            out["spilled_objects"] = max(out["spilled_objects"],
-                                         int(m.group(2)))
-        for m in re.finditer(
-                r"Restored (\d+) MiB, (\d+) objects", txt):
-            out["restored_mib"] = max(out["restored_mib"], int(m.group(1)))
-            out["restored_objects"] = max(out["restored_objects"],
-                                          int(m.group(2)))
+        for key, pat in (
+                ("spilled_bytes", r"num bytes currently spilled: (\d+)"),
+                ("spill_requests", r"cumulative spill requests: (\d+)"),
+                ("restore_requests", r"cumulative restore requests: (\d+)"),
+                # raylet.out logs the cumulative "Spilled N MiB" line
+                ("spilled_mib", r"Spilled (\d+) MiB"),
+                ("restored_mib", r"Restored (\d+) MiB")):
+            for m in re.finditer(pat, txt):
+                out[key] = max(out.get(key, 0), int(m.group(1)))
     return out
 
 
@@ -61,6 +67,16 @@ def main() -> None:
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--store-mb", type=int, default=500)
+    ap.add_argument("--block-mb", type=int, default=16,
+                    help="target_max_block_size for the CAPPED session. "
+                    "Admission under a capped store is reservation / "
+                    "per-task footprint (input block + output block): at "
+                    "the default 128 MB target the executor admitted 2 "
+                    "concurrent extract tasks against a 2 GB store (62 MB "
+                    "in + 49 MB out per 4k-doc block, measured) — 16 MB "
+                    "blocks let the same cap keep every core busy. The "
+                    "100 TB sizing rule this encodes: block_size <= "
+                    "store / (4 x per-node task slots).")
     ap.add_argument("--no-cap", action="store_true")
     args = ap.parse_args()
 
@@ -88,7 +104,10 @@ def main() -> None:
         "object_store_memory": args.store_mb * 1024 * 1024}
     ray.init(address="local", num_cpus=args.cpus,
              include_dashboard=False, logging_level="ERROR", **kw)
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    if not args.no_cap:
+        ctx.target_max_block_size = args.block_mb * 1024 * 1024
 
     flag = bench.run_flagship()
     rec = {
