@@ -108,6 +108,15 @@ def _priority_price_quantiles(sf_dir: str):
     return priority_price_quantiles(sf_dir)
 
 
+def _repeated_ngrams(sf_dir: str):
+    """Cross-document repeated n-gram analysis (the repeated-passage /
+    boilerplate signal behind substring-level training-data dedup);
+    per-block Arrow group_by partials before the one gram shuffle."""
+    from ocr_ray.functions.corpus_prep import repeated_ngrams
+
+    return repeated_ngrams(sf_dir)
+
+
 def _props_redaction(sf_dir: str):
     """Vectorized RE2 pattern redaction (Arrow count/replace_substring_
     regex) with per-event-type rollup; the PII pattern set itself is
@@ -169,7 +178,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in tests/test_registry_extras.py; lang_id + source_char_
         # quantiles keep the lang/source shapes driver-checked)
         "props_redaction": _props_redaction,
-        "doc_sample_stats": tx.doc_sample_stats,
+        # doc_sample_stats rotated out in round 4 for the cross-document
+        # repeated-n-gram analysis (oracle coverage continues in
+        # tests/test_registry_extras.py)
+        "repeated_ngrams": _repeated_ngrams,
         "doc_token_counts": tx.doc_token_counts,
         "doc_bpe_token_counts": tx.doc_bpe_token_counts,
         "doc_char_quality": tx.doc_char_quality,
@@ -264,7 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": cp.REPETITION_STATS_SQL,
         "running_user_totals": _RUNNING_USER_TOTALS_SQL,
         "props_redaction": _rd.PROPS_REDACTION_SQL,
-        "doc_sample_stats": tx.DOC_SAMPLE_SQL,
+        "repeated_ngrams": cp.REPEATED_NGRAMS_SQL,
         "doc_token_counts": tx.DOC_TOKEN_COUNTS_SQL,
         "doc_bpe_token_counts": tx.DOC_BPE_TOKEN_SQL,
         "doc_char_quality": tx.DOC_CHAR_QUALITY_SQL,

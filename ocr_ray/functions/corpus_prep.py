@@ -944,3 +944,66 @@ SELECT toks.doc_id,
        coalesce(gcounts.top_bigram_count, 0) AS top_bigram_count
 FROM toks LEFT JOIN gcounts ON toks.doc_id = gcounts.doc_id
 """
+
+
+# ------------------------------- cross-document repeated n-gram analysis
+
+def repeated_ngrams(sf_dir: str, n: int = 3, min_docs: int = 5):
+    """N-grams that repeat across >= min_docs DISTINCT documents — the
+    corpus-level repeated-passage signal (boilerplate, licenses,
+    templates) behind substring-level training-data dedup, as opposed
+    to the per-doc repetition_stats above or whole-doc minhash dedup.
+
+    Distributed shape: one text scan emits (gram, doc) pairs deduped
+    WITHIN the doc (a doc's text is one row, so in-row dedup is global
+    per (gram, doc)); a per-block Arrow group_by collapses them to
+    (gram, partial_count) — block output is bounded by the block's
+    distinct-gram count — and one groupby-sum + threshold filter
+    finishes.  Tokenization is a bare single-space split, matching the
+    SQL oracle's string_split exactly (empty tokens preserved).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        out: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            toks = text.split(" ")
+            seen = {" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+            for g in seen:
+                out[g] = out.get(g, 0) + 1
+        return pa.table({"gram": pa.array(list(out.keys()), pa.string()),
+                         "c": pa.array(list(out.values()), pa.int64())})
+
+    agg = (ds.map_batches(grams, batch_format="pyarrow")
+           .groupby("gram")
+           .aggregate(Sum("c", alias_name="n_docs")))
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch["n_docs"], min_docs))
+
+    return agg.map_batches(threshold, batch_format="pyarrow")
+
+
+REPEATED_NGRAMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.tok, t.pos
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                         AS pos) t
+), grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+)
+SELECT gram, count(DISTINCT doc_id) AS n_docs
+FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 5
+"""

@@ -56,6 +56,19 @@ class TestConsolidatedQueries:
         from ocr_ray.functions import relational as rel
         _check(rel.mktsegment_stats(SF), rel.MKTSEGMENT_SQL)
 
+    def test_doc_sample_stats(self, ray_session):
+        # rotated out of the registry in round 4 for repeated_ngrams;
+        # oracle coverage continues here
+        from ocr_ray.functions import textops as tx
+        _check(tx.doc_sample_stats(SF), tx.DOC_SAMPLE_SQL)
+
+    def test_repeated_ngrams_param_variant(self, ray_session):
+        # the registry checks the default (n=3, min_docs=5); pin a
+        # different parameterization against an adjusted oracle
+        from ocr_ray.functions import corpus_prep as cp
+        _check(cp.repeated_ngrams(SF, n=3, min_docs=3),
+               cp.REPEATED_NGRAMS_SQL.replace(">= 5", ">= 3"))
+
     def test_doc_lang_stats(self, ray_session):
         # rotated out of the registry in round 4 for props_redaction;
         # oracle coverage continues here
