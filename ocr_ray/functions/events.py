@@ -374,40 +374,117 @@ FROM daily
 def error_click_asof(sf_dir: str, max_gap_minutes: int = 60):
     """As-of join (custom operator, SURVEY.md §2 "custom operators"):
     for every 'error' event, the most recent preceding 'click' by the
-    same user within a tolerance.  Ray Data has no asof join; the
-    composition is groupby(user_id) + pandas merge_asof inside
-    map_groups — partitioning assumption: one user's events fit in one
-    group (true for keyed event streams; salt users hotter than that).
-    Oracle: DuckDB ASOF JOIN."""
-    ds = _read(sf_dir, ["user_id", "ts", "event_type"])
+    same user within a tolerance.  Oracle: DuckDB ASOF JOIN.
 
-    def per_user(group: pd.DataFrame, tol=max_gap_minutes) -> pd.DataFrame:
-        errors = group[group["event_type"] == "error"].sort_values("ts")
-        clicks = group[group["event_type"] == "click"].sort_values("ts")
-        uid = group["user_id"].iloc[0]
-        if errors.empty:
-            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
-                                 "n_errors": pd.Series([], dtype="int64"),
-                                 "n_matched": pd.Series([], dtype="int64"),
-                                 "avg_gap_s": pd.Series([], dtype="float64")})
-        if clicks.empty:
-            n_matched = 0
-        else:
-            m = pd.merge_asof(errors[["ts"]], clicks[["ts"]].rename(
-                columns={"ts": "click_ts"}), left_on="ts", right_on="click_ts",
-                direction="backward", tolerance=pd.Timedelta(minutes=tol))
-            # exact integer microseconds: float-seconds summed in pandas
-            # order would differ from the oracle's sum order in the last
-            # ulp (the repo's no-float-accumulation rule)
-            gap_us = (m["ts"] - m["click_ts"]).dropna().dt.total_seconds()
-            gap_us = (gap_us * 1e6).round().astype("int64")
-            n_matched = int(len(gap_us))
-        avg = (np.floor((gap_us.sum() / 1e6 / n_matched) * 1e3 + 0.5) / 1e3
-               if n_matched else -1.0)
-        return pd.DataFrame({"user_id": [uid], "n_errors": [len(errors)],
-                             "n_matched": [n_matched], "avg_gap_s": [avg]})
+    Round-4 kernel (the same rewrite the range join got): partitioning
+    by hash(user) %% P instead of groupby(user_id) — the raw key made
+    one Python map_groups call per user.  Each partition is answered in
+    one numpy pass: rows lexsorted by (user, ts, is_error) so a click
+    at the same ts precedes the error it may match (gap 0 counts), then
+    the most-recent-prior-click index is a SEGMENTED cumulative max of
+    `rank*(n+2) + click_pos+1` — rank is the user's dense rank in sort
+    order, so the rank term dominates anything carried over from an
+    earlier user and the cummax resets per user without a loop.
+    Per-user rollup finishes inside the partition (a user's rows are
+    co-located by construction); null-user errors keep the oracle's
+    NULL group (zero matches), null-user clicks never join."""
+    from ._io import clean_read
+    from ._part import nparts_for
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    ds = clean_read(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_type"])
+    tol_us = np.int64(max_gap_minutes) * 60 * 1_000_000
+
+    import pyarrow.parquet as _pq
+    n_events = _pq.ParquetFile(
+        f"{sf_dir}/events.parquet").metadata.num_rows
+    n_parts = nparts_for(n_events, rows_per_part=500_000, floor=8)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        kind = batch["event_type"].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ua = batch["user_id"]
+        unull = pc.is_null(ua).to_numpy(zero_copy_only=False)
+        users = pc.fill_null(ua, 0).to_numpy(zero_copy_only=False)
+        err = kind == "error"
+        keep = err | ((kind == "click") & ~unull)
+        users, ts_us = users[keep], ts_us[keep]
+        unull_k, is_err = unull[keep], err[keep]
+        mix = (users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               + unull_k.astype(np.uint64))
+        part = ((mix >> np.uint64(33)) % np.uint64(n_parts)).astype(
+            np.int64)
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "uid_null": pa.array(unull_k.astype(np.int64), pa.int64()),
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "is_error": pa.array(is_err.astype(np.int64), pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    _SCHEMA = pa.schema([("user_id", pa.int64()),
+                         ("n_errors", pa.int64()),
+                         ("n_matched", pa.int64()),
+                         ("avg_gap_s", pa.float64())])
+
+    def per_part(part: pa.Table) -> pa.Table:
+        users = part["user_id"].to_numpy(zero_copy_only=False)
+        unull = part["uid_null"].to_numpy(zero_copy_only=False)
+        ts = part["ts_us"].to_numpy(zero_copy_only=False)
+        is_err = part["is_error"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((is_err, ts, users, unull))
+        users, unull = users[order], unull[order]
+        ts, is_err = ts[order], is_err[order]
+        n = len(users)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (users[1:] != users[:-1]) | (unull[1:] != unull[:-1])
+        rank = np.cumsum(new) - 1
+        big = np.int64(n + 2)
+        pos = np.arange(n, dtype=np.int64)
+        v = rank * big + np.where(is_err == 0, pos + 1, 0)
+        m = np.maximum.accumulate(v)
+        e = is_err == 1
+        if not e.any():
+            return pa.Table.from_pylist([], schema=_SCHEMA)
+        off = m[e] - rank[e] * big           # 0 = no prior click
+        has = off >= 1
+        click_idx = np.where(has, off - 1, 0)
+        gap = ts[e] - ts[click_idx]
+        matched = has & (gap <= tol_us)
+        gap_us = np.where(matched, gap, 0)
+        t = pa.table({
+            "user_id": pa.array(users[e], pa.int64()),
+            "uid_null": pa.array(unull[e], pa.int64()),
+            "matched": pa.array(matched.astype(np.int64), pa.int64()),
+            "gap_us": pa.array(gap_us, pa.int64()),
+        })
+        g = t.group_by(["user_id", "uid_null"]).aggregate(
+            [("matched", "count"), ("matched", "sum"), ("gap_us", "sum")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        gnull = g["uid_null"].to_numpy(zero_copy_only=False) == 1
+        n_err = g["matched_count"].to_numpy(zero_copy_only=False)
+        n_m = g["matched_sum"].to_numpy(zero_copy_only=False)
+        gsum = g["gap_us_sum"].to_numpy(zero_copy_only=False)
+        # integer-us sums; float only in the final floor-rounded average
+        avg = np.where(n_m > 0,
+                       np.floor(gsum / 1e6 / np.maximum(n_m, 1) * 1e3
+                                + 0.5) / 1e3, -1.0)
+        return pa.table({
+            "user_id": pa.array(
+                [None if isnull else int(u)
+                 for u, isnull in zip(uid, gnull)], pa.int64()),
+            "n_errors": pa.array(n_err, pa.int64()),
+            "n_matched": pa.array(n_m, pa.int64()),
+            "avg_gap_s": pa.array(avg, pa.float64()),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_part, batch_format="pyarrow")
+            .select_columns(["user_id", "n_errors", "n_matched",
+                             "avg_gap_s"]))
 
 
 ERROR_CLICK_ASOF_SQL = """

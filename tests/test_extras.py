@@ -330,3 +330,63 @@ class TestSaltedDistinct:
             .df().reset_index(drop=True)
         pd.testing.assert_frame_equal(got[["event_type", "n_users"]],
                                       want, check_dtype=False)
+
+
+class TestAsofJoin:
+    def test_asof_null_users_and_ties(self, ray_session, tmp_path):
+        """Round-4 vectorized asof kernel: NULL-user errors keep the
+        oracle's NULL group (zero matches), NULL-user clicks never
+        join, and a click at the SAME timestamp as the error matches
+        with gap 0 (ts >= click_ts)."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions.events import (
+            ERROR_CLICK_ASOF_SQL,
+            error_click_asof,
+        )
+
+        rows = [
+            # user 1: click then error (matched, gap 1s)
+            {"event_id": 1, "ts": 1_000_000, "user_id": 1,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 2, "ts": 2_000_000, "user_id": 1,
+             "event_type": "error", "value": 0.0, "props": "{}"},
+            # user 2: click at the SAME us as the error -> gap 0 match
+            {"event_id": 3, "ts": 5_000_000, "user_id": 2,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 4, "ts": 5_000_000, "user_id": 2,
+             "event_type": "error", "value": 0.0, "props": "{}"},
+            # null-user error (NULL output group, no match) + null click
+            {"event_id": 5, "ts": 3_000_000, "user_id": None,
+             "event_type": "error", "value": 0.0, "props": "{}"},
+            {"event_id": 6, "ts": 2_500_000, "user_id": None,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            # user 3: error with no prior click at all
+            {"event_id": 7, "ts": 9_000_000, "user_id": 3,
+             "event_type": "error", "value": 0.0, "props": "{}"},
+        ]
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         pa.compute.cast(t["ts"], pa.timestamp("us")))
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = error_click_asof(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{tmp_path}/events.parquet'")
+        want = con.execute(ERROR_CLICK_ASOF_SQL).df()
+
+        def canon(d):
+            d = d[sorted(d.columns)]
+            return d.sort_values(list(d.columns)).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(canon(got), canon(want),
+                                      check_dtype=False)
+        by_user = {r["user_id"]: r for r in got.to_dict("records")
+                   if r["user_id"] == r["user_id"]}
+        assert by_user[2]["n_matched"] == 1          # same-ts tie matched
+        assert by_user[2]["avg_gap_s"] == 0.0
+        assert by_user[3]["n_matched"] == 0
+
