@@ -171,6 +171,50 @@ def _fit_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.nd
     return cent
 
 
+def _refine_centroids_distributed(ds, cent: np.ndarray,
+                                  iters: int = 2) -> np.ndarray:
+    """Distributed Lloyd rounds over the FULL corpus (closing the
+    round-3 "centroid fit on <=8 sampled row groups" simplification):
+    each round is ONE associative ``Dataset.aggregate`` whose state is
+    the k x (dim+1) per-centroid (vector sum, count) partial as a bytes
+    blob — O(k*dim) driver memory per round, never a vector gather.
+    Empty clusters keep their previous centroid."""
+    from ray.data.aggregate import AggregateFn
+
+    k, dim = cent.shape
+
+    for _ in range(iters):
+        cur = cent.copy()
+
+        def acc_block(state, blk, cur=cur):
+            m = _batch_matrix(blk)
+            arr = (np.frombuffer(state, dtype=np.float64)
+                   .reshape(k, dim + 1).copy() if state
+                   else np.zeros((k, dim + 1)))
+            if len(m):
+                a = ((m[:, None, :] - cur[None, :, :]) ** 2).sum(-1) \
+                    .argmin(1)
+                np.add.at(arr[:, :dim], a, m)
+                arr[:, dim] += np.bincount(a, minlength=k)
+            return arr.tobytes()
+
+        def merge(s1, s2):
+            if not s1:
+                return s2
+            if not s2:
+                return s1
+            return (np.frombuffer(s1, dtype=np.float64)
+                    + np.frombuffer(s2, dtype=np.float64)).tobytes()
+
+        agg = AggregateFn(init=lambda _: b"", merge=merge,
+                          accumulate_block=acc_block, name="kmeans")
+        arr = np.frombuffer(ds.aggregate(agg)["kmeans"],
+                            dtype=np.float64).reshape(k, dim + 1)
+        cnt = arr[:, dim:]
+        cent = np.where(cnt > 0, arr[:, :dim] / np.maximum(cnt, 1), cent)
+    return cent
+
+
 def ivf_index_path(sf_dir: str, n_clusters: int) -> str:
     """Location of the bucket-partitioned IVF index for a corpus.
 
@@ -182,7 +226,7 @@ def ivf_index_path(sf_dir: str, n_clusters: int) -> str:
     import os
 
     st = os.stat(f"{sf_dir}/embeddings.parquet")
-    key = _h.md5(f"{sf_dir}:{n_clusters}:v3:{st.st_size}:"
+    key = _h.md5(f"{sf_dir}:{n_clusters}:v4:{st.st_size}:"
                  f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
     return f"/tmp/ocr_ray_ivf_{key}"
 
@@ -225,6 +269,9 @@ def build_ivf_index(sf_dir: str, n_clusters: int = 16) -> tuple[str, np.ndarray]
     cent = _fit_centroids(sample, min(n_clusters, len(sample)))
 
     ds = _read(sf_dir, ["vec_id", "embedding"])
+    # the strided sample is only the INIT; refine on the full corpus
+    # with distributed Lloyd rounds (one associative aggregate each)
+    cent = _refine_centroids_distributed(ds, cent)
 
     def assign(batch: pa.Table, cent=cent) -> pa.Table:
         m = _batch_matrix(batch)
