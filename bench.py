@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "keyword_hits_corpus",
     "error_click_range_join",
     "knn_batch_topk",
+    # round-4 operators
+    "error_click_asof",
+    "repeated_ngrams",
+    "props_redaction",
 ]
 
 
@@ -147,6 +151,24 @@ def run_queries() -> dict:
         times["prepare_corpus_chunks"] = m["n_chunks"]
     except Exception as e:  # pragma: no cover - defensive
         times["prepare_corpus"] = f"error: {type(e).__name__}"
+    # sequence packing over the prepared chunks (round-4 stage 5)
+    try:
+        from ray.data.aggregate import Mean
+
+        from ocr_ray.functions.packing import pack_chunks, packing_stats
+
+        t0 = time.time()
+        packed = pack_chunks(
+            ray.data.read_parquet("/tmp/ocr_ray_bench_prep/chunks"),
+            budget_tokens=2048)
+        stats = packing_stats(packed, budget_tokens=2048)
+        n_packs = stats.count()
+        fill = stats.aggregate(Mean("fill_ratio"))["mean(fill_ratio)"]
+        times["pack_chunks"] = round(time.time() - t0, 2)
+        times["pack_count"] = int(n_packs)
+        times["pack_mean_fill"] = round(float(fill), 3)
+    except Exception as e:  # pragma: no cover - defensive
+        times["pack_chunks"] = f"error: {type(e).__name__}"
     return times
 
 

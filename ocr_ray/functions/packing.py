@@ -78,13 +78,26 @@ def pack_shard_table(tbl: pa.Table, budget_tokens: int) -> pa.Table:
             .append_column("oversize", pa.array(oversize, pa.bool_())))
 
 
-def pack_chunks(chunks_ds, budget_tokens: int = 2048, n_shards: int = 64):
+def pack_chunks(chunks_ds, budget_tokens: int = 2048,
+                n_shards: int | None = None):
     """Distributed packing: route chunks to shards (map-side column add),
     co-locate each shard with ONE groupby shuffle, pack per shard.
 
     ``chunks_ds``: Dataset with (doc_id, chunk_id, n_tokens, ...).
     Output: input columns + (shard, pack_id, pack_seq, oversize).
+
+    ``n_shards`` defaults to data-sized (the `_part.nparts_for`
+    discipline): every shard ends with at most one underfull pack, so
+    over-sharding a small corpus would drag mean fill toward zero while
+    under-sharding a huge one would serialize packing — ~250k chunks
+    per shard balances both.  Pass it explicitly to pin a layout.
     """
+    if n_shards is None:
+        # ceil(n / 250k), UNCAPPED (unlike _part.nparts_for's 256 —
+        # shard here is a groupby key whose group must fit one worker,
+        # so the count must keep scaling with the corpus)
+        n = chunks_ds.count()
+        n_shards = max(1, (n + 249_999) // 250_000)
 
     def add_shard(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
