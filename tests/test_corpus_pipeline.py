@@ -239,6 +239,26 @@ class TestExtractAndPrepare:
         for t in chunks["text"].to_pylist()[:50]:
             assert "<div" not in t and "<script" not in t
 
+    def test_pack_budget_plumbs_through(self, ray_session, tmp_path):
+        """prep_kwargs forwarding: the raw-to-training-data composition
+        accepts pack_budget_tokens and produces packs + manifest rollup
+        end to end (interleaved docs in, packed sequences out)."""
+        import pyarrow.dataset as pads
+
+        from ocr_ray.fixtures import write_corpus
+        from ocr_ray.pipelines.corpus_pipeline import extract_and_prepare
+
+        corpus = write_corpus(str(tmp_path / "raw"), 60, seed=5)
+        out = str(tmp_path / "prep")
+        m = extract_and_prepare(corpus, out, n_probe_docs=0,
+                                min_chars=50, pack_budget_tokens=512)
+        assert m["n_packs"] > 0 and m["pack_budget_tokens"] == 512
+        packs = pads.dataset(f"{out}/packs", partitioning="hive") \
+            .to_table()
+        assert packs.num_rows == m["n_chunks"]
+        disk = __import__("json").load(open(f"{out}/manifest.json"))
+        assert disk["n_packs"] == m["n_packs"]
+
     def test_extraction_rejects_accounted(self, ray_session, tmp_path):
         """Rejects get a sidecar + manifest accounting: nothing vanishes
         between the extraction and corpus stages."""
