@@ -195,23 +195,37 @@ def clean_lines(
             st.forbidden_chars += orig_len
             continue
 
-        line = _HYPHEN_SPLIT.sub(r"\1\2", line)
-        line = _SLASH_SPLIT.sub(r"\1\2", line)
-        line = _UNI_DASH.sub("-", line)
-        line = _NUM_COMMA.sub(r"\1\2", line)
-        line = _SOFT_HYPHEN.sub("", line)
-        # content guards: the URL/email patterns require these literals to
-        # match at all, and both backtrack O(n^2) on very long lines without
-        # them — a straggler bug at scale that the guard removes for free.
+        # every substitution is guarded by a C-speed substring/isascii
+        # check that is TRUE whenever the pattern could match, so a
+        # skipped sub is provably a no-op (the kernel profile showed
+        # 282k re.sub calls per 400 docs, most against lines without
+        # the trigger characters).  The URL/email guards additionally
+        # kill O(n^2) backtracking stragglers on very long lines.
+        if "-" in line:
+            line = _HYPHEN_SPLIT.sub(r"\1\2", line)
+        if "/" in line:
+            line = _SLASH_SPLIT.sub(r"\1\2", line)
+        la = line.isascii()
+        if not la or "~" in line:   # '~' is the class's only ASCII char
+            line = _UNI_DASH.sub("-", line)
+        if "," in line:
+            line = _NUM_COMMA.sub(r"\1\2", line)
+        if not la:
+            line = _SOFT_HYPHEN.sub("", line)
         if "www" in line or "http" in line or "<" in line or ">" in line:
             line = _URL.sub("", line)
         if "@" in line:
             line = _EMAIL.sub("", line)
-        line = _TABLE_SEP_BOX.sub("", line)
-        line = _TABLE_SEP_DASH.sub("", line)
-        for bad, good in _CEDILLA_FIXES:
-            line = line.replace(bad, good)
-        line = _MULTI_SPACE.sub(" ", line).strip()
+        if not la:
+            line = _TABLE_SEP_BOX.sub("", line)
+        if "-" in line:             # re-test: _UNI_DASH may introduce '-'
+            line = _TABLE_SEP_DASH.sub("", line)
+        if not la:                  # every fix pair contains non-ASCII
+            for bad, good in _CEDILLA_FIXES:
+                line = line.replace(bad, good)
+        if "  " in line:            # single spaces map to themselves
+            line = _MULTI_SPACE.sub(" ", line)
+        line = line.strip()
 
         if len(line) < min_line_length:
             st.min_length_lines += 1
