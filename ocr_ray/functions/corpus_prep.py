@@ -1007,3 +1007,69 @@ WITH toks AS (
 SELECT gram, count(DISTINCT doc_id) AS n_docs
 FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 5
 """
+
+
+# --------------------------- temperature-based source mixture sampling
+
+def source_temperature_sample(sf_dir: str, tau: float = 0.7,
+                              target_frac: float = 0.25):
+    """GPT-3/PaLM-style mixture reweighting: sample sources with
+    probability proportional to n_s^tau (tau < 1 upweights small
+    sources), sized so the expected total is ``target_frac`` of the
+    corpus.  Deterministic and auditable: doc kept iff
+    ``int(md5(doc_id)[:8], 16) %% 1e6 < floor(p_keep(source) * 1e6)`` —
+    the same md5-hash-sample discipline as stratified_sample_stats, so
+    any engine reproduces the exact sample.
+
+    Two passes: a tiny per-source count groupby (the mixture weights —
+    broadcast as a dict), then one pruned scan with partial per-source
+    rollups.  Returns (source, n_kept, sum_chars).
+    """
+    from ray.data.aggregate import Sum
+
+    from .relational import _gb
+
+    counts = {r["source"]: r["count()"]
+              for r in _read(sf_dir, ["source"])
+              .groupby("source").count().to_pandas().to_dict("records")}
+    n_total = sum(counts.values())
+    z = sum(n ** tau for n in counts.values())
+    # expression shape mirrors the SQL oracle term for term:
+    # least(1.0, target_frac * N * pow(n_s, tau) / z / n_s)
+    thr = {s: int(math.floor(
+        min(1.0, target_frac * n_total * (n ** tau) / z / n) * 1_000_000))
+        for s, n in counts.items()}
+
+    ds = _read(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+                % 1_000_000 < thr[s]
+                for d, s in zip(batch["doc_id"].to_pylist(),
+                                batch["source"].to_pylist())]
+        sel = batch.filter(pa.array(keep))
+        return _gb(sel.select(["source", "n_chars"]), ["source"],
+                   [("n_chars", "count_all"), ("n_chars", "sum")],
+                   ["n_kept", "sum_chars"])
+
+    return (ds.map_batches(pick, batch_format="pyarrow", batch_size=8192)
+            .groupby("source")
+            .aggregate(Sum("n_kept", alias_name="n_kept"),
+                       Sum("sum_chars", alias_name="sum_chars")))
+
+
+SOURCE_TEMPERATURE_SQL = """
+WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+tot AS (SELECT sum(pow(n_s, 0.7)) AS z, sum(n_s) AS n FROM counts),
+probs AS (
+  SELECT source,
+         CAST(floor(least(1.0, 0.25 * n * pow(n_s, 0.7) / z / n_s)
+                    * 1000000) AS BIGINT) AS thr
+  FROM counts, tot)
+SELECT d.source, count(*) AS n_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN probs p USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 1000000 < p.thr
+GROUP BY d.source
+"""

@@ -62,6 +62,39 @@ class TestConsolidatedQueries:
         from ocr_ray.functions import textops as tx
         _check(tx.doc_sample_stats(SF), tx.DOC_SAMPLE_SQL)
 
+    def test_source_temperature_sample(self, ray_session):
+        # GPT-3/PaLM-style mixture reweighting; md5-hash-sample parity
+        # with the DuckDB oracle (pytest-only: the 50-slot registry is
+        # full)
+        from ocr_ray.functions import corpus_prep as cp
+        _check(cp.source_temperature_sample(SF),
+               cp.SOURCE_TEMPERATURE_SQL)
+
+    def test_temperature_upweights_small_sources(self, ray_session,
+                                                 tmp_path):
+        """tau < 1 must raise the KEEP RATE of small sources above that
+        of large ones (the reason the operator exists).  The shipped
+        testdata is source-uniform, so plant a skewed corpus."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions import corpus_prep as cp
+
+        rows = ([{"doc_id": i, "text": f"doc {i}", "lang": "en",
+                  "source": "big", "n_chars": 10} for i in range(400)]
+                + [{"doc_id": 10_000 + i, "text": f"doc b{i}",
+                    "lang": "en", "source": "small", "n_chars": 10}
+                   for i in range(40)])
+        pq.write_table(pa.Table.from_pylist(rows),
+                       str(tmp_path / "documents.parquet"))
+        kept = {r["source"]: r["n_kept"] for r in
+                cp.source_temperature_sample(
+                    str(tmp_path), tau=0.3, target_frac=0.3)
+                .to_pandas().to_dict("records")}
+        rate_small = kept.get("small", 0) / 40
+        rate_big = kept.get("big", 0) / 400
+        assert rate_small > rate_big > 0
+
     def test_repeated_ngrams_param_variant(self, ray_session):
         # the registry checks the default (n=3, min_docs=5); pin a
         # different parameterization against an adjusted oracle
