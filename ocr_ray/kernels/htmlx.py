@@ -161,8 +161,123 @@ def _scan(html: str, c: "_BlockCollector") -> None:
         # comments / doctype / CDATA sections / PIs: no callbacks
 
 
+def _scan_fused(html: str) -> list[tuple[str, int]]:
+    """The _scan loop with the collector state INLINED as locals —
+    byte-identical block output to _scan + _BlockCollector (three-way
+    parity property test in tests/test_property.py), minus ~500k bound-
+    method calls and attribute loads per 400 docs: handle_data /
+    starttag / endtag were pure state flips, so the dispatch cost
+    exceeded the work."""
+    blocks: list[tuple[str, int]] = []
+    parts: list[str] = []
+    link_chars = 0
+    drop_depth = 0
+    anchor_depth = 0
+    pos, n = 0, len(html)
+    search = _MARKUP_RE.search
+    ws_sub = _WS.sub
+
+    def flush():
+        # call sites guard `if parts:` so the empty fast path never
+        # pays the call
+        nonlocal parts, link_chars
+        text = ws_sub(" ", "".join(parts)).strip()
+        if text:
+            blocks.append((text, link_chars))
+        parts = []
+        link_chars = 0
+
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            data = html[pos:]
+            if not drop_depth:
+                if "&" in data:
+                    data = _unescape(data)
+                parts.append(data)
+                if anchor_depth:
+                    link_chars += len(data.strip())
+            break
+        if m.start() > pos and not drop_depth:
+            data = html[pos:m.start()]
+            if "&" in data:
+                data = _unescape(data)
+            parts.append(data)
+            if anchor_depth:
+                link_chars += len(data.strip())
+        pos = m.end()
+        if pos == n:
+            g0 = m.group(0)
+            closer = ("-->" if g0.startswith("<!--")
+                      else "]]>" if g0.startswith("<![CDATA[") else ">")
+            if not g0.endswith(closer):
+                if not drop_depth and g0:
+                    if "&" in g0:
+                        g0 = _unescape(g0)
+                    parts.append(g0)
+                    if anchor_depth:
+                        link_chars += len(g0.strip())
+                break
+        end_name, start_name, attrs = m.group(1, 2, 3)
+        if end_name:
+            tag = end_name.lower()
+            if tag in DROP_TAGS:
+                if drop_depth > 0:
+                    drop_depth -= 1
+            else:
+                if tag in BLOCK_TAGS and parts:
+                    flush()
+                if tag == "a" and anchor_depth > 0:
+                    anchor_depth -= 1
+        elif start_name:
+            tag = start_name.lower()
+            if tag in DROP_TAGS:
+                if parts:
+                    flush()
+                if tag not in VOID_TAGS:
+                    drop_depth += 1
+            else:
+                if tag in BLOCK_TAGS and parts:
+                    flush()
+                if tag == "a":
+                    anchor_depth += 1
+            if attrs.rstrip().endswith("/"):
+                # <x/> => startendtag: replay the endtag state flips
+                if tag in DROP_TAGS:
+                    if drop_depth > 0:
+                        drop_depth -= 1
+                elif tag in BLOCK_TAGS and parts:
+                    flush()
+                elif tag == "a" and anchor_depth > 0:
+                    anchor_depth -= 1
+            elif tag in _CDATA_CLOSE:
+                mm = _CDATA_CLOSE[tag].search(html, pos)
+                if mm is None:
+                    break                   # unterminated: swallowed
+                if not drop_depth:
+                    data = html[pos:mm.start()]
+                    if data:
+                        parts.append(data)
+                        if anchor_depth:
+                            link_chars += len(data.strip())
+                gt = html.find(">", mm.start())
+                if tag in DROP_TAGS:
+                    if drop_depth > 0:
+                        drop_depth -= 1
+                elif tag in BLOCK_TAGS and parts:
+                    flush()
+                elif tag == "a" and anchor_depth > 0:
+                    anchor_depth -= 1
+                if gt == -1:
+                    break
+                pos = gt + 1
+    if parts:
+        flush()
+    return blocks
+
+
 def html_to_blocks(html: str, *, max_link_density: float = 0.5,
-                   _engine: str = "fast") -> list[str]:
+                   _engine: str = "fused") -> list[str]:
     """Parse HTML into reading-order main-content blocks.
 
     Pure function; tolerant of malformed HTML (never raises).  Plain
@@ -171,18 +286,27 @@ def html_to_blocks(html: str, *, max_link_density: float = 0.5,
     HTMLParser reference implementation (parity-tested against the fast
     scanner).
     """
-    parser = _BlockCollector()
-    try:
-        if _engine == "fast":
-            _scan(html, parser)
-            parser._flush()
-        else:
-            parser.feed(html)
-            parser.close()
-    except Exception:  # collectors are robust; belt and braces
-        pass
+    blocks: list[tuple[str, int]]
+    if _engine == "fused":
+        try:
+            blocks = _scan_fused(html)
+        except Exception:  # pragma: no cover — scanners never raise;
+            _engine = "fast"  # exception path keeps the partial-salvage
+            # semantics of the collector engines below
+    if _engine != "fused":
+        parser = _BlockCollector()
+        try:
+            if _engine == "fast":
+                _scan(html, parser)
+                parser._flush()
+            else:
+                parser.feed(html)
+                parser.close()
+        except Exception:  # collectors are robust; belt and braces
+            pass
+        blocks = parser.blocks
     kept = []
-    for text, link_chars in parser.blocks:
+    for text, link_chars in blocks:
         if len(text) > 0 and link_chars / len(text) > max_link_density:
             continue
         kept.append(text)

@@ -105,8 +105,25 @@ class TestHtmlFuzz:
         comments)."""
         from ocr_ray.kernels.htmlx import html_to_blocks
 
-        assert (html_to_blocks(html, _engine="fast")
-                == html_to_blocks(html, _engine="stdlib"))
+        fast = html_to_blocks(html, _engine="fast")
+        assert fast == html_to_blocks(html, _engine="stdlib")
+        # the round-4 fused scanner (collector state inlined into the
+        # scan loop, the DEFAULT engine) must match both
+        assert html_to_blocks(html, _engine="fused") == fast
+
+    @given(_html_doc)
+    @settings(max_examples=200, deadline=None)
+    def test_fused_scanner_matches_on_adversarial_tails(self, html):
+        """Unterminated markup / CDATA at EOF exercise the fused
+        scanner's break paths — append hostile tails to generated
+        docs and require three-way agreement."""
+        from ocr_ray.kernels.htmlx import html_to_blocks
+
+        for tail in ("<div", "<!-- open", "<script>var x = 1;",
+                     "<![CDATA[ oops", "<a href='x'>link", "&amp"):
+            doc = html + tail
+            fast = html_to_blocks(doc, _engine="fast")
+            assert html_to_blocks(doc, _engine="fused") == fast
 
 
 class TestCleanerProperties:
