@@ -139,3 +139,60 @@ def packing_stats(packed_ds, budget_tokens: int = 2048):
                        Sum("n_tokens", alias_name="fill_tokens"),
                        Max("oversize_i", alias_name="oversize"))
             .map_batches(fill, batch_format="pyarrow"))
+
+
+def materialize_packs(packed_ds, sep: str = "\n\n"):
+    """Turn pack ASSIGNMENTS into trainer-ready sequences: one row per
+    pack with the member chunks' text joined by ``sep`` in pack_seq
+    order.  Requires a ``text`` column on the packed rows (present when
+    the input chunks carried text, e.g. prepare_corpus's chunk table).
+
+    Shuffles by SHARD, not by pack: a pack's rows already share a shard
+    (pack_chunks' co-location invariant), so one kernel per shard sorts
+    by (pack_id, pack_seq) and emits every pack in the shard with numpy
+    boundary detection — no per-pack map_groups call (the tiny-group
+    anti-pattern the round-4 asof/range-join rewrites removed).
+
+    Output: (shard, pack_id, n_chunks, n_tokens, oversize, text).
+    """
+    import numpy as np
+
+    def per_shard(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            tbl, sort_keys=[("pack_id", "ascending"),
+                            ("pack_seq", "ascending")])
+        tbl = tbl.take(order)
+        pid = tbl["pack_id"].to_numpy(zero_copy_only=False)
+        ntok = tbl["n_tokens"].to_numpy(zero_copy_only=False)
+        over = tbl["oversize"].to_numpy(zero_copy_only=False)
+        texts = tbl["text"].to_pylist()
+        n = len(pid)
+        if n == 0:
+            return pa.table({
+                "shard": pa.array([], pa.int64()),
+                "pack_id": pa.array([], pa.int64()),
+                "n_chunks": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "oversize": pa.array([], pa.bool_()),
+                "text": pa.array([], pa.string()),
+            })
+        starts = np.flatnonzero(np.concatenate(
+            ([True], pid[1:] != pid[:-1])))
+        ends = np.concatenate((starts[1:], [n]))
+        csum = np.concatenate(([0], np.cumsum(ntok)))
+        shard = tbl["shard"][0].as_py()
+        return pa.table({
+            "shard": pa.array([shard] * len(starts), pa.int64()),
+            "pack_id": pa.array(pid[starts], pa.int64()),
+            "n_chunks": pa.array(ends - starts, pa.int64()),
+            "n_tokens": pa.array(csum[ends] - csum[starts], pa.int64()),
+            "oversize": pa.array(
+                np.logical_or.reduceat(over, starts), pa.bool_()),
+            "text": pa.array([sep.join(texts[s:e])
+                              for s, e in zip(starts, ends)], pa.string()),
+        })
+
+    return (packed_ds.groupby("shard")
+            .map_groups(per_shard, batch_format="pyarrow"))

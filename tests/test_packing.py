@@ -123,6 +123,39 @@ class TestPackChunksDistributed:
             n_shards=8))
         assert a == b and len(a) == tbl.num_rows
 
+    def test_materialize_packs(self, ray_session):
+        """One row per pack; text joined in pack_seq order; token and
+        chunk totals agree with the assignment table."""
+        import ray.data as rd
+
+        from ocr_ray.functions.packing import (
+            materialize_packs,
+            pack_chunks,
+        )
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for d in range(80):
+            for c in range(int(rng.integers(1, 4))):
+                rows.append({"doc_id": d, "chunk_id": c,
+                             "n_tokens": int(rng.integers(10, 120)),
+                             "text": f"[doc{d}/chunk{c}]"})
+        tbl = pa.Table.from_pylist(rows)
+        packed = pack_chunks(rd.from_arrow(tbl), budget_tokens=256,
+                             n_shards=4)
+        pdf = packed.to_pandas()
+        seqs = materialize_packs(packed, sep=" ").to_pandas()
+        assert len(seqs) == pdf["pack_id"].nunique()
+        assert int(seqs["n_chunks"].sum()) == len(pdf)
+        assert int(seqs["n_tokens"].sum()) == int(pdf["n_tokens"].sum())
+        # per-pack text is the pack_seq-ordered join
+        by_pack = pdf.sort_values(["pack_id", "pack_seq"]) \
+            .groupby("pack_id")["text"].apply(lambda s: " ".join(s))
+        got = dict(zip(seqs["pack_id"], seqs["text"]))
+        assert got == by_pack.to_dict()
+        # member chunks never interleave across packs
+        assert not seqs["pack_id"].duplicated().any()
+
     def test_stats_rollup(self, ray_session):
         import ray.data as rd
 
