@@ -745,3 +745,66 @@ SELECT doc_id, cluster_id FROM (
   FROM documents
 ) WHERE cnt > 1
 """
+
+
+# -------------------------------------------- leakage-safe corpus split
+
+def leakage_safe_split(sf_dir: str, test_permille: int = 100,
+                       near: bool = True):
+    """Train/heldout assignment that can never leak a near-duplicate
+    across the boundary: the split unit is the DUP CLUSTER, not the
+    document.  Every doc joins its cluster id (connected component over
+    exact ∪ minhash near-dup pairs; singletons group as themselves),
+    and the whole group lands in `test` iff
+    ``int(md5(str(group_key))[:8], 16) %% 1000 < test_permille`` — the
+    repo's deterministic md5-sample discipline, reproducible anywhere.
+
+    A plain per-doc hash split puts ~2·p·(1-p) of every dup pair across
+    the boundary (eval contamination); here pairs co-assign by
+    construction (tested on planted near-dups).
+
+    Output Dataset: (doc_id, group_key, split).  All joins are
+    hash-partitioned Dataset joins; nothing funnels through the driver.
+    """
+    import hashlib as _h
+
+    import ray.data as rd
+
+    from ._io import clean_read
+
+    pairs_ds = ngram_jaccard_pairs_ds(sf_dir)
+    if near:
+        mh = minhash_lsh_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+        pairs_ds = pairs_ds.select_columns(["doc_a", "doc_b"]).union(mh)
+    clusters = dedup_clusters(pairs_ds).materialize()
+
+    docs = clean_read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"]
+        if "cluster_id" in batch.column_names:
+            # singletons come back NULL from the left-outer join and
+            # group as themselves
+            grp = pc.if_else(pc.is_null(batch["cluster_id"]), ids,
+                             batch["cluster_id"])
+        else:
+            grp = ids
+        split = ["test" if int(_h.md5(str(g).encode()).hexdigest()[:8],
+                               16) % 1000 < test_permille else "train"
+                 for g in grp.to_pylist()]
+        return pa.table({"doc_id": pc.cast(ids, pa.int64()),
+                         "group_key": pc.cast(grp, pa.int64()),
+                         "split": pa.array(split, pa.string())})
+
+    n_clustered = clusters.count()
+    if n_clustered == 0:
+        joined = docs
+    else:
+        clusters = clusters.repartition(_compact_parts(n_clustered)) \
+            .materialize()
+        joined = docs.join(clusters, "left_outer",
+                           num_partitions=_num_partitions(docs.count()),
+                           on=("doc_id",))
+    return joined.map_batches(assign, batch_format="pyarrow")

@@ -379,3 +379,41 @@ class TestClusters:
                for r in dedup_clusters(pairs).take_all()}
         # docs 1,2,3 collapse into one cluster rooted at 1
         assert out[1] == out[2] == out[3] == 1
+
+
+class TestLeakageSafeSplit:
+    def test_dup_clusters_never_straddle_the_split(self, ray_session,
+                                                   planted_dir):
+        """Docs 1, 2 (exact dup) and 3 (near dup of 1) must share one
+        group_key and therefore one split; singletons group as
+        themselves; assignment is deterministic."""
+        from ocr_ray.functions.dedup import leakage_safe_split
+
+        a = leakage_safe_split(planted_dir, test_permille=500) \
+            .to_pandas().set_index("doc_id")
+        assert len(a) == 5
+        assert a.loc[1, "group_key"] == a.loc[2, "group_key"] \
+            == a.loc[3, "group_key"] == 1
+        assert a.loc[1, "split"] == a.loc[2, "split"] == a.loc[3, "split"]
+        assert a.loc[4, "group_key"] == 4 and a.loc[5, "group_key"] == 5
+        b = leakage_safe_split(planted_dir, test_permille=500) \
+            .to_pandas().set_index("doc_id")
+        assert a["split"].to_dict() == b["split"].to_dict()
+
+    def test_split_fraction_and_md5_rule(self, ray_session):
+        """On the sf0.001 corpus the test fraction tracks test_permille
+        and every singleton's split follows the documented md5 rule."""
+        import hashlib
+
+        from ocr_ray.functions.dedup import leakage_safe_split
+
+        df = leakage_safe_split("/root/testdata/sf0.001",
+                                test_permille=300).to_pandas()
+        assert len(df) == 500
+        frac = (df["split"] == "test").mean()
+        assert 0.15 < frac < 0.45   # 500 docs around permille=300
+        for r in df.itertuples():
+            want = ("test" if int(hashlib.md5(
+                str(r.group_key).encode()).hexdigest()[:8], 16) % 1000
+                < 300 else "train")
+            assert r.split == want
