@@ -134,27 +134,85 @@ ORDER BY total_value DESC, user_id ASC LIMIT 20
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Session windows per user: sort the group by ts, a new session
-    starts when the gap to the previous event exceeds ``gap_minutes``.
-    The one shuffle is groupby(user_id); within-group logic is pandas.
-    Partitioning assumption (custom-operator rule): one user's events
-    fit in one group — session boundaries need the full per-key history,
-    so hot keys are bounded by retention/windowing upstream, not salting
-    (salting would split sessions at salt boundaries).
-    """
-    ds = _read(sf_dir, ["user_id", "ts"])
+    """Session windows per user: sorted by ts within the user, a new
+    session starts when the gap to the previous event exceeds
+    ``gap_minutes``.
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts")
-        gaps = g["ts"].diff()
-        new_sess = (gaps.isna() | (gaps > pd.Timedelta(minutes=gap_minutes)))
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_events": [len(g)],
-            "n_sessions": [int(new_sess.sum())],
+    Round-5 kernel (the same rewrite as ``error_click_asof`` /
+    ``error_click_range_join``): the shuffle key is hash(user) % P, not
+    the raw user_id — groupby(user_id).map_groups paid one Python call
+    + a pandas sort PER USER (millions of interpreter round-trips at
+    scale).  A hash partition co-locates each user's full history just
+    as well; the whole partition is answered in one numpy pass:
+    lexsort by (user, ts), segmented diff, ``new session = user
+    boundary OR gap > threshold``, then a per-user rollup with one
+    Arrow group_by per partition.  Null user_ids keep the oracle's
+    NULL group via a ``uid_null`` sentinel (same discipline as asof).
+    Partitioning assumption (custom-operator rule): one PARTITION
+    (~500k rows) fits in a worker — per-key history never needs to be
+    driver-resident, and hot keys share their partition with others.
+    """
+    from ._part import nparts_for
+
+    ds = _read(sf_dir, ["user_id", "ts"])
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+
+    import pyarrow.parquet as _pq
+    n_events = _pq.ParquetFile(
+        f"{sf_dir}/events.parquet").metadata.num_rows
+    n_parts = nparts_for(n_events, rows_per_part=500_000, floor=8)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ua = batch["user_id"]
+        unull = pc.is_null(ua).to_numpy(zero_copy_only=False)
+        users = pc.fill_null(ua, 0).to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        mix = (users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               + unull.astype(np.uint64))
+        part = ((mix >> np.uint64(33)) % np.uint64(n_parts)).astype(
+            np.int64)
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "uid_null": pa.array(unull.astype(np.int64), pa.int64()),
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "part": pa.array(part, pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_part(part: pa.Table) -> pa.Table:
+        users = part["user_id"].to_numpy(zero_copy_only=False)
+        unull = part["uid_null"].to_numpy(zero_copy_only=False)
+        ts = part["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, users, unull))
+        users, unull, ts = users[order], unull[order], ts[order]
+        n = len(users)
+        new_sess = np.ones(n, np.int64)
+        if n > 1:
+            same_user = ((users[1:] == users[:-1])
+                         & (unull[1:] == unull[:-1]))
+            new_sess[1:] = np.where(
+                same_user & (ts[1:] - ts[:-1] <= gap_us), 0, 1)
+        t = pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "uid_null": pa.array(unull, pa.int64()),
+            "new_sess": pa.array(new_sess, pa.int64()),
+        })
+        g = t.group_by(["user_id", "uid_null"]).aggregate(
+            [("new_sess", "count"), ("new_sess", "sum")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        gnull = g["uid_null"].to_numpy(zero_copy_only=False) == 1
+        return pa.table({
+            "user_id": pa.array(
+                [None if isnull else int(u)
+                 for u, isnull in zip(uid, gnull)], pa.int64()),
+            "n_events": g["new_sess_count"].cast(pa.int64()),
+            "n_sessions": g["new_sess_sum"].cast(pa.int64()),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_part, batch_format="pyarrow")
+            .select_columns(["user_id", "n_events", "n_sessions"]))
 
 
 SESSIONIZE_SQL = """

@@ -390,3 +390,79 @@ class TestAsofJoin:
         assert by_user[2]["avg_gap_s"] == 0.0
         assert by_user[3]["n_matched"] == 0
 
+
+
+class TestSessionize:
+    def test_sessionize_null_users_ties_and_boundary(self, ray_session,
+                                                     tmp_path):
+        """Round-5 vectorized sessionize kernel: NULL users keep the
+        oracle's NULL group; a gap of EXACTLY 30 minutes stays in the
+        same session (SQL is strictly `>`); same-ts ties never open a
+        session; a gap one microsecond over the threshold does."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions.events import SESSIONIZE_SQL, sessionize
+
+        m30 = 30 * 60 * 1_000_000
+        rows = [
+            # user 1: 3 events -> 2 sessions (exact-boundary gap stays,
+            # boundary+1us opens a new session)
+            {"event_id": 1, "ts": 0, "user_id": 1,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 2, "ts": m30, "user_id": 1,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 3, "ts": 2 * m30 + 1, "user_id": 1,
+             "event_type": "view", "value": 0.0, "props": "{}"},
+            # user 2: same-ts tie -> one session
+            {"event_id": 4, "ts": 7_000_000, "user_id": 2,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 5, "ts": 7_000_000, "user_id": 2,
+             "event_type": "error", "value": 0.0, "props": "{}"},
+            # NULL user: two events far apart -> NULL group, 2 sessions
+            {"event_id": 6, "ts": 1_000_000, "user_id": None,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 7, "ts": 10 * m30, "user_id": None,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+        ]
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         pa.compute.cast(t["ts"], pa.timestamp("us")))
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = sessionize(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{tmp_path}/events.parquet'")
+        want = con.execute(SESSIONIZE_SQL).df()
+
+        def canon(d):
+            d = d[sorted(d.columns)]
+            return d.sort_values(list(d.columns)).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(canon(got), canon(want),
+                                      check_dtype=False)
+        by_user = {(-1 if r["user_id"] != r["user_id"] else r["user_id"]): r
+                   for r in got.to_dict("records")}
+        assert by_user[1]["n_sessions"] == 2    # exact boundary stays
+        assert by_user[2]["n_sessions"] == 1    # same-ts tie
+        assert by_user[-1]["n_sessions"] == 2   # NULL group kept
+
+    def test_sessionize_sf0001_matches_oracle(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from ocr_ray.functions.events import SESSIONIZE_SQL, sessionize
+
+        sf = "/root/testdata/sf0.001"
+        got = sessionize(sf).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf}/events.parquet'")
+        want = con.execute(SESSIONIZE_SQL + " ORDER BY user_id").df() \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["user_id", "n_events", "n_sessions"]], want,
+            check_dtype=False)
