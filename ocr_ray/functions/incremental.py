@@ -121,6 +121,7 @@ def append_to_band_index(new_docs: pa.Table, index_dir: str) -> int:
 
     import pyarrow.parquet as pq
 
+    recover_band_index(index_dir)
     a, b = _perm_params()
     ids = new_docs["doc_id"].to_pylist()
     texts = new_docs["text"].to_pylist()
@@ -155,6 +156,35 @@ def increment_file_count(index_dir: str) -> int:
     return n
 
 
+def recover_band_index(index_dir: str) -> bool:
+    """Finish or roll back an interrupted compaction swap.
+
+    ``compact_band_index`` swaps with two renames (live -> .old, then
+    .compact-tmp -> live); a kill between them leaves NO live dir.  In
+    that window the tmp dir is guaranteed COMPLETE (its write finished
+    before the first rename), so recovery prefers finishing the swap
+    (tmp -> live) and falls back to restoring ``.old``.  Idempotent and
+    cheap (a few isdir checks); called on entry by every index
+    operation so a crashed compaction can never wedge the index.
+    Returns True when a repair was performed.
+    """
+    import shutil
+
+    repaired = False
+    for sub in ("bands", "features"):
+        live = f"{index_dir}/{sub}"
+        tmp, old = f"{live}.compact-tmp", f"{live}.old"
+        if not os.path.isdir(live):
+            if os.path.isdir(tmp):
+                os.rename(tmp, live)
+                shutil.rmtree(old, ignore_errors=True)
+                repaired = True
+            elif os.path.isdir(old):
+                os.rename(old, live)
+                repaired = True
+    return repaired
+
+
 def compact_band_index(index_dir: str, min_inc_files: int = 1) -> bool:
     """Rewrite the band + feature tables so every hive partition holds
     large base files again instead of a listing dominated by per-append
@@ -165,16 +195,17 @@ def compact_band_index(index_dir: str, min_inc_files: int = 1) -> bool:
     read -> write per table, never a corpus rescan.  Crash-safe: the
     rewrite lands in ``.compact-tmp`` siblings and is swapped in with
     directory renames; a kill mid-rewrite leaves the live index
-    untouched, a kill mid-swap leaves a ``<sub>.old`` directory that the
-    next compaction (or probe — hive reads ignore sibling dirs) never
-    sees.  Returns False (no-op) when fewer than ``min_inc_files``
-    appended files exist.
+    untouched; a kill BETWEEN the two swap renames (live gone, tmp
+    complete) is repaired on the next entry by ``recover_band_index``,
+    which every index operation calls first.  Returns False (no-op)
+    when fewer than ``min_inc_files`` appended files exist.
     """
     import shutil
 
     import pyarrow.compute as pc
     import ray.data as rd
 
+    recover_band_index(index_dir)
     if increment_file_count(index_dir) < min_inc_files:
         return False
 
@@ -236,6 +267,7 @@ def dedup_new_against_index(new_docs: pa.Table, index_dir: str,
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    recover_band_index(index_dir)
     a, b = _perm_params()
     new_ids = new_docs["doc_id"].to_pylist()
     texts = new_docs["text"].to_pylist()

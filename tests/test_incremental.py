@@ -214,3 +214,73 @@ class TestIncrementalDedup:
                                           "overlap whatsoever here"],
                                          pa.string())})
         assert dedup_new_against_index(new, idx).num_rows == 0
+
+    def test_interrupted_swap_is_recovered(self, indexed_corpus, tmp_path):
+        """A kill between compaction's two swap renames (live gone, tmp
+        complete) must be repaired on the next index operation — probe
+        results byte-identical to an uninterrupted compaction (round-5
+        ADVICE medium)."""
+        import os
+        import shutil
+
+        from ocr_ray.functions.incremental import (
+            append_to_band_index,
+            compact_band_index,
+            dedup_new_against_index,
+            increment_file_count,
+            recover_band_index,
+        )
+
+        base, idx0 = indexed_corpus
+        idx = str(tmp_path / "index")
+        shutil.copytree(idx0, idx)
+        inc_text = ("swap crash fixture increment naming parquet rewrites "
+                    "hive partitions and rename windows in enough words "
+                    "to produce several shingles for the band hashes and "
+                    "probe the partitions rebuilt by a pass over the index")
+        append_to_band_index(
+            pa.table({"doc_id": pa.array([8101], pa.int64()),
+                      "text": pa.array([inc_text], pa.string())}), idx)
+        probe = pa.table({
+            "doc_id": pa.array([9101], pa.int64()),
+            "text": pa.array([inc_text.replace("the index", "the table")],
+                             pa.string())})
+        want = sorted(map(tuple, (
+            (r["new_doc"], r["indexed_doc"], r["jaccard"])
+            for r in dedup_new_against_index(probe, idx).to_pylist())))
+        assert any(o == 8101 for _, o, _ in want)
+
+        # Simulate the crash window: tmp fully written, live renamed to
+        # .old, second rename never happened — for BOTH subtables.
+        for sub in ("bands", "features"):
+            live = f"{idx}/{sub}"
+            shutil.copytree(live, f"{live}.compact-tmp")
+            os.rename(live, f"{live}.old")
+            assert not os.path.isdir(live)
+
+        # The next probe self-heals and returns identical pairs.
+        got = sorted(map(tuple, (
+            (r["new_doc"], r["indexed_doc"], r["jaccard"])
+            for r in dedup_new_against_index(probe, idx).to_pylist())))
+        assert got == want
+        for sub in ("bands", "features"):
+            assert os.path.isdir(f"{idx}/{sub}")
+            assert not os.path.isdir(f"{idx}/{sub}.compact-tmp")
+            assert not os.path.isdir(f"{idx}/{sub}.old")
+
+        # Rollback leg: only .old survives (crash before tmp finished
+        # would leave live intact, but a lost tmp must restore .old).
+        for sub in ("bands", "features"):
+            os.rename(f"{idx}/{sub}", f"{idx}/{sub}.old")
+        assert recover_band_index(idx) is True
+        got2 = sorted(map(tuple, (
+            (r["new_doc"], r["indexed_doc"], r["jaccard"])
+            for r in dedup_new_against_index(probe, idx).to_pylist())))
+        assert got2 == want
+        # recovered index still compacts normally
+        assert increment_file_count(idx) > 0
+        assert compact_band_index(idx) is True
+        got3 = sorted(map(tuple, (
+            (r["new_doc"], r["indexed_doc"], r["jaccard"])
+            for r in dedup_new_against_index(probe, idx).to_pylist())))
+        assert got3 == want
