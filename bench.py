@@ -153,7 +153,7 @@ def run_queries() -> dict:
         times["prepare_corpus"] = f"error: {type(e).__name__}"
     # sequence packing over the prepared chunks (round-4 stage 5)
     try:
-        from ray.data.aggregate import Mean
+        from ray.data.aggregate import Count, Mean
 
         from ocr_ray.functions.packing import pack_chunks, packing_stats
 
@@ -162,8 +162,11 @@ def run_queries() -> dict:
             ray.data.read_parquet("/tmp/ocr_ray_bench_prep/chunks"),
             budget_tokens=2048)
         stats = packing_stats(packed, budget_tokens=2048)
-        n_packs = stats.count()
-        fill = stats.aggregate(Mean("fill_ratio"))["mean(fill_ratio)"]
+        # one aggregate call: count() + mean() together so the lazy
+        # pack_chunks shuffle executes ONCE (round-5 ADVICE)
+        both = stats.aggregate(Count(), Mean("fill_ratio"))
+        n_packs = both["count()"]
+        fill = both["mean(fill_ratio)"]
         times["pack_chunks"] = round(time.time() - t0, 2)
         times["pack_count"] = int(n_packs)
         times["pack_mean_fill"] = round(float(fill), 3)

@@ -97,8 +97,14 @@ def props_redaction(sf_dir: str):
         g = t.group_by("event_type").aggregate(
             [("n_redacted", "count"), ("n_redacted", "sum"),
              ("redacted_len", "sum")])
-        return g.rename_columns(
-            ["event_type", "n_events", "n_redacted", "redacted_len"])
+        # select by NAME: pyarrow has moved group keys between first
+        # and last column across versions (round-5 ADVICE)
+        return pa.table({
+            "event_type": g["event_type"],
+            "n_events": g["n_redacted_count"].cast(pa.int64()),
+            "n_redacted": g["n_redacted_sum"].cast(pa.int64()),
+            "redacted_len": g["redacted_len_sum"].cast(pa.int64()),
+        })
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("event_type")

@@ -178,23 +178,35 @@ def _refine_centroids_distributed(ds, cent: np.ndarray,
     each round is ONE associative ``Dataset.aggregate`` whose state is
     the k x (dim+1) per-centroid (vector sum, count) partial as a bytes
     blob — O(k*dim) driver memory per round, never a vector gather.
-    Empty clusters keep their previous centroid."""
+    Empty clusters keep their previous centroid.
+
+    Determinism (round-5 ADVICE): Ray merges partials in task-completion
+    order, so float64 sums could differ in the last ulp between runs and
+    flip bucket assignment of near-boundary vectors (sticky via the
+    on-disk index cache).  Each ROW's vector is therefore quantized ONCE
+    to int64 fixed-point (2^24 fractional bits) and every accumulate /
+    merge is integer addition — exact and independent of block layout
+    and merge order.  Overflow bound: |coord| <= ~500 still leaves
+    2^63 / (500 * 2^24) ~ 1.1e9 rows per cluster per partial; beyond
+    that, lower the scale."""
     from ray.data.aggregate import AggregateFn
 
     k, dim = cent.shape
+    scale = np.float64(1 << 24)
 
     for _ in range(iters):
         cur = cent.copy()
 
         def acc_block(state, blk, cur=cur):
             m = _batch_matrix(blk)
-            arr = (np.frombuffer(state, dtype=np.float64)
+            arr = (np.frombuffer(state, dtype=np.int64)
                    .reshape(k, dim + 1).copy() if state
-                   else np.zeros((k, dim + 1)))
+                   else np.zeros((k, dim + 1), np.int64))
             if len(m):
                 a = ((m[:, None, :] - cur[None, :, :]) ** 2).sum(-1) \
                     .argmin(1)
-                np.add.at(arr[:, :dim], a, m)
+                mi = np.rint(m * scale).astype(np.int64)
+                np.add.at(arr[:, :dim], a, mi)
                 arr[:, dim] += np.bincount(a, minlength=k)
             return arr.tobytes()
 
@@ -203,15 +215,16 @@ def _refine_centroids_distributed(ds, cent: np.ndarray,
                 return s2
             if not s2:
                 return s1
-            return (np.frombuffer(s1, dtype=np.float64)
-                    + np.frombuffer(s2, dtype=np.float64)).tobytes()
+            return (np.frombuffer(s1, dtype=np.int64)
+                    + np.frombuffer(s2, dtype=np.int64)).tobytes()
 
         agg = AggregateFn(init=lambda _: b"", merge=merge,
                           accumulate_block=acc_block, name="kmeans")
         arr = np.frombuffer(ds.aggregate(agg)["kmeans"],
-                            dtype=np.float64).reshape(k, dim + 1)
-        cnt = arr[:, dim:]
-        cent = np.where(cnt > 0, arr[:, :dim] / np.maximum(cnt, 1), cent)
+                            dtype=np.int64).reshape(k, dim + 1)
+        cnt = arr[:, dim:].astype(np.float64)
+        sums = arr[:, :dim].astype(np.float64) / scale
+        cent = np.where(cnt > 0, sums / np.maximum(cnt, 1), cent)
     return cent
 
 
@@ -226,7 +239,7 @@ def ivf_index_path(sf_dir: str, n_clusters: int) -> str:
     import os
 
     st = os.stat(f"{sf_dir}/embeddings.parquet")
-    key = _h.md5(f"{sf_dir}:{n_clusters}:v4:{st.st_size}:"
+    key = _h.md5(f"{sf_dir}:{n_clusters}:v5:{st.st_size}:"
                  f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
     return f"/tmp/ocr_ray_ivf_{key}"
 

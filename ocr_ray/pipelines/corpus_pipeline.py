@@ -234,9 +234,9 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
 
     # -- stage 5 (optional): pack chunks into token-budget sequences ----
     if pack_budget_tokens and manifest["n_chunks"]:
-        from ray.data.aggregate import Mean
+        from ray.data.aggregate import Count, Mean
 
-        from ..functions.packing import pack_chunks
+        from ..functions.packing import pack_chunks, packing_stats
 
         packed = pack_chunks(rd.read_parquet(f"{out_dir}/chunks"),
                              budget_tokens=pack_budget_tokens)
@@ -244,15 +244,16 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
         os.makedirs(f"{out_dir}/packs", exist_ok=True)
         packed.write_parquet(f"{out_dir}/packs",
                              partition_cols=["shard"])
-        from ..functions.packing import packing_stats
-
         stats = packing_stats(
             rd.read_parquet(f"{out_dir}/packs"),
             budget_tokens=pack_budget_tokens)
-        manifest["n_packs"] = int(stats.count())
-        # scalar rollups through aggregates, never a driver table pull
+        # ONE aggregate call for both scalar rollups (round-5 ADVICE:
+        # count() + aggregate() each re-executed the stats pipeline),
+        # never a driver table pull
+        both = stats.aggregate(Count(), Mean("fill_ratio"))
+        manifest["n_packs"] = int(both["count()"])
         manifest["pack_mean_fill_ratio"] = round(float(
-            stats.aggregate(Mean("fill_ratio"))["mean(fill_ratio)"]), 4)
+            both["mean(fill_ratio)"]), 4)
         manifest["pack_budget_tokens"] = int(pack_budget_tokens)
 
     with open(f"{out_dir}/manifest.json", "w") as f:
