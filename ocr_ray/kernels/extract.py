@@ -52,24 +52,51 @@ R_NO_CONTENT = "no_content"
 def validate_spans(spans, cfg: PipelineConfig = DEFAULT_CONFIG) -> str | None:
     """Return a reject reason or None if the document is processable.
 
+    Dict-rows face of ``validate_spans_cols`` (golden extractor + unit
+    tests); the Arrow stage feeds the cols variant directly."""
+    if spans is None or len(spans) == 0:
+        return R_EMPTY
+    cols = _spans_to_cols(spans)
+    return validate_spans_cols(*cols, cfg)
+
+
+def _spans_to_cols(spans):
+    """list-of-dicts -> four parallel lists (None dict -> all-None row,
+    which the cols validator classifies malformed exactly like the old
+    per-dict check did)."""
+    kinds, texts, refs, offs = [], [], [], []
+    for s in spans:
+        if s is None:
+            kinds.append(None)
+            texts.append(None)
+            refs.append(None)
+            offs.append(None)
+        else:
+            kinds.append(s.get("kind"))
+            texts.append(s.get("text"))
+            refs.append(s.get("media_ref"))
+            offs.append(s.get("offset"))
+    return kinds, texts, refs, offs
+
+
+def validate_spans_cols(kinds, texts, media_refs, offsets,
+                        cfg: PipelineConfig = DEFAULT_CONFIG) -> str | None:
+    """Columnar validate over four parallel span-field lists.
+
     Reason priority (fixed, so the scalar kernel and the vectorized stage
     in stages/validate.py agree regardless of span position):
     empty > too_many_spans > malformed > duplicate_offsets > no_content.
     """
-    if spans is None or len(spans) == 0:
+    n = len(kinds)
+    if n == 0:
         return R_EMPTY
-    if len(spans) > cfg.max_spans_per_doc:
+    if n > cfg.max_spans_per_doc:
         return R_TOO_MANY
     seen_offsets = set()
     malformed = dup = False
     any_content = False
-    for s in spans:
-        if s is None:
-            malformed = True
-            continue
-        kind, text, media_ref, offset = (
-            s.get("kind"), s.get("text"), s.get("media_ref"), s.get("offset"),
-        )
+    for kind, text, media_ref, offset in zip(kinds, texts, media_refs,
+                                             offsets):
         if (kind not in VALID_KINDS or text is None or media_ref is None
                 or offset is None):
             malformed = True
@@ -164,38 +191,63 @@ def extract_doc(
     spans,
     cfg: PipelineConfig = DEFAULT_CONFIG,
 ) -> dict:
-    """Full per-document extraction.
+    """Full per-document extraction (dict-rows face, used by the golden
+    extractor and unit tests; the Arrow stage walks the ListArray
+    offsets and calls ``extract_doc_cols`` without building span dicts).
 
     Returns a dict with either ``{"ok": True, "spans": [...], "metrics": {...}}``
     (spans ordered by offset) or ``{"ok": False, "reason": str}``.
     """
-    reason = validate_spans(spans, cfg)
+    if spans is None or len(spans) == 0:
+        return {"ok": False, "doc_id": doc_id, "reason": R_EMPTY}
+    cols = _spans_to_cols(spans)
+    res = extract_doc_cols(doc_id, *cols, cfg)
+    if res["ok"]:
+        res = dict(res)
+        res["spans"] = [
+            {"kind": k, "text": t, "media_ref": r, "offset": o}
+            for k, t, r, o in zip(res.pop("kinds"), res.pop("texts"),
+                                  res.pop("refs"), res.pop("offsets"))]
+    return res
+
+
+def extract_doc_cols(
+    doc_id: str,
+    kinds,
+    texts,
+    media_refs,
+    offsets,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> dict:
+    """Columnar per-document extraction over parallel span-field lists.
+
+    Returns ``{"ok": True, "kinds": [...], "texts": [...], "refs": [...],
+    "offsets": [...], "metrics": {...}}`` (span fields ordered by offset)
+    or ``{"ok": False, "reason": str}``.
+    """
+    reason = validate_spans_cols(kinds, texts, media_refs, offsets, cfg)
     if reason is not None:
         return {"ok": False, "doc_id": doc_id, "reason": reason}
 
-    ordered = sorted(spans, key=lambda s: s["offset"])
-    out_spans = []
+    order = sorted(range(len(offsets)), key=offsets.__getitem__)
+    out_texts = []
     st = CleanStats()
     qualities: list[float] = []
     all_confs: list[float] = []
     retries = 0
     num_ents = 0
-    for s in ordered:
-        cleaned, meta = extract_span(s["kind"], s["text"], s["media_ref"], cfg, stats=st)
+    for i in order:
+        kind = kinds[i]
+        cleaned, meta = extract_span(kind, texts[i], media_refs[i], cfg,
+                                     stats=st)
         num_ents += count_entities(cleaned)
-        out_spans.append({
-            "kind": s["kind"],
-            "text": cleaned,
-            "media_ref": s["media_ref"],
-            "offset": s["offset"],
-        })
-        if s["kind"] == "media":
+        out_texts.append(cleaned)
+        if kind == "media":
             qualities.append(meta["quality"])
             all_confs.extend(meta["confs"])
             retries += int(meta["retried"])
-
     metrics = {
-        "n_spans": len(out_spans),
+        "n_spans": len(out_texts),
         "media_spans": len(qualities),
         "blocks_kept": st.kept_lines,
         "blocks_dropped": st.dropped_lines,
@@ -211,4 +263,9 @@ def extract_doc(
         "retried_spans": retries,
         "conf_hist": conf_histogram(all_confs, cfg.ocr_conf_bins),
     }
-    return {"ok": True, "doc_id": doc_id, "spans": out_spans, "metrics": metrics}
+    return {"ok": True, "doc_id": doc_id,
+            "kinds": [kinds[i] for i in order],
+            "texts": out_texts,
+            "refs": [media_refs[i] for i in order],
+            "offsets": [offsets[i] for i in order],
+            "metrics": metrics}

@@ -30,13 +30,24 @@ class KeywordAnalyzer:
         self.matcher = KeywordMatcher(kws, version_hash or keywords_hash(kws))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # Arrow-native span walk (round-4 VERDICT What's-wrong #3): only
+        # doc_id and the flat text child cross to Python — no dict per
+        # span on the corpus-wide match path.
+        doc_ids = batch["doc_id"].to_pylist()
+        spans_col = batch["spans"]
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        off = spans_col.offsets.to_numpy(zero_copy_only=False)
+        texts = spans_col.values.field("text").to_pylist()
         out = []
-        for row in batch.select(["doc_id", "spans"]).to_pylist():
+        for i, doc_id in enumerate(doc_ids):
+            lo, hi = int(off[i]), int(off[i + 1])
             per_kw: dict[str, list] = {}
-            for span_idx, span in enumerate(row["spans"]):
-                if not span["text"]:
+            for span_idx in range(hi - lo):
+                text = texts[lo + span_idx]
+                if not text:
                     continue
-                for h in self.matcher.find(span["text"]):
+                for h in self.matcher.find(text):
                     per_kw.setdefault(h["keyword"], []).append({
                         "span_idx": span_idx,
                         "start": h["start"],
@@ -44,7 +55,7 @@ class KeywordAnalyzer:
                     })
             for kw, occs in sorted(per_kw.items()):
                 out.append({
-                    "doc_id": row["doc_id"],
+                    "doc_id": doc_id,
                     "keyword": kw,
                     "occs": occs,
                     "total_occs": len(occs),
@@ -101,7 +112,11 @@ def corpus_keyword_counts(hits_ds, num_partitions: int = 2):
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by("keyword").aggregate(
             [("total_occs", "sum"), ("keyword", "count")])
-        return g.rename_columns(["keyword", "total_occs", "doc_freq"])
+        # select by NAME: pyarrow has moved group keys between first and
+        # last column across versions (same fix as redact.py, round-5)
+        return pa.table({"keyword": g["keyword"],
+                         "total_occs": g["total_occs_sum"],
+                         "doc_freq": g["keyword_count"]})
 
     agg = (hits_ds.map_batches(partial, batch_format="pyarrow")
            .repartition(num_partitions)
