@@ -139,6 +139,7 @@ def _media_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from ocr_ray.functions import corpus_prep as cp
     from ocr_ray.functions import dedup as dd
     from ocr_ray.functions import events as ev
     from ocr_ray.functions import relational as rel
@@ -163,12 +164,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family (simhash_pairs and embedding_dup_pairs rotated out
         # of the 50-slot registry in round 4 — both are rows-only here by
         # non-SQL-expressibility and keep their REAL oracles in pytest
-        # (tests/test_dedup.py) + bench recall-vs-brute-force (1.0/1.0);
-        # the freed slots hold SQL-hash-checked operators instead)
+        # (tests/test_dedup.py) + bench recall-vs-brute-force (1.0/1.0).
+        # Round 5: ngram_jaccard_pairs and exact_dup_clusters rotated out
+        # too — their driver greens were VACUOUS at driver scale (0 rows:
+        # the sf corpus has no exact dups; round-4 VERDICT What's-wrong
+        # #5).  Their REAL oracles are the planted-dup corpora in
+        # tests/test_dedup.py; the freed slots hold two row-bearing
+        # SQL-hash-checked operators (events_windows_watermark,
+        # source_temperature_sample).
         "exact_dedup_groups": tx.exact_dedup_groups,
         "minhash_lsh_pairs": dd.minhash_lsh_pairs,
-        "ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
-        "exact_dup_clusters": dd.exact_dup_clusters,
         # similarity search
         "knn_bruteforce": sim.knn_bruteforce,
         "knn_ivf": sim.knn_ivf,
@@ -233,6 +238,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_moving_avg": ev.events_daily_moving_avg,
         "error_click_asof": ev.error_click_asof,
         "running_user_totals": _running_user_totals,
+        # round-5 rotations into the cap (see the dedup-family note):
+        # tumbling windows with a watermark final/open frontier, and the
+        # n^tau temperature mixture sample
+        "events_windows_watermark": ev.events_windows_watermark,
+        "source_temperature_sample": cp.source_temperature_sample,
     }
 
 
@@ -287,8 +297,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": tx.DOC_FINGERPRINTS_SQL,
         "doc_entity_counts": tx.DOC_ENTITY_COUNTS_SQL,
         "exact_dedup_groups": tx.EXACT_DEDUP_SQL,
-        "ngram_jaccard_pairs": dd.NGRAM_JACCARD_SQL,
-        "exact_dup_clusters": dd.EXACT_DUP_CLUSTERS_SQL,
+        "events_windows_watermark": ev.EVENTS_WINDOWS_WATERMARK_SQL,
+        "source_temperature_sample": cp.SOURCE_TEMPERATURE_SQL,
         "knn_bruteforce": sim.KNN_BRUTE_SQL,
         "embedding_label_centroids": sim.EMBEDDING_LABEL_SQL,
         # rows-only (non-SQL-expressible): lang_id, doc_fingerprints,
