@@ -276,6 +276,209 @@ def _scan_fused(html: str) -> list[tuple[str, int]]:
     return blocks
 
 
+_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9.\-:_]*")
+# start-tag attr tail: exactly _MARKUP_RE's third/fourth groups
+_ATTRS_RE = re.compile(r"((?:\"[^\"]*\"|'[^']*'|[^<>\"'])*)(>|$)", re.DOTALL)
+
+
+def _scan_split(html: str) -> list[tuple[str, int]]:
+    """Round-5 scanning experiment — RECORDED NEGATIVE RESULT: drive
+    the scan with C-speed ``str.find`` hops between '<' characters and
+    small anchored name/attrs matches, instead of one big-alternation
+    regex search per markup item.  Block output is byte-identical to
+    ``_scan_fused`` / ``_scan`` / stdlib HTMLParser (four-way parity
+    property test incl. adversarial EOF tails; 100k-doc fuzz clean),
+    but on the realistic fixture corpus it is ~1.4x SLOWER than
+    _scan_fused (0.55 s vs 0.39 s per 7,924 spans): ~111k markup items
+    pay 2 Python-level re.match calls + 3 str.find hops + branchy
+    dispatch each, where _MARKUP_RE classifies and extracts in ONE
+    C-level search (cProfile: 0.44 s tottime in the loop itself, no
+    single reducible hotspot).  Kept as a parity-tested executable
+    record; ``fused`` stays the default engine.
+
+    Semantics notes inline mirror _MARKUP_RE's exact matching behavior,
+    including the lazy comment/CDATA ``$``-before-final-newline rule,
+    re-emitting EOF-unterminated markup as data, and extending the
+    pending data run past a '<' that opens no markup (unquoted '<' /
+    unterminated quote) so data-chunk boundaries — and thus the
+    per-chunk strip() in the link-char count — match byte-for-byte."""
+    blocks: list[tuple[str, int]] = []
+    parts: list[str] = []
+    link_chars = 0
+    drop_depth = 0
+    anchor_depth = 0
+    pos, n = 0, len(html)
+    find = html.find
+    ws_sub = _WS.sub
+    name_match = _NAME_RE.match
+    attrs_match = _ATTRS_RE.match
+
+    def flush():
+        nonlocal parts, link_chars
+        text = ws_sub(" ", "".join(parts)).strip()
+        if text:
+            blocks.append((text, link_chars))
+        parts = []
+        link_chars = 0
+
+    def emit(data):
+        nonlocal link_chars
+        if drop_depth or not data:
+            return
+        if "&" in data:
+            data = _unescape(data)
+        parts.append(data)
+        if anchor_depth:
+            link_chars += len(data.strip())
+
+    while pos < n:
+        # Hop to the next REAL markup '<' at C speed.  A '<' that opens
+        # no markup (no name, '</' without a name, or a start tag whose
+        # attrs never close: unquoted '<' / unterminated quote) stays
+        # INSIDE the pending data run — _MARKUP_RE emits one data chunk
+        # spanning literal '<'s, and the link-char count strips each
+        # chunk, so chunk boundaries must match byte-for-byte.
+        lt = find("<", pos)
+        start_m = None
+        start_j = 0
+        start_attrs = ""
+        while lt != -1:
+            c = html[lt + 1:lt + 2]
+            if c == "!" or c == "?":
+                break
+            if c == "/":
+                if name_match(html, lt + 2) is not None:
+                    break
+                lt = find("<", lt + 1)
+                continue
+            m = name_match(html, lt + 1)
+            if m is not None:
+                # start tag: attrs = (quoted string | [^<>"'])* then
+                # '>' or EOF, else the whole tag is literal data
+                ma = attrs_match(html, m.end())
+                if ma is not None:
+                    start_m, start_j, start_attrs = m, ma.end(1), ma.group(1)
+                    break
+            lt = find("<", lt + 1)
+        if lt == -1:
+            emit(html[pos:])
+            break
+        if lt > pos:
+            emit(html[pos:lt])
+        c = html[lt + 1:lt + 2]
+        if c == "!":
+            if html.startswith("<!--", lt):
+                f = find("-->", lt + 4)
+                if f != -1:
+                    pos = f + 3
+                    continue
+                # no closer: the regex's lazy `.*?(?:-->|$)` ends the
+                # match at `$`, which in Python also matches BEFORE a
+                # final newline — then the comment is "terminated"
+                # markup (swallowed) and the final '\n' is data.  At
+                # true EOF the fused engine re-emits the tail as data
+                # unless the closer overlaps the opener ('<!-->').
+                if html[n - 1] == "\n":
+                    pos = n - 1
+                    continue
+                if html.endswith("-->"):
+                    break
+                emit(html[lt:])
+                break
+            if html.startswith("<![CDATA[", lt):
+                f = find("]]>", lt + 9)
+                if f != -1:
+                    pos = f + 3
+                    continue
+                if html[n - 1] == "\n":    # same `$`-before-'\n' rule
+                    pos = n - 1
+                    continue
+                if html.endswith("]]>"):
+                    break
+                emit(html[lt:])
+                break
+            gt = find(">", lt + 2)
+            if gt == -1:          # doctype/decl to EOF -> data
+                emit(html[lt:])
+                break
+            pos = gt + 1
+            continue
+        if c == "?":
+            gt = find(">", lt + 2)
+            if gt == -1:
+                emit(html[lt:])
+                break
+            pos = gt + 1
+            continue
+        if c == "/":
+            m = name_match(html, lt + 2)
+            gt = find(">", m.end())
+            if gt == -1:           # unterminated end tag at EOF -> data
+                emit(html[lt:])
+                break
+            pos = gt + 1
+            tag = m.group(0).lower()
+            if tag in DROP_TAGS:
+                if drop_depth > 0:
+                    drop_depth -= 1
+            else:
+                if tag in BLOCK_TAGS and parts:
+                    flush()
+                if tag == "a" and anchor_depth > 0:
+                    anchor_depth -= 1
+            continue
+        # start tag, pre-validated (extent computed) by the hop loop
+        m, j, attrs = start_m, start_j, start_attrs
+        if j >= n:                 # '$'-closed start tag at EOF -> data
+            emit(html[lt:])
+            break
+        pos = j + 1
+        tag = m.group(0).lower()
+        if tag in DROP_TAGS:
+            if parts:
+                flush()
+            if tag not in VOID_TAGS:
+                drop_depth += 1
+        else:
+            if tag in BLOCK_TAGS and parts:
+                flush()
+            if tag == "a":
+                anchor_depth += 1
+        if attrs.rstrip().endswith("/"):
+            # <x/> => startendtag: replay the endtag state flips
+            if tag in DROP_TAGS:
+                if drop_depth > 0:
+                    drop_depth -= 1
+            elif tag in BLOCK_TAGS and parts:
+                flush()
+            elif tag == "a" and anchor_depth > 0:
+                anchor_depth -= 1
+        elif tag in _CDATA_CLOSE:
+            mm = _CDATA_CLOSE[tag].search(html, pos)
+            if mm is None:
+                break              # unterminated script/style: swallowed
+            if not drop_depth:
+                data = html[pos:mm.start()]
+                if data:
+                    parts.append(data)
+                    if anchor_depth:
+                        link_chars += len(data.strip())
+            gt = find(">", mm.start())
+            if tag in DROP_TAGS:
+                if drop_depth > 0:
+                    drop_depth -= 1
+            elif tag in BLOCK_TAGS and parts:
+                flush()
+            elif tag == "a" and anchor_depth > 0:
+                anchor_depth -= 1
+            if gt == -1:
+                break
+            pos = gt + 1
+    if parts:
+        flush()
+    return blocks
+
+
 def html_to_blocks(html: str, *, max_link_density: float = 0.5,
                    _engine: str = "fused") -> list[str]:
     """Parse HTML into reading-order main-content blocks.
@@ -287,13 +490,13 @@ def html_to_blocks(html: str, *, max_link_density: float = 0.5,
     scanner).
     """
     blocks: list[tuple[str, int]]
-    if _engine == "fused":
+    if _engine in ("fused", "split"):
         try:
-            blocks = _scan_fused(html)
+            blocks = _scan_split(html) if _engine == "split" else _scan_fused(html)
         except Exception:  # pragma: no cover — scanners never raise;
             _engine = "fast"  # exception path keeps the partial-salvage
             # semantics of the collector engines below
-    if _engine != "fused":
+    if _engine not in ("fused", "split"):
         parser = _BlockCollector()
         try:
             if _engine == "fast":

@@ -110,6 +110,8 @@ class TestHtmlFuzz:
         # the round-4 fused scanner (collector state inlined into the
         # scan loop, the DEFAULT engine) must match both
         assert html_to_blocks(html, _engine="fused") == fast
+        # and the round-5 find-driven split scanner makes it four-way
+        assert html_to_blocks(html, _engine="split") == fast
 
     @given(_html_doc)
     @settings(max_examples=200, deadline=None)
@@ -124,6 +126,7 @@ class TestHtmlFuzz:
             doc = html + tail
             fast = html_to_blocks(doc, _engine="fast")
             assert html_to_blocks(doc, _engine="fused") == fast
+            assert html_to_blocks(doc, _engine="split") == fast
 
 
 class TestCleanerProperties:
