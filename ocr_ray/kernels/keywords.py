@@ -70,14 +70,20 @@ def token_variants(token: str, *, with_synonyms: bool = True) -> frozenset:
 
 def filter_spans(spans: list[tuple[int, int, str]]) -> list[tuple[int, int, str]]:
     """Longest-match overlap resolution: sort by (length desc, start asc),
-    keep greedily non-overlapping; result in document order."""
+    keep greedily non-overlapping; result in document order.
+
+    Occupancy is a bytearray so both the overlap probe (``find``) and the
+    claim (slice assign) run at C speed — the set-of-ints version was a
+    visible slice of the corpus-wide match profile."""
     order = sorted(spans, key=lambda s: (-(s[1] - s[0]), s[0]))
     taken: list[tuple[int, int, str]] = []
-    occupied: set[int] = set()
+    if not order:
+        return taken
+    occ = bytearray(max(s[1] for s in order))
     for start, end, label in order:
-        if any(i in occupied for i in range(start, end)):
+        if occ.find(1, start, end) != -1:
             continue
-        occupied.update(range(start, end))
+        occ[start:end] = b"\x01" * (end - start)
         taken.append((start, end, label))
     taken.sort(key=lambda s: s[0])
     return taken
@@ -91,6 +97,7 @@ class KeywordMatcher:
         self.keywords = sorted({k.strip() for k in keywords if k.strip()})
         # first-token variant -> [(keyword, [variant_set per token])]
         self._index: dict[str, list[tuple[str, list[frozenset]]]] = defaultdict(list)
+        self._tok_cache: dict[str, tuple] = {}
         self.max_len = 1
         for kw in self.keywords:
             toks = kw.lower().split()
@@ -100,6 +107,40 @@ class KeywordMatcher:
             self.max_len = max(self.max_len, len(vsets))
             for first_var in vsets[0]:
                 self._index[first_var].append((kw, vsets))
+
+    def _tok_info(self, token: str):
+        """Memoized per-token resolution (tokens are Zipf-distributed, so
+        the corpus-wide match path hits this cache almost always).
+
+        Returns ``(tv, hits1, candn)`` where ``tv`` is the no-synonym
+        variant set, ``hits1`` the single-token keywords this token
+        matches OUTRIGHT (a candidate exists because var ∈ tv ∩ vsets[0],
+        so the window check at j=0 is always true — for n == 1 that IS
+        the whole match), and ``candn`` the multi-token candidates
+        ``(kw, n, vsets-tail)``.  Candidate order is exactly the eager loop's
+        (sorted variants, then index-list order, duplicates kept):
+        filter_spans ties break by insertion order, and only same-length
+        same-start spans tie, whose relative order this preserves."""
+        info = self._tok_cache.get(token)
+        if info is None:
+            tv = token_variants(token, with_synonyms=False)
+            hits1: list[str] = []
+            candn: list[tuple[str, list, int]] = []
+            # sorted: frozenset iteration order is hash-seed dependent and
+            # would make tie-breaks differ across worker processes
+            for var in sorted(tv):
+                for kw, vsets in self._index.get(var, ()):
+                    n = len(vsets)
+                    if n == 1:
+                        hits1.append(kw)
+                    else:
+                        # tail only: j = 0 is proven by candidacy itself
+                        candn.append((kw, n, tuple(vsets[1:])))
+            if len(self._tok_cache) >= 1_000_000:  # bound actor memory
+                self._tok_cache.clear()
+            info = (tv, hits1, candn)
+            self._tok_cache[token] = info
+        return info
 
     def find(self, text: str) -> list[dict]:
         """All keyword occurrences in one text.
@@ -111,19 +152,26 @@ class KeywordMatcher:
         # document tokens do NOT expand synonyms: the reference expands
         # only KEYWORD tokens (make_keywords_in_spacy patterns); document
         # side matches by surface/lemma (LOWER/LEMMA/ORTH attrs)
-        tok_variant = [token_variants(t, with_synonyms=False)
-                       for t, _, _ in toks]
+        infos = [self._tok_info(t) for t, _, _ in toks]
+        tok_variant = [inf[0] for inf in infos]
+        L = len(toks)
         raw: list[tuple[int, int, str]] = []  # (tok_start, tok_end, keyword)
-        for i, tv in enumerate(tok_variant):
-            # sorted: frozenset iteration order is hash-seed dependent and
-            # would make tie-breaks differ across worker processes
-            for var in sorted(tv):
-                for kw, vsets in self._index.get(var, ()):
-                    n = len(vsets)
-                    if i + n > len(toks):
-                        continue
-                    if all(tok_variant[i + j] & vsets[j] for j in range(n)):
-                        raw.append((i, i + n, kw))
+        append = raw.append
+        for i, (_, hits1, candn) in enumerate(infos):
+            for kw in hits1:
+                append((i, i + 1, kw))
+            for kw, n, tail in candn:
+                if i + n > L:
+                    continue
+                # explicit loop: the all()-generator frame per window was
+                # a measured cost at 724k windows per 300 docs
+                k = i + 1
+                for vs in tail:
+                    if not (tok_variant[k] & vs):
+                        break
+                    k += 1
+                else:
+                    append((i, i + n, kw))
         hits = []
         for ts, te, kw in filter_spans(raw):
             hits.append({
