@@ -79,11 +79,14 @@ def filter_spans(spans: list[tuple[int, int, str]]) -> list[tuple[int, int, str]
     taken: list[tuple[int, int, str]] = []
     if not order:
         return taken
-    occ = bytearray(max(s[1] for s in order))
+    # all real callers pass non-negative positions; shift if not, since
+    # a negative index would WRAP bytearray slicing/find
+    shift = -min(0, min(s[0] for s in order))
+    occ = bytearray(shift + max(s[1] for s in order))
     for start, end, label in order:
-        if occ.find(1, start, end) != -1:
+        if occ.find(1, start + shift, end + shift) != -1:
             continue
-        occ[start:end] = b"\x01" * (end - start)
+        occ[start + shift:end + shift] = b"\x01" * (end - start)
         taken.append((start, end, label))
     taken.sort(key=lambda s: s[0])
     return taken

@@ -46,7 +46,7 @@ class TestValidateEquivalence:
 
 class TestFilterSpans:
     @given(st.lists(
-        st.tuples(st.integers(0, 30), st.integers(1, 8), st.sampled_from("abc")),
+        st.tuples(st.integers(-5, 30), st.integers(1, 8), st.sampled_from("abc")),
         max_size=20))
     @settings(max_examples=200, deadline=None)
     def test_invariants(self, raw):
