@@ -249,3 +249,29 @@ def materialize_packs(packed_ds, sep: str = "\n\n", emit: str = "text",
 
     return (packed_ds.groupby("shard")
             .map_groups(per_shard, batch_format="pyarrow"))
+
+
+def shuffle_packs(materialized_ds, seed: int = 0):
+    """Deterministic global training order over materialized packs.
+
+    Trainers need the pack stream shuffled (shard order preserves
+    source/document locality, which biases gradient batches) AND
+    reproducible across reruns/resumes.  ``random_shuffle`` is neither
+    seeded-stable across block layouts nor resumable, so the order key
+    is content-derived instead: md5(seed:shard:pack_id) — a pure
+    function of the pack's identity, independent of partitioning and
+    execution order.  One distributed range-partitioned sort; no
+    driver materialization.  Returns the input rows plus an
+    ``order_key`` column, globally sorted by it.
+    """
+    import hashlib as _h
+
+    def key(batch: pa.Table) -> pa.Table:
+        ks = [_h.md5(f"{seed}:{s}:{p}".encode()).hexdigest()
+              for s, p in zip(batch["shard"].to_pylist(),
+                              batch["pack_id"].to_pylist())]
+        return batch.append_column("order_key", pa.array(ks, pa.string()))
+
+    return (materialized_ds
+            .map_batches(key, batch_format="pyarrow")
+            .sort("order_key"))

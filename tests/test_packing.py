@@ -242,3 +242,49 @@ class TestTokenIdPacks:
             "text": pa.array([f"tok{i}" for i in range(50)])}))
         with _pytest.raises(ValueError, match="pretrained vocab"):
             build_token_vocab(ds, max_vocab=10)
+
+
+class TestShufflePacks:
+    def _materialized(self, ray_session_unused=None):
+        import ray.data as rd
+
+        from ocr_ray.functions.packing import materialize_packs, pack_chunks
+
+        rng = np.random.default_rng(5)
+        rows = []
+        for d in range(100):
+            for c in range(int(rng.integers(1, 4))):
+                rows.append({"doc_id": d, "chunk_id": c,
+                             "n_tokens": int(rng.integers(10, 120)),
+                             "text": f"[doc{d}/chunk{c}]"})
+        tbl = pa.Table.from_pylist(rows)
+        return materialize_packs(
+            pack_chunks(rd.from_arrow(tbl), budget_tokens=128, n_shards=6),
+            sep=" ")
+
+    def test_deterministic_permutation(self, ray_session):
+        from ocr_ray.functions.packing import shuffle_packs
+
+        mat = self._materialized().materialize()
+        a = shuffle_packs(mat, seed=1).to_pandas()
+        # different block layout, same seed -> identical order
+        b = shuffle_packs(mat.repartition(13), seed=1).to_pandas()
+        assert list(a["pack_id"]) == list(b["pack_id"])
+        assert list(a["shard"]) == list(b["shard"])
+        # permutation property: same multiset of packs as the input
+        base = mat.to_pandas()
+        assert (sorted(zip(a["shard"], a["pack_id"]))
+                == sorted(zip(base["shard"], base["pack_id"])))
+        # a different seed gives a different order
+        c = shuffle_packs(mat, seed=2).to_pandas()
+        assert list(c["pack_id"]) != list(a["pack_id"])
+
+    def test_breaks_shard_locality(self, ray_session):
+        from ocr_ray.functions.packing import shuffle_packs
+
+        mat = self._materialized().materialize()
+        out = shuffle_packs(mat, seed=3).to_pandas()
+        # the stream must interleave shards: adjacent-same-shard rate far
+        # below the sorted-by-shard baseline (which is ~1)
+        same = (out["shard"].values[1:] == out["shard"].values[:-1]).mean()
+        assert same < 0.6, same
