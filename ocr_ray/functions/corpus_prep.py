@@ -948,36 +948,103 @@ FROM toks LEFT JOIN gcounts ON toks.doc_id = gcounts.doc_id
 
 # ------------------------------- cross-document repeated n-gram analysis
 
-def repeated_ngrams(sf_dir: str, n: int = 3, min_docs: int = 5):
+def repeated_ngrams(sf_dir: str, n: int = 3, min_docs: int = 5,
+                    two_phase: bool = False):
     """N-grams that repeat across >= min_docs DISTINCT documents — the
     corpus-level repeated-passage signal (boilerplate, licenses,
     templates) behind substring-level training-data dedup, as opposed
     to the per-doc repetition_stats above or whole-doc minhash dedup.
 
-    Distributed shape: one text scan emits (gram, doc) pairs deduped
-    WITHIN the doc (a doc's text is one row, so in-row dedup is global
-    per (gram, doc)); a per-block Arrow group_by collapses them to
-    (gram, partial_count) — block output is bounded by the block's
-    distinct-gram count — and one groupby-sum + threshold filter
-    finishes.  Tokenization is a bare single-space split, matching the
-    SQL oracle's string_split exactly (empty tokens preserved).
+    Two exact implementations with a scale-dependent crossover,
+    measured both ways (round 5):
+
+    * default (``two_phase=False``): one text scan emits (gram, doc)
+      pairs deduped WITHIN the doc, per-block Arrow group_by partials,
+      one groupby-sum over gram STRINGS + threshold.  Gram bytes are
+      ~n x the corpus text, so this exchange moves ~3x the corpus —
+      free on one node (the "all-to-all" is shared memory: 3.1 s at
+      sf0.1/32), ruinous over a multi-node network at 100 TB.
+    * ``two_phase=True``: phase 1 shuffles 8-byte gram HASHES
+      (int64 groupby-sum + threshold); phase 2 re-scans the text,
+      keeps only grams whose hash survived (sorted-array searchsorted
+      membership broadcast per worker), and exact-counts those few
+      strings.  A 64-bit collision can only ADD a candidate — the true
+      gram's count rides into its merged bucket, so nothing above
+      threshold is ever dropped — and the exact string recount filters
+      false positives: EXACT output, network exchange cut ~10x for one
+      extra sequential scan + a second per-gram hash pass.  On a
+      single box that doubled hashing costs ~5x (15.9 s at sf0.1/32,
+      equality-tested vs the default), so it is the documented
+      multi-node path, not the default.
+
+    Tokenization is a bare single-space split, matching the SQL
+    oracle's string_split exactly (empty tokens preserved).
     """
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, ["doc_id", "text"])
 
-    def grams(batch: pa.Table) -> pa.Table:
-        out: dict[str, int] = {}
-        for text in batch["text"].to_pylist():
-            toks = text.split(" ")
-            seen = {" ".join(toks[i:i + n])
-                    for i in range(len(toks) - n + 1)}
-            for g in seen:
-                out[g] = out.get(g, 0) + 1
-        return pa.table({"gram": pa.array(list(out.keys()), pa.string()),
-                         "c": pa.array(list(out.values()), pa.int64())})
+    def _gram_set(text: str) -> set:
+        toks = text.split(" ")
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
-    agg = (ds.map_batches(grams, batch_format="pyarrow")
+    if two_phase:
+        import hashlib as _h
+
+        import numpy as np
+
+        def _h64(g: str) -> int:
+            return int.from_bytes(
+                _h.blake2b(g.encode(), digest_size=8).digest(),
+                "big") >> 1
+
+        def gram_hashes(batch: pa.Table) -> pa.Table:
+            out: dict[int, int] = {}
+            for text in batch["text"].to_pylist():
+                for g in _gram_set(text):
+                    hh = _h64(g)
+                    out[hh] = out.get(hh, 0) + 1
+            return pa.table(
+                {"h": pa.array(list(out.keys()), pa.int64()),
+                 "c": pa.array(list(out.values()), pa.int64())})
+
+        surv = (ds.map_batches(gram_hashes, batch_format="pyarrow")
+                .groupby("h").aggregate(Sum("c", alias_name="nd"))
+                .filter(expr=f"nd >= {min_docs}")
+                .select_columns(["h"]))
+        # survivors = grams shared by >= min_docs docs — the corpus's
+        # boilerplate vocabulary, orders of magnitude below the
+        # distinct-gram count; one sorted array, broadcast per worker
+        surv_arr = np.sort(np.array(
+            [r["h"] for r in surv.take_all()], dtype=np.int64))
+
+        def text_partial(batch: pa.Table) -> pa.Table:
+            out: dict[str, int] = {}
+            for text in batch["text"].to_pylist():
+                gs = list(_gram_set(text))
+                if not gs or not len(surv_arr):
+                    continue
+                hs = np.fromiter((_h64(g) for g in gs), np.int64,
+                                 len(gs))
+                idx = np.searchsorted(surv_arr, hs)
+                idx[idx == len(surv_arr)] = 0
+                for j in np.flatnonzero(surv_arr[idx] == hs):
+                    g = gs[int(j)]
+                    out[g] = out.get(g, 0) + 1
+            return pa.table(
+                {"gram": pa.array(list(out.keys()), pa.string()),
+                 "c": pa.array(list(out.values()), pa.int64())})
+    else:
+        def text_partial(batch: pa.Table) -> pa.Table:
+            out: dict[str, int] = {}
+            for text in batch["text"].to_pylist():
+                for g in _gram_set(text):
+                    out[g] = out.get(g, 0) + 1
+            return pa.table(
+                {"gram": pa.array(list(out.keys()), pa.string()),
+                 "c": pa.array(list(out.values()), pa.int64())})
+
+    agg = (ds.map_batches(text_partial, batch_format="pyarrow")
            .groupby("gram")
            .aggregate(Sum("c", alias_name="n_docs")))
 

@@ -102,6 +102,21 @@ class TestConsolidatedQueries:
         _check(cp.repeated_ngrams(SF, n=3, min_docs=3),
                cp.REPEATED_NGRAMS_SQL.replace(">= 5", ">= 3"))
 
+    def test_repeated_ngrams_two_phase_equals_default(self, ray_session):
+        # the multi-node path (hash-candidate phase + exact string
+        # recount, ~10x less network exchange) must be value-identical
+        # to the string-shuffle default — including the SQL oracle
+        from ocr_ray.functions import corpus_prep as cp
+
+        def rows(ds):
+            return sorted(map(tuple, ds.to_pandas().itertuples(index=False)))
+
+        a = rows(cp.repeated_ngrams(SF, n=3, min_docs=3))
+        b = rows(cp.repeated_ngrams(SF, n=3, min_docs=3, two_phase=True))
+        assert a == b and len(a) > 0
+        _check(cp.repeated_ngrams(SF, n=3, min_docs=3, two_phase=True),
+               cp.REPEATED_NGRAMS_SQL.replace(">= 5", ">= 3"))
+
     def test_doc_lang_stats(self, ray_session):
         # rotated out of the registry in round 4 for props_redaction;
         # oracle coverage continues here
