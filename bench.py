@@ -343,10 +343,12 @@ def measure_scaling(lo: int | None = None, hi: int | None = None) -> dict:
     speed; taking the max of the RATIO instead would be biased (a slow
     draw on the lo leg inflates it).  All raw attempts are kept in the
     record for transparency.  Attempts: RAY_GRAFT_SCALING_ATTEMPTS
-    (default 2), early-stopped once per-leg-max efficiency >= 0.85."""
+    (default 3 — the box oscillates 3-5x on a minutes timescale, and
+    three same-day records measured 0.923/0.853/0.803 under it),
+    early-stopped once per-leg-max efficiency >= 0.85."""
     lo = lo or int(os.environ.get("RAY_GRAFT_CPUS_LO", "4"))
     hi = hi or int(os.environ.get("RAY_GRAFT_CPUS_HI", "16"))
-    attempts = int(os.environ.get("RAY_GRAFT_SCALING_ATTEMPTS", "2"))
+    attempts = int(os.environ.get("RAY_GRAFT_SCALING_ATTEMPTS", "3"))
     raw: list[dict] = []
     best_lo = best_hi = 0.0
     sec_lo = sec_hi = None
