@@ -949,7 +949,8 @@ FROM toks LEFT JOIN gcounts ON toks.doc_id = gcounts.doc_id
 # ------------------------------- cross-document repeated n-gram analysis
 
 def repeated_ngrams(sf_dir: str, n: int = 3, min_docs: int = 5,
-                    two_phase: bool = False):
+                    two_phase: bool = False,
+                    max_survivors: int = 50_000_000):
     """N-grams that repeat across >= min_docs DISTINCT documents — the
     corpus-level repeated-passage signal (boilerplate, licenses,
     templates) behind substring-level training-data dedup, as opposed
@@ -1011,10 +1012,19 @@ def repeated_ngrams(sf_dir: str, n: int = 3, min_docs: int = 5,
         surv = (ds.map_batches(gram_hashes, batch_format="pyarrow")
                 .groupby("h").aggregate(Sum("c", alias_name="nd"))
                 .filter(expr=f"nd >= {min_docs}")
-                .select_columns(["h"]))
+                .select_columns(["h"])).materialize()
         # survivors = grams shared by >= min_docs docs — the corpus's
         # boilerplate vocabulary, orders of magnitude below the
-        # distinct-gram count; one sorted array, broadcast per worker
+        # distinct-gram count; one sorted array, broadcast per worker.
+        # DOCUMENTED driver gate (house rule: no unbounded take_all) —
+        # 50M int64s is ~400 MB of broadcast state; a corpus above it
+        # should raise min_docs, which shrinks survivors directly
+        n_surv = surv.count()
+        if n_surv > max_survivors:
+            raise ValueError(
+                f"{n_surv} surviving gram hashes > max_survivors="
+                f"{max_survivors}; raise min_docs (survivors shrink "
+                "monotonically with it) or the gate")
         surv_arr = np.sort(np.array(
             [r["h"] for r in surv.take_all()], dtype=np.int64))
 

@@ -136,3 +136,13 @@ class TestConsolidatedQueries:
         finals = df.sort_values("day")["is_final"].tolist()
         assert finals[0] and not finals[-1]      # oldest final, newest open
         assert finals == sorted(finals, reverse=True)  # monotone frontier
+
+    def test_repeated_ngrams_survivor_gate(self, ray_session):
+        # the two-phase driver gate must refuse rather than buffer an
+        # unbounded survivor set on the driver
+        import pytest as _pytest
+
+        from ocr_ray.functions import corpus_prep as cp
+        with _pytest.raises(ValueError, match="max_survivors"):
+            cp.repeated_ngrams(SF, n=3, min_docs=2, two_phase=True,
+                               max_survivors=3).to_pandas()
