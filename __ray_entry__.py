@@ -117,6 +117,16 @@ def _repeated_ngrams(sf_dir: str):
     return repeated_ngrams(sf_dir)
 
 
+def _passage_removal(sf_dir: str):
+    """Substring-level training-data dedup (ExactSubstr semantics at
+    token-n-gram granularity): tokens covered by cross-document repeated
+    n-grams are removed per doc; SQL-hash-checked end to end including
+    the rewritten clean_text strings."""
+    from ocr_ray.functions.corpus_prep import remove_repeated_passages
+
+    return remove_repeated_passages(sf_dir)
+
+
 def _props_redaction(sf_dir: str):
     """Vectorized RE2 pattern redaction (Arrow count/replace_substring_
     regex) with per-event-type rollup; the PII pattern set itself is
@@ -187,6 +197,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # repeated-n-gram analysis (oracle coverage continues in
         # tests/test_registry_extras.py)
         "repeated_ngrams": _repeated_ngrams,
+        # round-5: the REMOVAL step that repeated_ngrams is the signal
+        # for (ExactSubstr passage dedup) — SQL-hash-checked on the full
+        # rewritten text; frees its slot from events_hourly_histogram
+        # (redundant simple groupby — events_daily + events_by_type keep
+        # the shape driver-checked; oracle continues in
+        # tests/test_registry_extras.py)
+        "passage_removal": _passage_removal,
         "doc_token_counts": tx.doc_token_counts,
         "doc_bpe_token_counts": tx.doc_bpe_token_counts,
         "doc_char_quality": tx.doc_char_quality,
@@ -234,7 +251,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": ev.sessionize,
         "props_k_stats": ev.props_k_stats,
         "user_activity_join": ev.user_activity_join,
-        "events_hourly_histogram": ev.events_hourly_histogram,
         "events_daily_moving_avg": ev.events_daily_moving_avg,
         "error_click_asof": ev.error_click_asof,
         "running_user_totals": _running_user_totals,
@@ -270,13 +286,13 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue_share": rel.Q14_SQL,
         "q10_returned_revenue_by_customer": rel.Q10_SQL,
         "order_price_quantiles": rel.ORDER_PRICE_QUANTILES_SQL,
+        "passage_removal": cp.PASSAGE_REMOVAL_SQL,
         "events_by_type": ev.EVENTS_BY_TYPE_SQL,
         "events_daily": ev.EVENTS_DAILY_SQL,
         "top_users_by_value": ev.TOP_USERS_SQL,
         "sessionize": ev.SESSIONIZE_SQL,
         "props_k_stats": ev.PROPS_K_SQL,
         "user_activity_join": ev.USER_ACTIVITY_SQL,
-        "events_hourly_histogram": ev.EVENTS_HOURLY_SQL,
         "events_daily_moving_avg": ev.EVENTS_MOVING_AVG_SQL,
         "error_click_asof": ev.ERROR_CLICK_ASOF_SQL,
         "error_click_range_join": ev.ERROR_CLICK_RANGE_US_SQL,

@@ -1086,6 +1086,126 @@ FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 5
 """
 
 
+# ------------------------ substring-level passage removal (ExactSubstr)
+
+def remove_repeated_passages(sf_dir: str, n: int = 3, min_docs: int = 5,
+                             two_phase: bool = False,
+                             max_survivors: int = 2_000_000):
+    """Substring-level training-data dedup (the *removal* step the
+    repeated_ngrams signal exists for — ExactSubstr semantics from
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, re-expressed at token-n-gram granularity): every token
+    covered by ANY n-gram occurring in >= min_docs distinct documents
+    is dropped; the surviving tokens re-join with a single space.
+    Emits (doc_id, clean_text, n_kept, n_removed) for EVERY input doc —
+    a fully-boilerplate doc stays present with clean_text = ''.
+
+    Plan: (1) repeated_ngrams (one text scan + one gram shuffle; exact
+    string output in both modes — ``two_phase=True`` is the documented
+    multi-node variant that shuffles 8-byte hashes then exact-recounts)
+    yields the surviving gram strings; (2) a documented bounded driver
+    gate collects them — survivors are the corpus's boilerplate
+    vocabulary, orders of magnitude below the distinct-gram count, and
+    shrink monotonically with min_docs — and groups them by FIRST token
+    so the scrub loop pays a dict probe per window and a string join
+    only on candidate windows; (3) one more pruned text scan marks
+    covered token positions and rewrites each doc.  The broadcast dict
+    rides to each map_batches worker once via closure capture (Ray
+    puts large closures in the object store once, not per batch).
+
+    Tokenization is the bare single-space split shared with
+    repeated_ngrams and the SQL oracle (empty tokens preserved), so
+    ``' '.join(tokens)`` is a bijection back to the original text when
+    nothing is removed.
+    """
+    surv = repeated_ngrams(sf_dir, n=n, min_docs=min_docs,
+                           two_phase=two_phase).materialize()
+    n_surv = surv.count()
+    if n_surv > max_survivors:
+        raise ValueError(
+            f"{n_surv} surviving grams > max_survivors={max_survivors}; "
+            "raise min_docs (survivors shrink monotonically with it) or "
+            "the gate")
+    # first-token index: toks[i] not in the dict (the overwhelmingly
+    # common case) rejects a window without constructing its gram string
+    by_first: dict[str, frozenset] = {}
+    tmp: dict[str, set] = {}
+    for row in surv.take_all():
+        g = row["gram"]
+        tmp.setdefault(g.split(" ", 1)[0], set()).add(g)
+    by_first = {k: frozenset(v) for k, v in tmp.items()}
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        clean, kept_n, rem_n = [], [], []
+        for text in batch["text"].to_pylist():
+            toks = text.split(" ")
+            T = len(toks)
+            if T < n or not by_first:
+                clean.append(text)
+                kept_n.append(T)
+                rem_n.append(0)
+                continue
+            cov = bytearray(T)
+            for i in range(T - n + 1):
+                cand = by_first.get(toks[i])
+                if cand is not None and " ".join(toks[i:i + n]) in cand:
+                    cov[i:i + n] = b"\x01" * n
+            if 1 not in cov:
+                clean.append(text)
+                kept_n.append(T)
+                rem_n.append(0)
+                continue
+            kept = [t for t, c in zip(toks, cov) if not c]
+            clean.append(" ".join(kept))
+            kept_n.append(len(kept))
+            rem_n.append(T - len(kept))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "clean_text": pa.array(clean, pa.string()),
+            "n_kept": pa.array(kept_n, pa.int64()),
+            "n_removed": pa.array(rem_n, pa.int64()),
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+PASSAGE_REMOVAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.tok, t.pos
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                         AS pos) t
+), grams AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+), rep AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 5
+), cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + o.o AS pos
+  FROM grams g JOIN rep USING (gram),
+       LATERAL (SELECT unnest(generate_series(0, 2)) AS o) o
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_kept, 0) AS n_kept,
+       len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # --------------------------- temperature-based source mixture sampling
 
 def source_temperature_sample(sf_dir: str, tau: float = 0.7,

@@ -146,3 +146,9 @@ class TestConsolidatedQueries:
         with _pytest.raises(ValueError, match="max_survivors"):
             cp.repeated_ngrams(SF, n=3, min_docs=2, two_phase=True,
                                max_survivors=3).to_pandas()
+
+    def test_events_hourly_histogram(self, ray_session):
+        # rotated out of the registry in round 5 for passage_removal;
+        # oracle coverage continues here
+        from ocr_ray.functions import events as ev
+        _check(ev.events_hourly_histogram(SF), ev.EVENTS_HOURLY_SQL)
