@@ -657,7 +657,8 @@ def grouped_quantiles_float(ds, key: str, value: str,
                             qs: dict[str, float] | None = None,
                             n_bins: int = 256,
                             gather_threshold: int = 65536,
-                            max_rounds: int = 6) -> pa.Table:
+                            max_rounds: int = 6,
+                            interpolation: str = "disc") -> pa.Table:
     """Exact per-group discrete quantiles (quantile_disc) of a FLOAT or
     high-cardinality column — the case where ``grouped_quantiles``'s
     value-histogram would ship O(corpus) distinct values to the driver
@@ -686,6 +687,13 @@ def grouped_quantiles_float(ds, key: str, value: str,
     the source per round — the standard trade for iterative algorithms.
     Cost is O(items x rows) mask work per round; for many-group integer
     domains prefer ``grouped_quantiles``'s one-pass value histogram.
+
+    ``interpolation="cont"`` gives percentile_cont / DuckDB
+    quantile_cont semantics instead: with n sorted values, h = (n-1)*q,
+    the result is v[floor(h)] + (h - floor(h)) * (v[floor(h)+1] -
+    v[floor(h)]) (0-based) — each quantile becomes one or two
+    order-statistic items in the SAME rank search, interpolated at the
+    driver fold.
     """
     import pyarrow.compute as pc
     from ray.data.aggregate import AggregateFn
@@ -708,16 +716,31 @@ def grouped_quantiles_float(ds, key: str, value: str,
                         Min(value, alias_name="lo"),
                         Max(value, alias_name="hi")).take_all())
 
-    # item: one (group, quantile) rank search
+    # item: one (group, order statistic) rank search
     items = []   # dicts: grp, knull, name, rank, n_live, lo, hi, chain
     for srow in sorted(stats, key=lambda r: (r["__knull"], r[key])):
         for name, q in qs.items():
-            items.append({
-                "grp": srow[key], "knull": srow["__knull"], "name": name,
-                "rank": max(1, math.ceil(q * srow["n"])),
-                "n_live": srow["n"], "lo": float(srow["lo"]),
-                "hi": float(srow["hi"]), "chain": [], "done": False,
-            })
+            if interpolation == "cont":
+                n = srow["n"]
+                h = (n - 1) * q
+                r0 = int(math.floor(h)) + 1          # 1-based lower stat
+                frac = h - math.floor(h)
+                parts = [(0, r0)]
+                if frac > 0.0 and r0 < n:
+                    parts.append((1, r0 + 1))
+                ranks = [{"rank": r, "part": p, "frac": frac}
+                         for p, r in parts]
+            else:
+                ranks = [{"rank": max(1, math.ceil(q * srow["n"])),
+                          "part": 0, "frac": 0.0}]
+            for rk in ranks:
+                items.append({
+                    "grp": srow[key], "knull": srow["__knull"],
+                    "name": name, "rank": rk["rank"], "part": rk["part"],
+                    "frac": rk["frac"], "n_live": srow["n"],
+                    "lo": float(srow["lo"]), "hi": float(srow["hi"]),
+                    "chain": [], "done": False,
+                })
 
     def member_mask(it, grp_arr, knull_arr, vals):
         m = (grp_arr == it["grp"]) & (knull_arr == it["knull"])
@@ -812,15 +835,23 @@ def grouped_quantiles_float(ds, key: str, value: str,
                        merge=gmerge, accumulate_block=gacc, name="qvals")
     hists = vds.aggregate(gagg)["qvals"]
 
-    out: dict[tuple, dict] = {}
+    picked: dict[tuple, dict] = {}   # (grp,knull,name) -> {part: value}
     for it, blob in zip(items, hists):
-        gk = (it["grp"], it["knull"])
-        row = out.setdefault(
-            gk, {key: None if it["knull"] else it["grp"]})
         uv, uc = _hdec(bytes(blob))
         cum = np.cumsum(uc)
-        row[it["name"]] = float(
-            uv[np.searchsorted(cum, it["rank"], side="left")])
+        val = float(uv[np.searchsorted(cum, it["rank"], side="left")])
+        rec = picked.setdefault((it["grp"], it["knull"], it["name"]),
+                                {"frac": it["frac"]})
+        rec[it["part"]] = val
+
+    out: dict[tuple, dict] = {}
+    for (grp, knull, name), rec in picked.items():
+        row = out.setdefault((grp, knull),
+                             {key: None if knull else grp})
+        v0 = rec[0]
+        # cont: linear interpolation between the two order statistics
+        # (same formula as DuckDB quantile_cont / numpy 'linear')
+        row[name] = v0 if 1 not in rec else v0 + (rec[1] - v0) * rec["frac"]
     return pa.Table.from_pylist(
         [out[k] for k in sorted(out, key=lambda g: (g[1], str(g[0])))],
         schema=pa.schema([(key, pa.string())]
@@ -842,6 +873,26 @@ SELECT o_orderpriority,
        quantile_disc(o_totalprice, 0.25) AS p25,
        quantile_disc(o_totalprice, 0.50) AS p50,
        quantile_disc(o_totalprice, 0.95) AS p95
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def priority_price_quantiles_cont(sf_dir: str):
+    """Interpolated (percentile_cont / ANSI PERCENTILE_CONT) per-group
+    quantiles — the same distributed rank search, but each quantile
+    resolves the two straddling order statistics and interpolates
+    linearly (DuckDB quantile_cont / numpy 'linear' semantics)."""
+    return grouped_quantiles_float(
+        _read(sf_dir, ["o_orderpriority", "o_totalprice"],
+              table="orders"),
+        "o_orderpriority", "o_totalprice", interpolation="cont")
+
+
+PRIORITY_PRICE_QUANTILES_CONT_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.50) AS p50,
+       quantile_cont(o_totalprice, 0.95) AS p95
 FROM orders GROUP BY o_orderpriority
 """
 

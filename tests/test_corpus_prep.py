@@ -252,6 +252,68 @@ class TestGroupedQuantilesFloat:
                                       max_rounds=4).to_pylist()
         assert got == [{"k": "a", "p25": 3.5, "p50": 3.5, "p95": 3.5}]
 
+    def test_cont_interpolated_vs_duckdb(self, ray_session, tmp_path):
+        """percentile_cont mode: same rank search, two straddling order
+        statistics per quantile, linear interpolation — vs DuckDB
+        quantile_cont with refinement rounds forced on."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from ocr_ray.functions.corpus_prep import grouped_quantiles_float
+
+        rng = np.random.RandomState(11)
+        keys = (["en"] * 20_000) + (["fr"] * 333)
+        vals = np.concatenate([rng.uniform(-1e5, 1e5, 20_000),
+                               rng.uniform(0, 10, 333)])
+        pq.write_table(pa.table({"k": pa.array(keys, pa.string()),
+                                 "v": pa.array(vals, pa.float64())}),
+                       str(tmp_path / "t.parquet"))
+        got = grouped_quantiles_float(
+            rd.read_parquet(str(tmp_path / "t.parquet")), "k", "v",
+            n_bins=16, gather_threshold=64, max_rounds=8,
+            interpolation="cont").to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                    f"'{tmp_path}/t.parquet'")
+        want = con.execute(
+            "SELECT k, quantile_cont(v, 0.25) AS p25, "
+            "quantile_cont(v, 0.50) AS p50, "
+            "quantile_cont(v, 0.95) AS p95 FROM t GROUP BY k ORDER BY k"
+        ).fetchdf()
+        got = got.sort_values("k").reset_index(drop=True)
+        for c in ("p25", "p50", "p95"):
+            np.testing.assert_allclose(got[c], want[c], rtol=1e-12), c
+
+    def test_cont_tiny_groups_match_numpy_linear(self, ray_session):
+        """n=1 (degenerate), n=2 (pure interpolation), and an
+        exact-integer h (frac == 0 -> single order statistic)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocr_ray.functions.corpus_prep import grouped_quantiles_float
+
+        data = {"one": [7.5], "two": [1.0, 3.0],
+                "five": [10.0, 20.0, 30.0, 40.0, 50.0]}
+        ks, vs = [], []
+        for k, arr in data.items():
+            ks += [k] * len(arr)
+            vs += arr
+        ds = rd.from_arrow(pa.table({"k": pa.array(ks, pa.string()),
+                                     "v": pa.array(vs, pa.float64())}))
+        got = {r["k"]: r for r in grouped_quantiles_float(
+            ds, "k", "v", qs={"p25": 0.25, "p50": 0.5, "p75": 0.75},
+            interpolation="cont").to_pylist()}
+        for k, arr in data.items():
+            for name, q in (("p25", .25), ("p50", .5), ("p75", .75)):
+                want = float(np.percentile(arr, q * 100,
+                                           method="linear"))
+                assert got[k][name] == pytest.approx(want, rel=1e-12), \
+                    (k, name)
+
 
 class TestBigramScores:
     def test_matches_pure_python_oracle(self, ray_session):

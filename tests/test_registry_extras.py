@@ -152,3 +152,10 @@ class TestConsolidatedQueries:
         # oracle coverage continues here
         from ocr_ray.functions import events as ev
         _check(ev.events_hourly_histogram(SF), ev.EVENTS_HOURLY_SQL)
+
+    def test_priority_price_quantiles_cont(self, ray_session):
+        # interpolated percentile_cont sibling of the registry's
+        # quantile_disc entry (round 5)
+        from ocr_ray.functions import corpus_prep as cp
+        _check(cp.priority_price_quantiles_cont(SF),
+               cp.PRIORITY_PRICE_QUANTILES_CONT_SQL)
