@@ -250,6 +250,13 @@ def run_dedup_recall() -> dict:
     found = {(r["vec_a"], r["vec_b"])
              for r in embedding_dup_pairs(neardup_dir).take_all()}
     out["dedup_recall_embedding"] = recall(found, truth_emb)
+    # SemDeDup measured against the same GLOBAL truth: a planted pair
+    # straddling two k-means clusters would read as <1.0 here (the
+    # method's documented blind spot), so this recall is honest
+    from ocr_ray.functions.semdedup import semantic_dedup_pairs
+    found = {(r["vec_a"], r["vec_b"])
+             for r in semantic_dedup_pairs(neardup_dir).take_all()}
+    out["dedup_recall_semdedup"] = recall(found, truth_emb)
     return out
 
 
