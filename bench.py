@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "error_click_asof",
     "repeated_ngrams",
     "props_redaction",
+    # round-5 operators
+    "passage_removal",
 ]
 
 
