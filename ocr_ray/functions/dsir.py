@@ -126,15 +126,18 @@ def _gumbel(seed: int, doc_id: int) -> float:
 
 
 def dsir_weights(sf_dir: str, target_pred=None, n_buckets: int = 10_000,
-                 alpha: float = 1.0, seed: int = 17):
+                 alpha: float = 1.0, seed: int = 17,
+                 pred_columns: tuple = ("source",)):
     """Dataset[doc_id, logw, key]: per-doc importance log-weight and its
     Gumbel-perturbed resampling key (key = logw + Gumbel via
-    md5(seed:doc_id) — deterministic, layout-independent)."""
+    md5(seed:doc_id) — deterministic, layout-independent).
+    ``pred_columns`` names the extra columns ``target_pred`` reads (the
+    scan stays pruned to doc_id + text + exactly those)."""
     from ._io import clean_read
 
     target_pred = target_pred or _default_target_pred
     ds = clean_read(f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "text", "source"])
+                    columns=["doc_id", "text", *pred_columns])
     raw_c, tgt_c = dsir_models(ds, target_pred, n_buckets)
     if tgt_c.sum() == 0:
         raise ValueError("DSIR target is empty — target_pred matched "
@@ -163,10 +166,11 @@ def dsir_weights(sf_dir: str, target_pred=None, n_buckets: int = 10_000,
 
 def dsir_select(sf_dir: str, k: int, target_pred=None,
                 n_buckets: int = 10_000, alpha: float = 1.0,
-                seed: int = 17):
+                seed: int = 17, pred_columns: tuple = ("source",)):
     """The selected subset: Gumbel top-k over the importance weights —
     equivalent to sampling k docs WITHOUT replacement proportionally to
     exp(logw) (the Gumbel-max trick).  Distributed sort + limit; ties
     cannot occur (keys are distinct reals from md5 draws)."""
-    w = dsir_weights(sf_dir, target_pred, n_buckets, alpha, seed)
+    w = dsir_weights(sf_dir, target_pred, n_buckets, alpha, seed,
+                     pred_columns)
     return w.sort("key", descending=True).limit(k)

@@ -115,7 +115,17 @@ def _candidate_rows(sf_dir: str, n_clusters: int, probe_r: int):
             raise ValueError("vec_id exceeds the 40-bit keeper-key "
                              "headroom; widen _ID_BITS/_COS_BITS")
         cos = _norm_rows(m) @ cn.T                      # (n, k)
-        top = np.argsort(-cos, axis=1, kind="stable")[:, :r]
+        # top-r by cosine: argpartition (O(k)) then order the r
+        # survivors — full argsort would pay O(k log k) per row at the
+        # paper's 50k-cluster scale
+        if r < cos.shape[1]:
+            cand = np.argpartition(-cos, r - 1, axis=1)[:, :r]
+        else:
+            cand = np.broadcast_to(np.arange(cos.shape[1]),
+                                   cos.shape).copy()
+        rows_ix = np.arange(n)[:, None]
+        order = np.argsort(-cos[rows_ix, cand], axis=1, kind="stable")
+        top = cand[rows_ix, order]
         prim = top[:, 0]
         qcos = np.floor((cos[np.arange(n), prim] + 1.0)
                         * (1 << (_COS_BITS - 1))).astype(np.int64)

@@ -162,3 +162,75 @@ def heavy_hitters(ds, column: str, k: int = 16):
     return pa.table({"value": pa.array([r["value"] for r in keep],
                                        pa.string()),
                      "n": pa.array([r["n"] for r in keep], pa.int64())})
+
+
+# ------------------------------------------------- Count-Min frequency
+
+def cm_hash(values, row: int, width: int) -> np.ndarray:
+    """Row-d bucket indices: blake2b("{d}:{v}") % width — deterministic,
+    no RNG (the repo hash-sampling discipline)."""
+    out = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(values):
+        d = hashlib.blake2b(f"{row}:{v}".encode(), digest_size=8).digest()
+        out[i] = int.from_bytes(d, "big") % width
+    return out
+
+
+def cm_sketch(values, width: int = 2048, depth: int = 4) -> np.ndarray:
+    """Count-Min table of one batch: (depth, width) int64 counts."""
+    sk = np.zeros((depth, width), dtype=np.int64)
+    for d in range(depth):
+        sk[d] += np.bincount(cm_hash(values, d, width), minlength=width)
+    return sk
+
+
+def cm_estimate(sk: np.ndarray, value) -> int:
+    """Point-frequency estimate: min over rows (Cormode & Muthukrishnan:
+    never under-estimates; over-estimates by <= e/width * n with
+    probability >= 1 - e^-depth)."""
+    depth, width = sk.shape
+    return int(min(sk[d, int(cm_hash([value], d, width)[0])]
+                   for d in range(depth)))
+
+
+def approx_counts(ds, column: str, queries: list,
+                  width: int = 2048, depth: int = 4) -> pa.Table:
+    """Distributed approx point frequencies for the queried values.
+
+    ONE associative aggregate whose state is the (depth x width) int64
+    Count-Min table as a bytes blob (integer addition — exact,
+    merge-order-independent, the kmeans/DSIR accumulator discipline;
+    64 KB at the 2048x4 default regardless of corpus size), then
+    driver-side point lookups.  Guarantee per query: estimate >= true
+    count, and estimate - true <= (e/width) * n with probability
+    >= 1 - e^-depth over the hash family.
+
+    Returns pa.Table(value, approx_n) in the queries' order.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(state, blk):
+        sk = (np.frombuffer(state, dtype=np.int64)
+              .reshape(depth, width).copy() if state
+              else np.zeros((depth, width), np.int64))
+        sk += cm_sketch([str(v) for v in blk[column].to_pylist()],
+                        width, depth)
+        return sk.tobytes()
+
+    def merge(s1, s2):
+        if not s1:
+            return s2
+        if not s2:
+            return s1
+        return (np.frombuffer(s1, dtype=np.int64)
+                + np.frombuffer(s2, dtype=np.int64)).tobytes()
+
+    agg = AggregateFn(init=lambda _: b"", merge=merge,
+                      accumulate_block=acc_block, name="cm")
+    sk = np.frombuffer(ds.aggregate(agg)["cm"],
+                       dtype=np.int64).reshape(depth, width)
+    return pa.table({
+        "value": pa.array([str(q) for q in queries], pa.string()),
+        "approx_n": pa.array([cm_estimate(sk, str(q)) for q in queries],
+                             pa.int64()),
+    })

@@ -97,3 +97,52 @@ class TestHeavyHitters:
         m = mg_merge(a, b, k=4)
         assert len(m) <= 4
         assert "x" in m  # 90 of 171 rows: must survive any k>=2 summary
+
+
+class TestCountMin:
+    def test_never_underestimates_and_bounded(self):
+        import collections
+
+        from ocr_ray.functions.sketches import cm_estimate, cm_sketch
+
+        # Zipf-ish corpus: heavy keys + a long tail
+        vals = ([f"hot{i}" for i in range(5) for _ in range(200)]
+                + [f"tail{i}" for i in range(3000)])
+        truth = collections.Counter(vals)
+        sk = cm_sketch(vals, width=2048, depth=4)
+        n = len(vals)
+        for q in list(truth)[:50] + ["absent"]:
+            est = cm_estimate(sk, q)
+            assert est >= truth.get(q, 0)
+            # e/width * n bound (holds w.p. 1-e^-4; deterministic seeds
+            # make this a fixed, reproducible check)
+            assert est - truth.get(q, 0) <= np.e / 2048 * n + 1
+
+    def test_merge_is_elementwise_sum(self):
+        from ocr_ray.functions.sketches import cm_sketch
+
+        a = ["x"] * 10 + ["y"] * 3
+        b = ["y"] * 7 + ["z"]
+        whole = cm_sketch(a + b, width=64, depth=3)
+        assert (cm_sketch(a, 64, 3) + cm_sketch(b, 64, 3) == whole).all()
+
+    def test_distributed_matches_exact_for_heavy_keys(self, ray_session):
+        import duckdb
+
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import approx_counts
+
+        path = "/root/testdata/sf0.001/orders.parquet"
+        ds = rd.read_parquet(path, columns=["o_orderpriority"])
+        qs = ["1-URGENT", "5-LOW", "no-such-priority"]
+        got = {r["value"]: r["approx_n"]
+               for r in approx_counts(ds, "o_orderpriority",
+                                      qs).to_pylist()}
+        exact = dict(duckdb.sql(
+            f"SELECT o_orderpriority, count(*) FROM read_parquet('{path}') "
+            "GROUP BY 1").fetchall())
+        n = sum(exact.values())
+        for q in qs:
+            assert got[q] >= exact.get(q, 0)
+            assert got[q] - exact.get(q, 0) <= np.e / 2048 * n + 1
