@@ -185,9 +185,8 @@ def semantic_dedup_pairs(sf_dir: str, cosine_threshold: float = 0.95,
     feats = _candidate_rows(sf_dir, n_clusters, probe_r)
 
     def kernel(group: pa.Table, thr=cosine_threshold) -> pa.Table:
-        # a vector probing r buckets appears once per bucket; within a
-        # bucket dedupe on vec_id (defensive — cannot happen, top-r is
-        # distinct)
+        # each vector appears at most once per bucket (its top-r bucket
+        # ids are distinct), so ids within a group are unique
         ids_raw = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
         order = np.argsort(ids_raw)
         ids = ids_raw[order]
