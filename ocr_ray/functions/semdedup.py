@@ -257,12 +257,33 @@ def semantic_dedup_losers(sf_dir: str, cosine_threshold: float = 0.95,
             .map_batches(_with_schema(meta_schema), batch_format="pyarrow"))
 
     nparts = max(2, _compact_parts(n_members))
-    members = comps.join(meta, "inner", num_partitions=nparts,
-                         on=("doc_id",), right_on=("vec_id",))
+    # join hygiene (the dedup_clusters discipline): enforce schema and
+    # compact away the schema-LESS empty blocks aggregate/join stages
+    # emit — they break Acero's key resolution nondeterministically at
+    # higher partition counts
+    member_schema = pa.schema([("doc_id", pa.int64()),
+                               ("cluster_id", pa.int64()),
+                               ("prim", pa.int64()),
+                               ("kkey", pa.int64())])
 
+    def member_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({n: batch[n] for n in member_schema.names})
+
+    members = (comps.join(meta, "inner", num_partitions=nparts,
+                          on=("doc_id",), right_on=("vec_id",))
+               .map_batches(member_cols, batch_format="pyarrow")
+               .map_batches(_with_schema(member_schema),
+                            batch_format="pyarrow")
+               .repartition(nparts).materialize())
+
+    keeper_schema = pa.schema([("cluster_id", pa.int64()),
+                               ("kmin", pa.int64())])
     keepers = (members.select_columns(["cluster_id", "kkey"])
                .groupby("cluster_id")
-               .aggregate(Min("kkey", alias_name="kmin")))
+               .aggregate(Min("kkey", alias_name="kmin"))
+               .map_batches(_with_schema(keeper_schema),
+                            batch_format="pyarrow")
+               .repartition(nparts).materialize())
 
     joined = members.join(keepers, "inner", num_partitions=nparts,
                           on=("cluster_id",))

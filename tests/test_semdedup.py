@@ -170,3 +170,47 @@ class TestSemanticDedup:
         for r in pairs:
             assert r["vec_a"] < r["vec_b"]
             assert r["cosine"] >= 0.95
+
+    def test_overcap_cluster_uses_rehub_and_stays_correct(
+            self, ray_session, tmp_path):
+        """One cluster holds a 70-member near-identical component
+        (above _ALL_PAIRS_CAP=64, so the kernel takes the hub-rehub
+        walk): every member must still join ONE component and exactly
+        one keeper survives."""
+        from ocr_ray.functions.semdedup import (semantic_dedup_losers,
+                                                semantic_dedup_pairs)
+
+        rng = np.random.RandomState(23)
+        centers = np.eye(8)[:2] * 10.0
+        rows = []
+        base = centers[0] + rng.uniform(-1, 1, 8) * 0.01
+        for vid in range(70):                    # big dup component
+            rows.append((vid, base + rng.uniform(-1, 1, 8) * 0.01, 0))
+        # two fillers in the other cluster at a deliberate 25 degrees
+        # (cos 0.906 < THR) so they can never pair with anything
+        a = np.radians(25.0)
+        rows.append((70, centers[1], 1))
+        rows.append((71, 10.0 * (np.cos(a) * np.eye(8)[1]
+                                 + np.sin(a) * np.eye(8)[2]), 1))
+        sf = tmp_path / "sfbig"
+        sf.mkdir()
+        pq.write_table(
+            pa.table({
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [list(np.asarray(r[1], np.float32)) for r in rows],
+                    pa.list_(pa.float32())),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }), str(sf / "embeddings.parquet"))
+
+        pairs = semantic_dedup_pairs(str(sf), THR, n_clusters=2).take_all()
+        members = {r["vec_a"] for r in pairs} | {r["vec_b"] for r in pairs}
+        assert members == set(range(70))
+        losers = semantic_dedup_losers(str(sf), THR,
+                                       n_clusters=2).take_all()
+        # the rehub walk may not emit every O(n^2) pair, but it must
+        # keep the component CONNECTED: exactly one keeper survives
+        assert len(losers) == 69
+        keepers = {r["keeper"] for r in losers}
+        assert len(keepers) == 1
+        assert keepers.pop() not in {r["vec_id"] for r in losers}
