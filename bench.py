@@ -174,6 +174,17 @@ def run_queries() -> dict:
         times["pack_mean_fill"] = round(float(fill), 3)
     except Exception as e:  # pragma: no cover - defensive
         times["pack_chunks"] = f"error: {type(e).__name__}"
+    # DSIR selection (round 5): model fit + scoring + Gumbel top-k over
+    # the documents table (two text scans by design)
+    try:
+        from ocr_ray.functions.dsir import dsir_select
+
+        t0 = time.time()
+        sel = dsir_select(SF_DIR, 500).to_pandas()
+        times["dsir_select"] = round(time.time() - t0, 2)
+        times["dsir_selected"] = len(sel)
+    except Exception as e:  # pragma: no cover - defensive
+        times["dsir_select"] = f"error: {type(e).__name__}"
     return times
 
 
