@@ -49,15 +49,18 @@ import pyarrow as pa
 from .corpus_prep import _tokens
 
 
-def _bucket_ids(text: str, n_buckets: int) -> np.ndarray:
-    """Hashed unigram+bigram bucket ids for one doc (with repeats —
-    counts are the feature)."""
-    toks = _tokens(text)
+def _bucket_ids_from_toks(toks: list[str], n_buckets: int) -> np.ndarray:
+    """Hashed unigram+bigram bucket ids from a token list (with repeats
+    — counts are the feature)."""
     feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
     if not feats:
         return np.empty(0, np.int64)
     return np.asarray([zlib.crc32(f.encode()) % n_buckets for f in feats],
                       dtype=np.int64)
+
+
+def _bucket_ids(text: str, n_buckets: int) -> np.ndarray:
+    return _bucket_ids_from_toks(_tokens(text), n_buckets)
 
 
 def _default_target_pred(batch: pa.Table) -> pa.Array:

@@ -53,10 +53,10 @@ import pyarrow as pa
 from .corpus_prep import _tokens
 
 
-def _ctx_bigram_ids(text: str, n_buckets: int):
-    """(context ids, bigram ids) for one doc — parallel arrays of length
-    n_tokens - 1 (empty when the doc has < 2 tokens)."""
-    toks = [t.lower() for t in _tokens(text)]
+def _ctx_bigram_ids_from_toks(raw_toks: list[str], n_buckets: int):
+    """(context ids, bigram ids) from a token list — parallel arrays of
+    length n_tokens - 1 (empty when the doc has < 2 tokens)."""
+    toks = [t.lower() for t in raw_toks]
     if len(toks) < 2:
         e = np.empty(0, np.int64)
         return e, e
@@ -65,6 +65,10 @@ def _ctx_bigram_ids(text: str, n_buckets: int):
     bi = np.asarray([zlib.crc32(f"{a} {b}".encode()) % n_buckets
                      for a, b in zip(toks, toks[1:])], dtype=np.int64)
     return ctx, bi
+
+
+def _ctx_bigram_ids(text: str, n_buckets: int):
+    return _ctx_bigram_ids_from_toks(_tokens(text), n_buckets)
 
 
 def bigram_lm_counts(ds, target_pred=None, n_buckets: int = 65536):
