@@ -185,6 +185,17 @@ def run_queries() -> dict:
         times["dsir_selected"] = len(sel)
     except Exception as e:  # pragma: no cover - defensive
         times["dsir_select"] = f"error: {type(e).__name__}"
+    # fused quality suite (round 5): DSIR + LM perplexity + NB
+    # classifier signals from two corpus passes
+    try:
+        from ocr_ray.functions.quality_suite import quality_signals
+
+        t0 = time.time()
+        n = quality_signals(SF_DIR).count()
+        times["quality_signals"] = round(time.time() - t0, 2)
+        times["quality_signals_rows"] = n
+    except Exception as e:  # pragma: no cover - defensive
+        times["quality_signals"] = f"error: {type(e).__name__}"
     return times
 
 
