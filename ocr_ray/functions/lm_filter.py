@@ -179,8 +179,12 @@ def perplexity_buckets(sf_dir: str, target_pred=None,
             lambda b: b.append_column("__g", pa.array(["all"] * b.num_rows)),
             batch_format="pyarrow"),
         "__g", "ppl", qs={"t1": 1 / 3, "t2": 2 / 3})
-    t1 = float(cuts["t1"][0].as_py())
-    t2 = float(cuts["t2"][0].as_py())
+    if cuts.num_rows == 0:
+        # no doc had a scorable bigram — everything is 'tail'
+        t1 = t2 = float("-inf")
+    else:
+        t1 = float(cuts["t1"][0].as_py())
+        t2 = float(cuts["t2"][0].as_py())
 
     def label(batch: pa.Table) -> pa.Table:
         ppl = batch["ppl"]

@@ -160,6 +160,22 @@ class TestLmFilter:
         heads = sum(1 for r in got if r["bucket"] == "head")
         assert heads == sum(1 for p in ppls if p <= t1)
 
+    def test_all_unscorable_corpus_is_all_tail(self, ray_session,
+                                               tmp_path):
+        """Every doc < 2 tokens: no quantiles exist; all land in tail."""
+        from ocr_ray.functions.lm_filter import perplexity_buckets
+
+        sf = tmp_path / "sf1"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pylist(
+            [{"doc_id": i, "text": t, "source": "web"}
+             for i, t in enumerate(["one", "", "word"])]),
+            str(sf / "documents.parquet"))
+        got = perplexity_buckets(str(sf), None, B, ALPHA).take_all()
+        assert len(got) == 3
+        assert all(r["bucket"] == "tail" and r["ppl"] is None
+                   for r in got)
+
     def test_empty_target_raises(self, ray_session, tmp_path):
         from ocr_ray.functions.lm_filter import doc_perplexity
 

@@ -70,6 +70,23 @@ class TestQualitySuite:
             assert r["ppl"] == lm[did], ("ppl", did)
             assert (r["nb_score"], r["nb_prob"]) == nb[did], ("nb", did)
 
+    def test_parity_with_distinct_nb_buckets(self, ray_session,
+                                             tmp_path):
+        """nb_buckets != dsir_buckets exercises the non-shared hashing
+        branch; values still equal the standalone classifier's."""
+        from ocr_ray.functions.quality_classifier import (
+            quality_classifier_scores)
+        from ocr_ray.functions.quality_suite import quality_signals
+
+        sf = _mk_corpus(tmp_path)
+        fused = {r["doc_id"]: (r["nb_score"], r["nb_prob"]) for r in
+                 quality_signals(sf, _pred(), B_D, B_L, 128,
+                                 ALPHA).take_all()}
+        nb = {r["doc_id"]: (r["score"], r["prob"]) for r in
+              quality_classifier_scores(sf, _pred(), None, 128,
+                                        ALPHA).take_all()}
+        assert fused == nb
+
     def test_one_read_parquet_call(self, ray_session, tmp_path):
         from unittest import mock
 
