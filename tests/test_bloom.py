@@ -1,7 +1,5 @@
 """Bloom-filter decontamination — no-false-negatives vs the exact
 operator, merge==OR, FP-forcing tiny filter, external probe file."""
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
