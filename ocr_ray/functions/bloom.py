@@ -38,17 +38,15 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from .corpus_prep import _read, _tokens
+from .corpus_prep import _read, _win_shingles
 
 
 def _win_digests(text: str, window: int) -> list[bytes]:
-    """md5 digests of the ``window``-token shingles — the SAME hash the
-    exact operator uses (hexdigest there, raw digest here)."""
-    toks = _tokens(text)
-    if len(toks) < window:
-        return []
-    return [hashlib.md5(" ".join(toks[i:i + window]).encode()).digest()
-            for i in range(len(toks) - window + 1)]
+    """md5 digests of the ``window``-token shingles — the SAME shingle
+    geometry and hash as the exact operator (``_win_shingles`` is the
+    shared definition; hexdigest there, raw digest here)."""
+    return [hashlib.md5(s.encode()).digest()
+            for s in _win_shingles(text, window)]
 
 
 def _positions(digests: list[bytes], k: int, m_bits: int) -> np.ndarray:
@@ -112,23 +110,20 @@ def bloom_contamination_check(sf_dir: str, n_probe_docs: int = 3,
     ``n_probe_docs`` smallest-doc_id corpus docs (the deterministic
     stand-in, matching the exact operator)."""
     from ._io import clean_read
-    from .corpus_prep import _min_k_ids
+    from .corpus_prep import probe_doc_texts
 
     if probe_path is not None:
         eval_ds = clean_read(probe_path, columns=["text"])
         probe_ids: frozenset = frozenset()
     elif n_probe_docs > 0:
-        # the deterministic stand-in is a handful of docs — a pushdown
-        # read is bounded; it still feeds the DISTRIBUTED builder
-        import pyarrow.parquet as pq
+        # the deterministic stand-in is a handful of docs — the shared
+        # pushdown selection is bounded; it still feeds the DISTRIBUTED
+        # builder
         import ray.data as rd
 
-        probe_ids = frozenset(_min_k_ids(_read(sf_dir, ["doc_id"]),
-                                         "doc_id", n_probe_docs))
-        tbl = pq.read_table(f"{sf_dir}/documents.parquet",
-                            columns=["text"],
-                            filters=[("doc_id", "in", sorted(probe_ids))])
-        eval_ds = rd.from_arrow(tbl)
+        probe_ids, texts = probe_doc_texts(sf_dir, n_probe_docs)
+        eval_ds = rd.from_arrow(pa.table({"text": pa.array(
+            texts, pa.string())}))
     else:
         raise ValueError("need probe_path or n_probe_docs > 0")
 

@@ -209,14 +209,38 @@ def _min_k_ids(ds, col: str, k: int) -> list[int]:
     return [int(v) for v in ds.aggregate(agg)["min_k"]]
 
 
+def _win_shingles(text: str, window: int) -> list[str]:
+    """The ``window``-token shingle strings — the ONE definition of the
+    contamination n-gram geometry, shared by the exact operator (md5
+    hexdigest) and the Bloom variant (raw md5 digest) so the bloom's
+    no-false-negatives guarantee cannot drift."""
+    toks = _tokens(text)
+    if len(toks) < window:
+        return []
+    return [" ".join(toks[i:i + window])
+            for i in range(len(toks) - window + 1)]
+
+
 def _win_hashes_fn(window: int):
     def win_hashes(text: str) -> list[str]:
-        toks = _tokens(text)
-        if len(toks) < window:
-            return []
-        return [hashlib.md5(" ".join(toks[i:i + window]).encode())
-                .hexdigest() for i in range(len(toks) - window + 1)]
+        return [hashlib.md5(s.encode()).hexdigest()
+                for s in _win_shingles(text, window)]
     return win_hashes
+
+
+def probe_doc_texts(sf_dir: str, n_probe_docs: int):
+    """(probe doc_ids, their texts) — the deterministic stand-in eval
+    set (smallest doc_ids via streaming min-k + pushdown read), shared
+    by the exact and Bloom contamination operators."""
+    import pyarrow.parquet as pq
+
+    probe_ids = set(_min_k_ids(_read(sf_dir, ["doc_id"]),
+                               "doc_id", n_probe_docs))
+    texts = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "in", sorted(probe_ids))],
+    )["text"].to_pylist()
+    return frozenset(probe_ids), texts
 
 
 def contamination_probe(sf_dir: str, n_probe_docs: int = 3,
@@ -236,21 +260,16 @@ def contamination_probe(sf_dir: str, n_probe_docs: int = 3,
     win_hashes = _win_hashes_fn(window)
 
     if probe_path is not None:
-        probe_ids: set[int] = set()
+        probe_ids: frozenset = frozenset()
         probe_texts = pq.read_table(probe_path,
                                     columns=["text"])["text"].to_pylist()
     elif n_probe_docs > 0:
-        probe_ids = set(_min_k_ids(_read(sf_dir, ["doc_id"]),
-                                   "doc_id", n_probe_docs))
-        probe_texts = pq.read_table(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-            filters=[("doc_id", "in", sorted(probe_ids))],
-        )["text"].to_pylist()
+        probe_ids, probe_texts = probe_doc_texts(sf_dir, n_probe_docs)
     else:
-        probe_ids, probe_texts = set(), []
+        probe_ids, probe_texts = frozenset(), []
 
     probe_set = frozenset(h for t in probe_texts for h in win_hashes(t))
-    return frozenset(probe_ids), probe_set
+    return probe_ids, probe_set
 
 
 def contamination_check(sf_dir: str, n_probe_docs: int = 3,

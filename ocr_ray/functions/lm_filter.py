@@ -176,7 +176,8 @@ def perplexity_buckets(sf_dir: str, target_pred=None,
               .select_columns(["doc_id", "ppl"]).materialize())
     cuts = grouped_quantiles_float(
         scored.map_batches(
-            lambda b: b.append_column("__g", pa.array(["all"] * b.num_rows)),
+            lambda b: b.append_column(
+                "__g", pa.array(["all"] * b.num_rows, type=pa.string())),
             batch_format="pyarrow"),
         "__g", "ppl", qs={"t1": 1 / 3, "t2": 2 / 3})
     if cuts.num_rows == 0:

@@ -78,9 +78,26 @@ def nb_class_counts(ds, pos_pred, neg_pred=None, n_buckets: int = 10_000):
 
     agg = AggregateFn(init=lambda _: b"", merge=merge,
                       accumulate_block=acc_block, name="nb_counts")
-    arr = np.frombuffer(ds.aggregate(agg)["nb_counts"],
-                        dtype=np.int64).reshape(2, width)
+    blob = ds.aggregate(agg)["nb_counts"]
+    arr = (np.frombuffer(blob, dtype=np.int64).reshape(2, width)
+           if blob else np.zeros((2, width), np.int64))
     return arr[0], arr[1]
+
+
+def nb_model(pos_c: np.ndarray, neg_c: np.ndarray, n_buckets: int,
+             alpha: float):
+    """(log-odds weight vector, class prior) from the class counts —
+    shared with the fused quality suite so the model arithmetic cannot
+    drift between the two."""
+    n_pos, n_neg = int(pos_c[n_buckets]), int(neg_c[n_buckets])
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("classifier class is empty — pos/neg predicate "
+                         f"matched {n_pos}/{n_neg} docs")
+    pf = pos_c[:n_buckets].astype(np.float64)
+    nf = neg_c[:n_buckets].astype(np.float64)
+    w = (np.log((pf + alpha) / (pf.sum() + alpha * n_buckets))
+         - np.log((nf + alpha) / (nf.sum() + alpha * n_buckets)))
+    return w, math.log(n_pos / n_neg)
 
 
 def quality_classifier_scores(sf_dir: str, pos_pred=None, neg_pred=None,
@@ -97,15 +114,7 @@ def quality_classifier_scores(sf_dir: str, pos_pred=None, neg_pred=None,
     ds = clean_read(f"{sf_dir}/documents.parquet",
                     columns=["doc_id", "text", *pred_columns])
     pos_c, neg_c = nb_class_counts(ds, pos_pred, neg_pred, n_buckets)
-    n_pos, n_neg = int(pos_c[n_buckets]), int(neg_c[n_buckets])
-    if n_pos == 0 or n_neg == 0:
-        raise ValueError("classifier class is empty — pos/neg predicate "
-                         f"matched {n_pos}/{n_neg} docs")
-    pf = pos_c[:n_buckets].astype(np.float64)
-    nf = neg_c[:n_buckets].astype(np.float64)
-    w = (np.log((pf + alpha) / (pf.sum() + alpha * n_buckets))
-         - np.log((nf + alpha) / (nf.sum() + alpha * n_buckets)))
-    prior = math.log(n_pos / n_neg)
+    w, prior = nb_model(pos_c, neg_c, n_buckets, alpha)
 
     out_schema = pa.schema([("doc_id", pa.int64()),
                             ("score", pa.float64()),

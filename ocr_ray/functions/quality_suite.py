@@ -37,6 +37,7 @@ import pyarrow as pa
 from .corpus_prep import _tokens
 from .dsir import _bucket_ids_from_toks, _default_target_pred, _log_ratio
 from .lm_filter import _ctx_bigram_ids_from_toks
+from .quality_classifier import nb_model
 
 
 def fit_quality_models(ds, target_pred, dsir_buckets: int = 10_000,
@@ -92,8 +93,9 @@ def fit_quality_models(ds, target_pred, dsir_buckets: int = 10_000,
 
     agg = AggregateFn(init=lambda _: b"", merge=merge,
                       accumulate_block=acc_block, name="quality_models")
-    arr = np.frombuffer(ds.aggregate(agg)["quality_models"],
-                        dtype=np.int64)
+    blob = ds.aggregate(agg)["quality_models"]
+    arr = (np.frombuffer(blob, dtype=np.int64) if blob
+           else np.zeros(total, np.int64))
     names = ["dsir_raw", "dsir_tgt", "lm_ctx", "lm_bi", "nb_pos",
              "nb_neg"]
     return {n: arr[offs[i]:offs[i + 1]] for i, n in enumerate(names)}
@@ -120,19 +122,15 @@ def quality_signals(sf_dir: str, target_pred=None,
     if m["dsir_tgt"].sum() == 0:
         raise ValueError("quality target is empty — target_pred "
                          "matched no rows")
-    n_pos = int(m["nb_pos"][nb_buckets])
-    n_neg = int(m["nb_neg"][nb_buckets])
-    if n_pos == 0 or n_neg == 0:
-        raise ValueError("classifier class is empty — target split is "
-                         f"{n_pos}/{n_neg} docs")
+    if m["lm_ctx"].sum() == 0:
+        # match doc_perplexity's refusal: target rows exist but none has
+        # a scorable bigram — a uniform-model ppl would be meaningless
+        raise ValueError("LM target is empty — target_pred matched no "
+                         "rows with >= 2 tokens")
 
     lr = _log_ratio(m["dsir_raw"], m["dsir_tgt"], alpha)
     lm_ctx, lm_bi = m["lm_ctx"], m["lm_bi"]
-    pf = m["nb_pos"][:nb_buckets].astype(np.float64)
-    nf = m["nb_neg"][:nb_buckets].astype(np.float64)
-    w_nb = (np.log((pf + alpha) / (pf.sum() + alpha * nb_buckets))
-            - np.log((nf + alpha) / (nf.sum() + alpha * nb_buckets)))
-    prior = math.log(n_pos / n_neg)
+    w_nb, prior = nb_model(m["nb_pos"], m["nb_neg"], nb_buckets, alpha)
     share_nb = nb_buckets == dsir_buckets
 
     out_schema = pa.schema([("doc_id", pa.int64()),

@@ -111,6 +111,26 @@ class TestQualitySuite:
         # map (two passes by design; six passes standalone)
         assert len(calls) == 1, calls
 
+    def test_bigramless_target_raises_like_standalone(self, ray_session,
+                                                      tmp_path):
+        """Target rows exist but none has >= 2 tokens: the fused suite
+        refuses exactly as doc_perplexity does, instead of silently
+        scoring with a uniform LM."""
+        import pyarrow.compute as pc
+
+        from ocr_ray.functions.quality_suite import quality_signals
+
+        sf = tmp_path / "sf2"
+        sf.mkdir()
+        pq.write_table(pa.Table.from_pylist(
+            [{"doc_id": 0, "text": "single", "source": "tgt"},
+             {"doc_id": 1, "text": "two words here", "source": "raw"},
+             {"doc_id": 2, "text": "and more words", "source": "raw"}]),
+            str(sf / "documents.parquet"))
+        pred = lambda b: pc.equal(b["source"], pa.scalar("tgt"))  # noqa: E731
+        with pytest.raises(ValueError, match="LM target is empty"):
+            quality_signals(str(sf), pred, B_D, B_L, B_D).take_all()
+
     def test_empty_target_raises(self, ray_session, tmp_path):
         import pyarrow.compute as pc
 
