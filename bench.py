@@ -196,6 +196,17 @@ def run_queries() -> dict:
         times["quality_signals_rows"] = n
     except Exception as e:  # pragma: no cover - defensive
         times["quality_signals"] = f"error: {type(e).__name__}"
+    # line-level boilerplate removal (round 5): one line shuffle +
+    # broadcast rewrite over the documents table
+    try:
+        from ocr_ray.functions.corpus_prep import remove_boilerplate_lines
+
+        t0 = time.time()
+        n = remove_boilerplate_lines(SF_DIR).count()
+        times["boilerplate_lines"] = round(time.time() - t0, 2)
+        times["boilerplate_lines_rows"] = n
+    except Exception as e:  # pragma: no cover - defensive
+        times["boilerplate_lines"] = f"error: {type(e).__name__}"
     return times
 
 

@@ -1276,6 +1276,109 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# ------------------------------ line-level boilerplate removal (CCNet)
+
+def remove_boilerplate_lines(sf_dir: str, min_docs: int = 5,
+                             max_survivors: int = 2_000_000):
+    """Line-level cross-document dedup (the CCNet / RefinedWeb
+    line-wise step, Wenzek et al. 2020 §4.1: drop every LINE that
+    appears verbatim in >= min_docs distinct documents — navigation
+    bars, cookie banners, footers — the web-boilerplate complement to
+    the token-n-gram ``remove_repeated_passages`` above).  Emits
+    (doc_id, clean_text, n_kept, n_removed) for EVERY input doc; a doc
+    whose every line is boilerplate stays present with clean_text = ''.
+
+    Plan mirrors the passage remover's: (1) one pruned (doc_id, text)
+    scan emits lines deduped WITHIN the doc, per-block Arrow partials,
+    ONE groupby-sum over line strings + threshold — the only exchange,
+    and it moves at most ~1x the corpus text (lines, unlike n-grams,
+    don't multiply bytes); (2) survivors — the corpus's boilerplate
+    line vocabulary, orders of magnitude below the distinct-line count
+    and shrinking monotonically with min_docs — cross the documented
+    bounded driver gate and broadcast to each worker once as a
+    frozenset via closure capture; (3) one rewrite scan keeps the
+    non-boilerplate lines and re-joins with the newline, a bijection
+    back to the original text when nothing is removed.
+
+    Line split is the bare '\\n' split matching the SQL oracle's
+    string_split(text, chr(10)) exactly (empty lines preserved and
+    eligible: an empty line present in >= min_docs docs is boilerplate
+    like any other).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        out: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for ln in set(text.split("\n")):
+                out[ln] = out.get(ln, 0) + 1
+        return pa.table({"line": pa.array(list(out.keys()), pa.string()),
+                         "c": pa.array(list(out.values()), pa.int64())})
+
+    surv = (ds.map_batches(line_partial, batch_format="pyarrow")
+            .groupby("line").aggregate(Sum("c", alias_name="n_docs"))
+            .filter(expr=f"n_docs >= {min_docs}")
+            .select_columns(["line"])).materialize()
+    n_surv = surv.count()
+    if n_surv > max_survivors:
+        raise ValueError(
+            f"{n_surv} surviving lines > max_survivors={max_survivors}; "
+            "raise min_docs (survivors shrink monotonically with it) or "
+            "the gate")
+    boiler = frozenset(r["line"] for r in surv.take_all())
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        clean, kept_n, rem_n = [], [], []
+        for text in batch["text"].to_pylist():
+            lines = text.split("\n")
+            if not boiler:
+                clean.append(text)
+                kept_n.append(len(lines))
+                rem_n.append(0)
+                continue
+            kept = [ln for ln in lines if ln not in boiler]
+            clean.append("\n".join(kept))
+            kept_n.append(len(kept))
+            rem_n.append(len(lines) - len(kept))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "clean_text": pa.array(clean, pa.string()),
+            "n_kept": pa.array(kept_n, pa.int64()),
+            "n_removed": pa.array(rem_n, pa.int64()),
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+BOILERPLATE_LINES_SQL = """
+WITH lines AS (
+  SELECT doc_id, l.line, l.pos
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1)
+                         AS pos) l
+), rep AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) >= 5
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l ANTI JOIN rep r ON l.line = r.line
+), agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_kept, 0) AS n_kept,
+       len(string_split(d.text, chr(10))) - coalesce(a.n_kept, 0)
+         AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # --------------------------- temperature-based source mixture sampling
 
 def source_temperature_sample(sf_dir: str, tau: float = 0.7,
