@@ -14,6 +14,15 @@ Implemented:
   final exact count of only the surviving candidates (a tiny semi-join)
   yields exact heavy hitters without ever group-counting the full
   keyspace.
+* Count-Min point-frequency sketch (below).
+* bottom-k quantile sketch — ONE-PASS approximate quantiles: the k rows
+  with the smallest deterministic key hashes form a uniform
+  without-replacement row sample (bottom-k of a union == merge of
+  bottom-ks, so the sketch is merge-order- and block-layout-
+  independent); quantiles are order statistics of the sample, with the
+  DKW rank-error bound ~ sqrt(ln(2/d)/(2k)).  The exact operators
+  (order_price_quantiles / grouped_quantiles_float) need a sort or
+  multiple refinement rounds; this needs a single streaming scan.
 """
 
 from __future__ import annotations
@@ -234,3 +243,123 @@ def approx_counts(ds, column: str, queries: list,
         "approx_n": pa.array([cm_estimate(sk, str(q)) for q in queries],
                              pa.int64()),
     })
+
+
+# ------------------------------------------- bottom-k quantile sketch
+
+def sample_hash(keys) -> np.ndarray:
+    """64-bit sampling hash of row keys.  Integer keys take a vectorized
+    splitmix64 finalizer (public-domain mixer — no per-row Python on the
+    hot path); anything else falls back to the blake2b loop.  Both are
+    deterministic functions of the key value alone, so the bottom-k set
+    is independent of block layout and execution order."""
+    arr = np.asarray(keys)
+    if np.issubdtype(arr.dtype, np.integer):
+        x = arr.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = x + np.uint64(0x9E3779B97F4A7C15)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+        return x
+    return _hash64(keys)
+
+
+def bk_sketch(keys, values, k: int = 4096) -> tuple[np.ndarray, np.ndarray]:
+    """Bottom-k sample of one batch: the k (hash, value) pairs with the
+    smallest key hashes, hash-ascending."""
+    h = sample_hash(keys)
+    v = np.asarray(values, dtype=np.float64)
+    idx = np.argsort(h, kind="stable")[:k]
+    return h[idx], v[idx]
+
+
+def bk_merge(a: tuple[np.ndarray, np.ndarray],
+             b: tuple[np.ndarray, np.ndarray],
+             k: int = 4096) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two bottom-k sketches: bottom-k of the union.  Associative
+    and commutative, so the aggregate is merge-order-independent."""
+    h = np.concatenate([a[0], b[0]])
+    v = np.concatenate([a[1], b[1]])
+    idx = np.argsort(h, kind="stable")[:k]
+    return h[idx], v[idx]
+
+
+def bk_quantiles(sample: np.ndarray, qs) -> np.ndarray:
+    """quantile_disc over the sampled values: the value whose rank is
+    ceil(q * m) (1-indexed) in sorted order — DuckDB quantile_disc
+    semantics, exact when the sample IS the data (m <= k)."""
+    s = np.sort(sample)
+    m = len(s)
+    out = np.empty(len(qs), dtype=np.float64)
+    for i, q in enumerate(qs):
+        r = int(np.ceil(q * m)) - 1
+        out[i] = s[min(max(r, 0), m - 1)]
+    return out
+
+
+def _bk_pack(h: np.ndarray, v: np.ndarray) -> bytes:
+    return h.tobytes() + v.tobytes()
+
+
+def _bk_unpack(state: bytes) -> tuple[np.ndarray, np.ndarray]:
+    m = len(state) // 16
+    return (np.frombuffer(state[:8 * m], np.uint64),
+            np.frombuffer(state[8 * m:], np.float64))
+
+
+def approx_quantiles(ds, value_col: str, key_col: str,
+                     qs=(0.01, 0.25, 0.5, 0.75, 0.99),
+                     k: int = 4096) -> pa.Table:
+    """ONE-PASS approximate quantiles of ``value_col``.
+
+    The k rows with the smallest ``sample_hash(key_col)`` form a uniform
+    without-replacement row sample (``key_col`` must be row-unique, e.g.
+    doc_id / o_orderkey — the md5-hash-sample determinism discipline);
+    quantiles are order statistics of that sample.  ONE associative
+    aggregate whose state is k (hash, value) pairs as a bytes blob
+    (64 KB at the 4096 default), so a 100 TB scan ships a few KB per
+    block and never sorts.  Rank error: by DKW, the sample's empirical
+    CDF is within eps of the true CDF with probability
+    1 - 2 exp(-2 k eps^2) — k=4096 gives eps ~ 0.03 at 99% confidence.
+    Exact (== quantile_disc) whenever the input has <= k rows.  The
+    exact multi-round operators (order_price_quantiles /
+    grouped_quantiles_float) remain the right tool when exactness is
+    required; this is the single-scan screening tool.
+
+    Returns pa.Table(q: float64, approx_value: float64).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(state: bytes, blk: pa.Table) -> bytes:
+        blk = blk.filter(pc.is_valid(blk[value_col]))
+        if blk.num_rows == 0:
+            return state
+        vals = blk[value_col].to_numpy(zero_copy_only=False)
+        col = blk[key_col]
+        if pa.types.is_integer(col.type):
+            keys = col.to_numpy(zero_copy_only=False)
+        else:
+            keys = col.to_pylist()
+        sk = bk_sketch(keys, vals, k)
+        return _bk_pack(*(bk_merge(_bk_unpack(state), sk, k)
+                          if state else sk))
+
+    def merge(s1: bytes, s2: bytes) -> bytes:
+        if not s1:
+            return s2
+        if not s2:
+            return s1
+        return _bk_pack(*bk_merge(_bk_unpack(s1), _bk_unpack(s2), k))
+
+    agg = AggregateFn(init=lambda _: b"", merge=merge,
+                      accumulate_block=acc_block, name="bk")
+    _, sample = _bk_unpack(ds.aggregate(agg)["bk"])
+    if len(sample) == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "approx_value": pa.array([], pa.float64())})
+    est = bk_quantiles(sample, qs)
+    return pa.table({"q": pa.array(list(qs), pa.float64()),
+                     "approx_value": pa.array(est, pa.float64())})

@@ -146,3 +146,89 @@ class TestCountMin:
         for q in qs:
             assert got[q] >= exact.get(q, 0)
             assert got[q] - exact.get(q, 0) <= np.e / 2048 * n + 1
+
+
+class TestBottomKQuantiles:
+    def test_exact_when_sample_is_everything(self):
+        from ocr_ray.functions.sketches import bk_quantiles, bk_sketch
+
+        vals = np.array([5.0, 1.0, 9.0, 3.0, 7.0])
+        _, sample = bk_sketch(np.arange(5), vals, k=64)
+        # quantile_disc over the full multiset: rank ceil(q*5)
+        got = bk_quantiles(sample, [0.2, 0.5, 1.0])
+        assert list(got) == [1.0, 5.0, 9.0]
+
+    def test_merge_equals_union(self):
+        from ocr_ray.functions.sketches import bk_merge, bk_sketch
+
+        keys = np.arange(10_000)
+        vals = np.sin(keys).astype(np.float64)
+        whole = bk_sketch(keys, vals, k=256)
+        merged = bk_merge(bk_sketch(keys[:3_000], vals[:3_000], k=256),
+                          bk_sketch(keys[3_000:], vals[3_000:], k=256),
+                          k=256)
+        assert (whole[0] == merged[0]).all()
+        assert (whole[1] == merged[1]).all()
+
+    def test_rank_error_bound_on_skewed_data(self):
+        from ocr_ray.functions.sketches import bk_quantiles, bk_sketch
+
+        # heavy-tailed values, integer keys (the splitmix64 path); the
+        # hash is fixed, so this is a deterministic, reproducible check
+        n, k = 100_000, 4096
+        keys = np.arange(n)
+        vals = np.exp(np.linspace(0, 10, n))[(keys * 7919) % n]
+        _, sample = bk_sketch(keys, vals, k=k)
+        assert len(sample) == k
+        svals = np.sort(vals)
+        for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+            est = bk_quantiles(sample, [q])[0]
+            true_rank = np.searchsorted(svals, est, side="right") / n
+            assert abs(true_rank - q) < 0.03  # DKW eps at k=4096
+
+    def test_distributed_exact_at_small_sf_and_layout_independent(
+            self, ray_session):
+        import duckdb
+
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import approx_quantiles
+
+        path = "/root/testdata/sf0.001/orders.parquet"
+        qs = (0.1, 0.5, 0.9)
+        outs = []
+        for par in (1, 8):
+            ds = rd.read_parquet(
+                path, columns=["o_orderkey", "o_totalprice"],
+                override_num_blocks=par)
+            outs.append(approx_quantiles(ds, "o_totalprice", "o_orderkey",
+                                         qs=qs, k=4096).to_pylist())
+        # block layout cannot change the bottom-k set
+        assert outs[0] == outs[1]
+        # sf0.001 orders has < k rows: the sample IS the data -> exact
+        exact = duckdb.sql(
+            f"SELECT quantile_disc(o_totalprice, [0.1, 0.5, 0.9]) "
+            f"FROM read_parquet('{path}')").fetchone()[0]
+        got = [r["approx_value"] for r in outs[0]]
+        assert got == pytest.approx(exact, abs=1e-9)
+
+    def test_distributed_rank_tolerance_above_k(self, ray_session):
+        import duckdb
+
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import approx_quantiles
+
+        path = "/root/testdata/sf0.01/orders.parquet"
+        ds = rd.read_parquet(path, columns=["o_orderkey", "o_totalprice"])
+        out = approx_quantiles(ds, "o_totalprice", "o_orderkey",
+                               qs=(0.25, 0.5, 0.75), k=2048).to_pylist()
+        n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{path}')"
+                       ).fetchone()[0]
+        assert n > 2048  # the sketch is genuinely sampling here
+        for r in out:
+            true_rank = duckdb.sql(
+                f"SELECT count(*) FROM read_parquet('{path}') "
+                f"WHERE o_totalprice <= {r['approx_value']}"
+            ).fetchone()[0] / n
+            assert abs(true_rank - r["q"]) < 0.05
