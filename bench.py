@@ -207,6 +207,38 @@ def run_queries() -> dict:
         times["boilerplate_lines_rows"] = n
     except Exception as e:  # pragma: no cover - defensive
         times["boilerplate_lines"] = f"error: {type(e).__name__}"
+    # BPE trainer (round 5): ONE corpus shuffle (word frequencies) +
+    # 50 in-memory merge rounds over the gated word table
+    try:
+        import ray.data as rd
+
+        from ocr_ray.functions.bpe import train_bpe
+
+        t0 = time.time()
+        merges = train_bpe(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                            columns=["doc_id", "text"]),
+            n_merges=50)
+        times["bpe_train_50"] = round(time.time() - t0, 2)
+        times["bpe_train_50_merges"] = len(merges)
+    except Exception as e:  # pragma: no cover - defensive
+        times["bpe_train_50"] = f"error: {type(e).__name__}"
+    # one-pass quantile sketch (round 5): single streaming aggregate,
+    # 64 KB state — vs the sort-based exact order_price_quantiles
+    try:
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import approx_quantiles
+
+        t0 = time.time()
+        t = approx_quantiles(
+            rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"]),
+            "o_totalprice", "o_orderkey")
+        times["approx_quantiles"] = round(time.time() - t0, 2)
+        times["approx_quantiles_rows"] = t.num_rows
+    except Exception as e:  # pragma: no cover - defensive
+        times["approx_quantiles"] = f"error: {type(e).__name__}"
     return times
 
 
