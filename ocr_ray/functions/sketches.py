@@ -363,3 +363,70 @@ def approx_quantiles(ds, value_col: str, key_col: str,
     est = bk_quantiles(sample, qs)
     return pa.table({"q": pa.array(list(qs), pa.float64()),
                      "approx_value": pa.array(est, pa.float64())})
+
+
+def grouped_approx_quantiles(ds, group_col: str, value_col: str,
+                             key_col: str, qs=(0.25, 0.5, 0.75),
+                             k: int = 1024) -> pa.Table:
+    """One-pass approximate quantiles PER GROUP: state is a dict of
+    bottom-k sketches keyed by group value, bounded by
+    n_groups x k x 16 B (16 MB at 1k groups / 1k samples) — for
+    low-cardinality group columns (lang, source, priority...).  Same
+    determinism and DKW rank-error story as ``approx_quantiles``; the
+    exact multi-round ``grouped_quantiles_float`` remains the tool when
+    exactness is required.  High-cardinality grouping should go through
+    a groupby shuffle instead of this broadcast-state aggregate.
+
+    Returns pa.Table(<group_col>, q, approx_value) sorted by
+    (group, q).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(state: dict, blk: pa.Table) -> dict:
+        blk = blk.filter(pc.is_valid(blk[value_col]))
+        if blk.num_rows == 0:
+            return state
+        state = dict(state)
+        vals = blk[value_col].to_numpy(zero_copy_only=False)
+        kcol = blk[key_col]
+        if pa.types.is_integer(kcol.type):
+            keys = kcol.to_numpy(zero_copy_only=False)
+        else:
+            keys = np.asarray(kcol.to_pylist(), dtype=object)
+        groups = np.asarray(blk[group_col].to_pylist(), dtype=object)
+        order = np.argsort(groups, kind="stable")
+        gs, starts = np.unique(groups[order], return_index=True)
+        bounds = list(starts) + [len(order)]
+        for gi, g in enumerate(gs):
+            idx = order[bounds[gi]:bounds[gi + 1]]
+            sk = bk_sketch(keys[idx], vals[idx], k)
+            prev = state.get(g)
+            state[g] = (_bk_pack(*bk_merge(_bk_unpack(prev), sk, k))
+                        if prev else _bk_pack(*sk))
+        return state
+
+    def merge(s1: dict, s2: dict) -> dict:
+        out = dict(s1)
+        for g, blob in s2.items():
+            prev = out.get(g)
+            out[g] = (_bk_pack(*bk_merge(_bk_unpack(prev),
+                                         _bk_unpack(blob), k))
+                      if prev else blob)
+        return out
+
+    agg = AggregateFn(init=lambda _: {}, merge=merge,
+                      accumulate_block=acc_block, name="gbk")
+    state: dict = ds.aggregate(agg)["gbk"]
+    g_out, q_out, v_out = [], [], []
+    for g in sorted(state):
+        _, sample = _bk_unpack(state[g])
+        est = bk_quantiles(sample, qs)
+        for q, v in zip(qs, est):
+            g_out.append(g)
+            q_out.append(q)
+            v_out.append(v)
+    return pa.table({group_col: pa.array(g_out),
+                     "q": pa.array(q_out, pa.float64()),
+                     "approx_value": pa.array(v_out, pa.float64())})

@@ -212,6 +212,44 @@ class TestBottomKQuantiles:
         got = [r["approx_value"] for r in outs[0]]
         assert got == pytest.approx(exact, abs=1e-9)
 
+    def test_grouped_exact_below_k_vs_duckdb(self, ray_session):
+        import duckdb
+
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import grouped_approx_quantiles
+
+        path = "/root/testdata/sf0.001/orders.parquet"
+        out = grouped_approx_quantiles(
+            rd.read_parquet(path, columns=["o_orderkey", "o_totalprice",
+                                           "o_orderpriority"]),
+            "o_orderpriority", "o_totalprice", "o_orderkey",
+            qs=(0.5,), k=4096).to_pylist()
+        # every group at sf0.001 has < k rows: exact quantile_disc
+        exact = dict(duckdb.sql(
+            f"SELECT o_orderpriority, quantile_disc(o_totalprice, 0.5) "
+            f"FROM read_parquet('{path}') GROUP BY 1").fetchall())
+        assert len(out) == len(exact)
+        for r in out:
+            assert r["approx_value"] == pytest.approx(
+                exact[r["o_orderpriority"]], abs=1e-9), r
+
+    def test_grouped_layout_independent(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import grouped_approx_quantiles
+
+        path = "/root/testdata/sf0.001/orders.parquet"
+        outs = []
+        for par in (1, 8):
+            ds = rd.read_parquet(path, columns=["o_orderkey", "o_totalprice",
+                                                "o_orderpriority"],
+                                 override_num_blocks=par)
+            outs.append(grouped_approx_quantiles(
+                ds, "o_orderpriority", "o_totalprice", "o_orderkey",
+                qs=(0.25, 0.75), k=64).to_pylist())
+        assert outs[0] == outs[1]
+
     def test_distributed_rank_tolerance_above_k(self, ray_session):
         import duckdb
 
