@@ -213,6 +213,32 @@ def bpe_encode_word(word: str,
     return list(sym)
 
 
+def build_bpe_vocab(ds, merges: list[tuple[str, str]],
+                    text_col: str = "text") -> dict[str, int]:
+    """Contiguous subword-id vocabulary for a learned merge table:
+    sorted(corpus alphabet ∪ {END} ∪ merge products).  The alphabet is
+    ONE set-union aggregate of distinct characters (state bounded by
+    the charset, a few KB), so ids are globally consistent without a
+    driver corpus pull.  Every symbol ``bpe_encode_word`` can emit over
+    this corpus is covered: unmerged chars come from the alphabet,
+    merged symbols from the merge products."""
+    from ray.data.aggregate import AggregateFn
+
+    def acc(state: frozenset, blk: pa.Table) -> frozenset:
+        chars: set[str] = set()
+        for t in blk[text_col].to_pylist():
+            for w in t.split():
+                chars.update(w)
+        return state | chars
+
+    agg = AggregateFn(init=lambda _: frozenset(),
+                      merge=lambda a, b: a | b,
+                      accumulate_block=acc, name="alpha")
+    alphabet = ds.aggregate(agg)["alpha"]
+    symbols = sorted(set(alphabet) | {END} | {a + b for a, b in merges})
+    return {s: i for i, s in enumerate(symbols)}
+
+
 def bpe_subword_counts(ds, merges: list[tuple[str, str]],
                        text_col: str = "text",
                        id_col: str = "doc_id"):

@@ -169,7 +169,8 @@ def build_token_vocab(ds, text_col: str = "text",
 
 
 def materialize_packs(packed_ds, sep: str = "\n\n", emit: str = "text",
-                      vocab: dict[str, int] | None = None):
+                      vocab: dict[str, int] | None = None,
+                      merges: list[tuple[str, str]] | None = None):
     """Turn pack ASSIGNMENTS into trainer-ready sequences: one row per
     pack with the member chunks' text joined by ``sep`` in pack_seq
     order.  Requires a ``text`` column on the packed rows (present when
@@ -191,15 +192,40 @@ def materialize_packs(packed_ds, sep: str = "\n\n", emit: str = "text",
     ``vocab`` is the token->id dict (broadcast once into the shard
     kernel via Ray's closure capture); None builds one with
     ``build_token_vocab``.
+
+    ``emit="bpe_token_ids"``: subword ids under a LEARNED merge table
+    (``merges``, from bpe.train_bpe) — what a trainer actually
+    consumes.  ``sep`` is forced to a single space as above; each
+    whitespace token is segmented by ``bpe_encode_word`` (per-shard
+    word->ids memoization, the Zipf-reuse discipline) against the
+    globally consistent ``build_bpe_vocab`` id table, and ids decode
+    EXACTLY back to the joined text (symbols concatenate to
+    word+``</w>``; round-trip tested).  The manifest's ``n_tokens``
+    stays the WHITESPACE count (the packing budget's unit);
+    len(token_ids) is the subword count and varies with the merge
+    table.
     """
     import numpy as np
 
-    if emit not in ("text", "token_ids"):
-        raise ValueError(f"emit must be 'text' or 'token_ids', got {emit!r}")
+    if emit not in ("text", "token_ids", "bpe_token_ids"):
+        raise ValueError(
+            f"emit must be 'text', 'token_ids' or 'bpe_token_ids', "
+            f"got {emit!r}")
+    bpe_ranks: dict | None = None
     if emit == "token_ids":
         sep = " "
         if vocab is None:
             vocab = build_token_vocab(packed_ds)
+    elif emit == "bpe_token_ids":
+        if merges is None:
+            raise ValueError("emit='bpe_token_ids' requires merges= "
+                             "(see ocr_ray.functions.bpe.train_bpe)")
+        sep = " "
+        bpe_ranks = {p: i for i, p in enumerate(merges)}
+        if vocab is None:
+            from .bpe import build_bpe_vocab
+
+            vocab = build_bpe_vocab(packed_ds, merges)
 
     def per_shard(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -213,9 +239,9 @@ def materialize_packs(packed_ds, sep: str = "\n\n", emit: str = "text",
         over = tbl["oversize"].to_numpy(zero_copy_only=False)
         texts = tbl["text"].to_pylist()
         n = len(pid)
-        payload_name = "token_ids" if emit == "token_ids" else "text"
-        payload_type = (pa.list_(pa.int64()) if emit == "token_ids"
-                        else pa.string())
+        payload_name = "text" if emit == "text" else "token_ids"
+        payload_type = (pa.string() if emit == "text"
+                        else pa.list_(pa.int64()))
         if n == 0:
             return pa.table({
                 "shard": pa.array([], pa.int64()),
@@ -234,6 +260,22 @@ def materialize_packs(packed_ds, sep: str = "\n\n", emit: str = "text",
         if emit == "token_ids":
             payload = pa.array(
                 [[vocab[t] for t in j.split(" ")] for j in joined],
+                payload_type)
+        elif emit == "bpe_token_ids":
+            from .bpe import bpe_encode_word
+
+            memo: dict[str, list[int]] = {}
+
+            def word_ids(w: str) -> list[int]:
+                ids = memo.get(w)
+                if ids is None:
+                    ids = memo[w] = [vocab[s] for s in
+                                     bpe_encode_word(w, bpe_ranks)]
+                return ids
+
+            payload = pa.array(
+                [[i for t in j.split(" ") for i in word_ids(t)]
+                 for j in joined],
                 payload_type)
         else:
             payload = pa.array(joined, payload_type)

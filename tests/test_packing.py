@@ -222,6 +222,41 @@ class TestTokenIdPacks:
             assert len(ids) == r.n_tokens          # manifest agreement
             assert " ".join(inv[i] for i in ids) == texts[r.pack_id]
 
+    def test_bpe_token_ids_round_trip(self, ray_session):
+        """Learned-BPE pack payloads: subword ids decode EXACTLY to the
+        joined text (symbols concatenate to word+</w>), the id table is
+        globally consistent across shards, and merges= is required."""
+        import pytest as _pytest
+        import ray.data as rd
+
+        from ocr_ray.functions.bpe import END, build_bpe_vocab, train_bpe
+        from ocr_ray.functions.packing import materialize_packs, pack_chunks
+
+        tbl = self._real_chunks()
+        packed = pack_chunks(rd.from_arrow(tbl), budget_tokens=64,
+                             n_shards=4)
+        merges = train_bpe(rd.from_arrow(tbl).map_batches(
+            lambda b: b.select(["text"]).append_column(
+                "doc_id", b["chunk_id"].cast("string")),
+            batch_format="pyarrow"), n_merges=12)
+        vocab = build_bpe_vocab(packed, merges)
+        inv = {i: s for s, i in vocab.items()}
+        id_packs = materialize_packs(packed, emit="bpe_token_ids",
+                                     merges=merges,
+                                     vocab=vocab).to_pandas()
+        txt_packs = materialize_packs(packed, sep=" ").to_pandas()
+        texts = dict(zip(txt_packs["pack_id"], txt_packs["text"]))
+        assert len(id_packs) == len(txt_packs)
+        for r in id_packs.itertuples():
+            stream = "".join(inv[i] for i in r.token_ids)
+            words = stream.split(END)
+            assert words[-1] == ""  # every word closes with the marker
+            assert " ".join(words[:-1]) == texts[r.pack_id]
+            # whitespace manifest count unchanged by subword emission
+            assert r.n_tokens == len(texts[r.pack_id].split(" "))
+        with _pytest.raises(ValueError, match="merges"):
+            materialize_packs(packed, emit="bpe_token_ids")
+
     def test_vocab_builds_without_explicit_dict(self, ray_session):
         import ray.data as rd
 
