@@ -207,6 +207,16 @@ def run_queries() -> dict:
         times["boilerplate_lines_rows"] = n
     except Exception as e:  # pragma: no cover - defensive
         times["boilerplate_lines"] = f"error: {type(e).__name__}"
+    # full Gopher repetition battery (round 5): map-only quality signals
+    try:
+        from ocr_ray.functions.corpus_prep import gopher_repetition_stats
+
+        t0 = time.time()
+        n = gopher_repetition_stats(SF_DIR).count()
+        times["gopher_stats"] = round(time.time() - t0, 2)
+        times["gopher_stats_rows"] = n
+    except Exception as e:  # pragma: no cover - defensive
+        times["gopher_stats"] = f"error: {type(e).__name__}"
     # BPE trainer (round 5): ONE corpus shuffle (word frequencies) +
     # 50 in-memory merge rounds over the gated word table
     try:

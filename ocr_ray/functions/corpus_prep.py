@@ -1016,6 +1016,93 @@ FROM toks LEFT JOIN gcounts ON toks.doc_id = gcounts.doc_id
 """
 
 
+def gopher_repetition_stats(sf_dir: str):
+    """The FULL Gopher repetition battery (Rae et al. 2021, Table A1),
+    completing the two-signal ``repetition_stats``: per doc —
+
+      dup_line_chars / dup_para_chars   characters in line/paragraph
+                                        occurrences BEYOND the first
+                                        (the DataTrove/NeMo counting
+                                        convention);
+      dup_lines / dup_paras             the matching occurrence counts;
+      top_{2,3,4}gram_chars             len(" ".join(top gram)) * count
+                                        for the most frequent gram
+                                        (count desc, gram asc tie-break
+                                        — deterministic);
+      dup_{5..10}gram_chars             characters COVERED by grams
+                                        occurring more than once,
+                                        overlaps counted once (a
+                                        coverage mask, the
+                                        remove_repeated_passages
+                                        machinery turned in-doc).
+
+    All outputs are exact int64 numerators over ``n_chars`` — the
+    consumer applies the Gopher thresholds as divisions.  Map-only, no
+    shuffle; the oracle is an independent brute-force implementation in
+    pytest (interval coverage is not reasonably SQL-expressible).
+    """
+    from collections import Counter
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def doc_stats(text: str) -> list[int]:
+        out: list[int] = [len(text)]
+        for splitter in ("\n", "\n\n"):
+            parts = text.split(splitter)
+            seen: set = set()
+            d_cnt = d_chars = 0
+            for p in parts:
+                if p in seen:
+                    d_cnt += 1
+                    d_chars += len(p)
+                else:
+                    seen.add(p)
+            out.extend((d_cnt, d_chars))
+        toks = _tokens(text)
+        spans = []
+        pos = 0
+        for t in toks:  # char offsets under the same tokenizer
+            start = text.index(t, pos)
+            spans.append((start, start + len(t)))
+            pos = start + len(t)
+        for n in (2, 3, 4):
+            if len(toks) < n:
+                out.append(0)
+                continue
+            c = Counter(tuple(toks[i:i + n])
+                        for i in range(len(toks) - n + 1))
+            gram, cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append(len(" ".join(gram)) * cnt)
+        for n in (5, 6, 7, 8, 9, 10):
+            if len(toks) < n:
+                out.append(0)
+                continue
+            grams = [tuple(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            mask = bytearray(len(text))
+            for i, g in enumerate(grams):
+                if c[g] > 1:
+                    s, e = spans[i][0], spans[i + n - 1][1]
+                    mask[s:e] = b"\x01" * (e - s)
+            out.append(mask.count(1))
+        return out
+
+    names = (["n_chars", "dup_lines", "dup_line_chars", "dup_paras",
+              "dup_para_chars"]
+             + [f"top_{n}gram_chars" for n in (2, 3, 4)]
+             + [f"dup_{n}gram_chars" for n in (5, 6, 7, 8, 9, 10)])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        rows = [doc_stats(t) for t in batch["text"].to_pylist()]
+        cols = {"doc_id": batch["doc_id"]}
+        for j, nm in enumerate(names):
+            cols[nm] = pa.array([r[j] for r in rows], pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=1024)
+
+
 # ------------------------------- cross-document repeated n-gram analysis
 
 def repeated_ngrams(sf_dir: str, n: int = 3, min_docs: int = 5,
