@@ -430,3 +430,64 @@ def grouped_approx_quantiles(ds, group_col: str, value_col: str,
     return pa.table({group_col: pa.array(g_out),
                      "q": pa.array(q_out, pa.float64()),
                      "approx_value": pa.array(v_out, pa.float64())})
+
+
+def stratified_fixed_sample(ds, group_col: str, key_col: str,
+                            k: int = 100) -> pa.Table:
+    """EXACTLY min(k, group size) uniformly sampled keys PER GROUP —
+    deterministic eval-set construction (the rate-based
+    ``stratified_sample_stats`` cannot hit a fixed size; bottom-k by
+    key hash can, and stays a pure function of the key values: the
+    same rows are picked on any cluster, any layout, any day).
+
+    ONE associative aggregate; state is n_groups x k x (hash, key)
+    pairs — the grouped-quantile-sketch bound, for low-cardinality
+    group columns.  Keys must be row-unique (doc_id / vec_id).
+
+    Returns pa.Table(<group_col>, <key_col>) sorted by (group, hash) —
+    a stable "take the first m" prefix property: the size-m sample is
+    a PREFIX of the size-k sample for m <= k, so growing an eval set
+    never resamples existing members.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(state: dict, blk: pa.Table) -> dict:
+        state = dict(state)
+        kcol = blk[key_col]
+        if pa.types.is_integer(kcol.type):
+            keys = kcol.to_numpy(zero_copy_only=False)
+        else:
+            keys = np.asarray(kcol.to_pylist(), dtype=object)
+        h = sample_hash(keys)
+        groups = np.asarray(blk[group_col].to_pylist(), dtype=object)
+        order = np.argsort(groups, kind="stable")
+        gs, starts = np.unique(groups[order], return_index=True)
+        bounds = list(starts) + [len(order)]
+        for gi, g in enumerate(gs):
+            idx = order[bounds[gi]:bounds[gi + 1]]
+            hh, kk = h[idx], keys[idx]
+            top = np.argsort(hh, kind="stable")[:k]
+            cand = list(zip(hh[top].tolist(), kk[top].tolist()))
+            prev = state.get(g)
+            if prev:
+                cand = sorted(prev + cand)[:k]
+            state[g] = cand
+        return state
+
+    def merge(s1: dict, s2: dict) -> dict:
+        out = dict(s1)
+        for g, pairs in s2.items():
+            prev = out.get(g)
+            out[g] = sorted(prev + pairs)[:k] if prev else pairs
+        return out
+
+    agg = AggregateFn(init=lambda _: {}, merge=merge,
+                      accumulate_block=acc_block, name="strat")
+    state: dict = ds.aggregate(agg)["strat"]
+    g_out, k_out = [], []
+    for g in sorted(state):
+        for _, key in state[g]:
+            g_out.append(g)
+            k_out.append(key)
+    return pa.table({group_col: pa.array(g_out),
+                     key_col: pa.array(k_out)})

@@ -250,6 +250,48 @@ class TestBottomKQuantiles:
                 qs=(0.25, 0.75), k=64).to_pylist())
         assert outs[0] == outs[1]
 
+    def test_stratified_fixed_sample(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import stratified_fixed_sample
+
+        path = "/root/testdata/sf0.001/orders.parquet"
+        outs = []
+        for par in (1, 8):
+            ds = rd.read_parquet(path,
+                                 columns=["o_orderkey", "o_orderpriority"],
+                                 override_num_blocks=par)
+            outs.append(stratified_fixed_sample(
+                ds, "o_orderpriority", "o_orderkey", k=20).to_pylist())
+        # layout-independent: identical rows in identical order
+        assert outs[0] == outs[1]
+        got = outs[0]
+        by_group: dict = {}
+        for r in got:
+            by_group.setdefault(r["o_orderpriority"], []).append(
+                r["o_orderkey"])
+        assert all(len(v) == 20 for v in by_group.values())
+        assert all(len(set(v)) == 20 for v in by_group.values())
+        # prefix property: the k=5 sample is the head of the k=20 one
+        small = stratified_fixed_sample(
+            rd.read_parquet(path,
+                            columns=["o_orderkey", "o_orderpriority"]),
+            "o_orderpriority", "o_orderkey", k=5).to_pylist()
+        sg: dict = {}
+        for r in small:
+            sg.setdefault(r["o_orderpriority"], []).append(r["o_orderkey"])
+        for g, keys in sg.items():
+            assert keys == by_group[g][:5]
+        # exact-when-small: a group smaller than k returns all its keys
+        import duckdb
+        tiny = stratified_fixed_sample(
+            rd.read_parquet(path,
+                            columns=["o_orderkey", "o_orderpriority"]),
+            "o_orderpriority", "o_orderkey", k=10**6).to_pylist()
+        n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{path}')"
+                       ).fetchone()[0]
+        assert len(tiny) == n
+
     def test_distributed_rank_tolerance_above_k(self, ray_session):
         import duckdb
 
