@@ -132,6 +132,35 @@ FROM documents
 """
 
 
+def doc_compression_stats(sf_dir: str, level: int = 6):
+    """zlib compression-ratio quality signal per doc — the
+    Dolma/RedPajama junk detector: machine-generated/looping text
+    compresses far below prose, random noise barely at all.  Emits
+    exact int64 (n_bytes, compressed_bytes) — the consumer divides —
+    plus the float ratio for convenience.  Deterministic (fixed zlib
+    level, byte-exact across platforms for a given zlib build;
+    pytest-gated property oracle — not SQL-expressible).  Map-only."""
+    import zlib
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table, level=level) -> pa.Table:
+        n_b, c_b, ratio = [], [], []
+        for t in batch["text"].to_pylist():
+            raw = t.encode("utf-8")
+            comp = len(zlib.compress(raw, level))
+            n_b.append(len(raw))
+            c_b.append(comp)
+            ratio.append(round(comp / len(raw), 6) if raw else 1.0)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bytes": pa.array(n_b, pa.int64()),
+                         "compressed_bytes": pa.array(c_b, pa.int64()),
+                         "compression_ratio": pa.array(ratio,
+                                                       pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
 # ------------------------------------------------------ line-level stats
 
 def doc_line_stats(sf_dir: str, min_len: int = 10):

@@ -159,3 +159,32 @@ class TestConsolidatedQueries:
         from ocr_ray.functions import corpus_prep as cp
         _check(cp.priority_price_quantiles_cont(SF),
                cp.PRIORITY_PRICE_QUANTILES_CONT_SQL)
+
+    def test_doc_compression_stats(self, ray_session):
+        # property oracle (zlib is not SQL-expressible): looping text
+        # compresses below prose, prose below noise; byte counts exact
+        import zlib
+
+        from ocr_ray.functions import textops as tx
+
+        out = {r["doc_id"]: r
+               for r in tx.doc_compression_stats(SF).take_all()}
+        import duckdb
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet("
+            f"'{SF}/documents.parquet') LIMIT 50").fetchall()
+        for doc_id, text in rows:
+            raw = text.encode("utf-8")
+            r = out[doc_id]
+            assert r["n_bytes"] == len(raw)
+            assert r["compressed_bytes"] == len(zlib.compress(raw, 6))
+        # ordering property on synthetic extremes via the same kernel
+        loop = ("spam ham " * 200).encode()
+        prose = ("the quick brown fox jumps over the lazy dog and then "
+                 "wanders through seventeen unrelated meadows today "
+                 ).encode() * 16
+        import numpy as np
+        noise = bytes(np.random.default_rng(5).integers(
+            0, 256, len(loop), dtype=np.uint8))
+        rat = lambda b: len(zlib.compress(b, 6)) / len(b)
+        assert rat(loop) < rat(prose) < rat(noise)
