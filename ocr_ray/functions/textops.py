@@ -604,3 +604,129 @@ DOC_SAMPLE_SQL = """
 SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) LIKE '0%'
 """
+
+
+# ------------------------------------- canonicalized (fuzzy-exact) dedup
+
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_LOWER_TABLE = str.maketrans(_ASCII_UPPER, _ASCII_LOWER)
+_WS_COLLAPSE_RE = re.compile(_ASCII_WS_RE)
+
+
+def canonical_text_key(text: str) -> str:
+    """Whitespace/case-canonical form: strip ASCII whitespace, collapse
+    internal runs to one space, ASCII-lowercase.  Lowercasing is
+    ASCII-ONLY (str.translate over A-Z) so the Python side and the SQL
+    oracle's translate() agree byte-for-byte on ANY input — unicode
+    lower() rules differ between Python and DuckDB (e.g. 'İ')."""
+    return _WS_COLLAPSE_RE.sub(
+        " ", text.strip(_ASCII_WS)).translate(_LOWER_TABLE)
+
+
+def normalized_dedup_groups(sf_dir: str):
+    """Canonicalized exact dedup: md5 over the whitespace/case-canonical
+    text -> (survivor, copy count).  The cheap tier between byte-exact
+    dedup (`exact_dedup_groups`) and MinHash near-dup — catches
+    re-wrapped / re-cased copies (the most common crawl duplicate) with
+    the same scale shape: vectorizable map + a (hash, doc_id)-only
+    shuffle; the full text never moves."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(canonical_text_key(t).encode()).hexdigest()
+                for t in batch["text"].to_pylist()]
+        return pa.table({"canon_md5": pa.array(keys, pa.string()),
+                         "doc_id": batch["doc_id"]})
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
+            .groupby("canon_md5")
+            .aggregate(Min("doc_id", alias_name="keep_doc_id"),
+                       Count(alias_name="n_copies")))
+
+
+# translate() gives DuckDB an ASCII-only lower that matches
+# str.translate exactly; trim/regexp use the pinned ASCII ws set.
+NORMALIZED_DEDUP_SQL = f"""
+SELECT md5(translate(regexp_replace(trim(text, {_SQL_WS}),
+                                    '{_ASCII_WS_RE}', ' ', 'g'),
+           '{_ASCII_UPPER}', '{_ASCII_LOWER}')) AS canon_md5,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------- top terms per language
+
+_TERM_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def top_terms_per_lang(sf_dir: str, k: int = 10):
+    """Distributed word count + per-language top-k (count DESC, token ASC
+    — fully deterministic).  Scale shape: tokens are counted INSIDE each
+    batch first (Zipf reuse makes each partial ~vocabulary-sized, not
+    corpus-sized), the (lang, token) shuffle then moves at most one row
+    per distinct pair per block; after the global sum, each block prunes
+    to k rows per lang (global top-k is a subset of the union of
+    per-block top-ks) so the final per-language rank sees O(k x blocks)
+    rows for a handful of groups.  Tokens are matched case-SENSITIVELY
+    as ASCII [A-Za-z0-9]+ runs and lowercased afterwards: the match
+    never depends on unicode lower() rules, so Python and the SQL
+    oracle agree on any input."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for lg, tx in zip(batch["lang"].to_pylist(),
+                          batch["text"].to_pylist()):
+            for tok in _TERM_RE.findall(tx):
+                key = (lg, tok.translate(_LOWER_TABLE))
+                counts[key] = counts.get(key, 0) + 1
+        keys = list(counts)
+        return pa.table({
+            "lang": pa.array([a for a, _ in keys], pa.string()),
+            "token": pa.array([b for _, b in keys], pa.string()),
+            "n": pa.array([counts[x] for x in keys], pa.int64())})
+
+    counted = (ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=2048)
+               .groupby(["lang", "token"])
+               .aggregate(Sum("n", alias_name="n")))
+
+    def local_prune(batch: pa.Table, k=k) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["lang", "n", "token"], ascending=[True, False, True])
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).head(k),
+            preserve_index=False)
+
+    def rank_group(group: pd.DataFrame, k=k) -> pd.DataFrame:
+        g = group.sort_values(["n", "token"],
+                              ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "rank", "token", "n"]]
+
+    return (counted.map_batches(local_prune, batch_format="pyarrow")
+            .groupby("lang").map_groups(rank_group, batch_format="pandas"))
+
+
+TOP_TERMS_PER_LANG_SQL = """
+WITH toks AS (
+  SELECT lang, lower(tok) AS token
+  FROM (SELECT lang,
+               unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tok
+        FROM documents)
+), counts AS (
+  SELECT lang, token, count(*) AS n FROM toks GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY n DESC, token ASC) AS BIGINT) AS rank,
+       token, n
+FROM counts
+QUALIFY rank <= 10
+"""
