@@ -491,3 +491,84 @@ def stratified_fixed_sample(ds, group_col: str, key_col: str,
             k_out.append(key)
     return pa.table({group_col: pa.array(g_out),
                      key_col: pa.array(k_out)})
+
+
+# ------------------------------------- pairwise group overlap (KMV Jaccard)
+
+def kmv_jaccard(sa: np.ndarray, sb: np.ndarray, k: int) -> float:
+    """Jaccard estimate from two KMV sketches: restrict to the union's
+    k smallest hashes S (itself a KMV of A∪B — a uniform sample of the
+    union), count how many of S are in both sketches.  EXACT whenever
+    |A∪B| <= k (the sketches then hold the complete sets)."""
+    union = kmv_merge([sa, sb], k)
+    if len(union) == 0:
+        return 0.0
+    both = np.intersect1d(union, sa, assume_unique=True)
+    both = np.intersect1d(both, sb, assume_unique=True)
+    return len(both) / len(union)
+
+
+def grouped_kmv_overlap(ds, group_col: str, text_col: str,
+                        window: int = 5, k: int = 4096) -> pa.Table:
+    """Pairwise content overlap BETWEEN groups (sources, dumps, shards):
+    one KMV sketch of each group's token-shingle set via a single
+    grouped aggregate (state bounded by n_groups x k x 8 B — for
+    low-cardinality group columns), then Jaccard + union-distinct
+    estimates for every group pair at the driver (n_groups choose 2
+    folds over k-length int arrays).  The corpus-curation question
+    "which crawls/dumps duplicate each other, and how much?" answered
+    in ONE streaming pass — no pairwise corpus joins.  Deterministic:
+    blake2b hashes, set-algebra merges (layout/merge-order
+    independent).
+
+    Returns pa.Table(group_a, group_b, est_jaccard, est_union) with
+    group_a < group_b, sorted."""
+    from ray.data.aggregate import AggregateFn
+
+    from .corpus_prep import _win_shingles
+
+    def acc_block(state: dict, blk: pa.Table) -> dict:
+        state = dict(state)
+        groups = blk[group_col].to_pylist()
+        texts = blk[text_col].to_pylist()
+        per_group: dict = {}
+        for g, t in zip(groups, texts):
+            per_group.setdefault(g, []).extend(_win_shingles(t, window))
+        for g, shingles in per_group.items():
+            sk = kmv_sketch(shingles, k)
+            prev = state.get(g)
+            state[g] = kmv_merge([prev, sk], k) if prev is not None else sk
+        return state
+
+    def merge(s1: dict, s2: dict) -> dict:
+        out = dict(s1)
+        for g, sk in s2.items():
+            prev = out.get(g)
+            out[g] = kmv_merge([prev, sk], k) if prev is not None else sk
+        return out
+
+    agg = AggregateFn(init=lambda _: {}, merge=merge,
+                      accumulate_block=acc_block, name="kmvg")
+    state: dict = ds.aggregate(agg)["kmvg"]
+    names = sorted(state)
+    a_out, b_out, j_out, u_out = [], [], [], []
+    for i, ga in enumerate(names):
+        for gb in names[i + 1:]:
+            union = kmv_merge([state[ga], state[gb]], k)
+            a_out.append(ga)
+            b_out.append(gb)
+            j_out.append(round(kmv_jaccard(state[ga], state[gb], k), 6))
+            u_out.append(round(kmv_estimate(union, k), 1))
+    return pa.table({"group_a": pa.array(a_out, pa.string()),
+                     "group_b": pa.array(b_out, pa.string()),
+                     "est_jaccard": pa.array(j_out, pa.float64()),
+                     "est_union": pa.array(u_out, pa.float64())})
+
+
+def source_overlap_jaccard(sf_dir: str, window: int = 5, k: int = 4096):
+    """Between-source shingle overlap over the documents table."""
+    from ._io import clean_read
+
+    ds = clean_read(f"{sf_dir}/documents.parquet",
+                    columns=["source", "text"])
+    return grouped_kmv_overlap(ds, "source", "text", window=window, k=k)

@@ -312,3 +312,88 @@ class TestBottomKQuantiles:
                 f"WHERE o_totalprice <= {r['approx_value']}"
             ).fetchone()[0] / n
             assert abs(true_rank - r["q"]) < 0.05
+
+
+class TestGroupedKMVOverlap:
+    def _brute(self, groups_texts: dict, window=5):
+        """Exact per-group shingle sets + pairwise Jaccard."""
+        from ocr_ray.functions.corpus_prep import _win_shingles
+        sets = {g: set(s for t in ts for s in _win_shingles(t, window))
+                for g, ts in groups_texts.items()}
+        names = sorted(sets)
+        out = {}
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                u = sets[a] | sets[b]
+                out[(a, b)] = (len(sets[a] & sets[b]) / len(u) if u else 0.0,
+                               len(u))
+        return out
+
+    def _mk_ds(self, groups_texts: dict):
+        import pyarrow as pa
+        import ray.data as rd
+        g, t = [], []
+        for grp, texts in groups_texts.items():
+            for tx in texts:
+                g.append(grp)
+                t.append(tx)
+        return rd.from_arrow(pa.table({"source": g, "text": t}))
+
+    def test_exact_below_k(self, ray_session):
+        from ocr_ray.functions.sketches import grouped_kmv_overlap
+        rng = np.random.default_rng(7)
+        words = [f"w{i}" for i in range(200)]
+        def doc():
+            return " ".join(rng.choice(words, 40))
+        shared = [doc() for _ in range(5)]
+        data = {"a": shared + [doc() for _ in range(5)],
+                "b": shared + [doc() for _ in range(5)],
+                "c": [doc() for _ in range(10)]}
+        got = grouped_kmv_overlap(self._mk_ds(data), "source", "text",
+                                  k=100_000).to_pandas()
+        want = self._brute(data)
+        assert len(got) == 3
+        for _, r in got.iterrows():
+            j, u = want[(r.group_a, r.group_b)]
+            assert r.est_jaccard == pytest.approx(j, abs=1e-6)
+            assert r.est_union == u  # exact below k
+        # the planted-overlap pair dominates
+        top = got.sort_values("est_jaccard").iloc[-1]
+        assert {top.group_a, top.group_b} == {"a", "b"}
+        assert top.est_jaccard > 0.3
+
+    def test_small_k_within_error(self, ray_session):
+        from ocr_ray.functions.sketches import grouped_kmv_overlap
+        rng = np.random.default_rng(11)
+        words = [f"w{i}" for i in range(500)]
+        def doc():
+            return " ".join(rng.choice(words, 60))
+        shared = [doc() for _ in range(30)]
+        data = {"a": shared + [doc() for _ in range(30)],
+                "b": shared + [doc() for _ in range(30)]}
+        got = grouped_kmv_overlap(self._mk_ds(data), "source", "text",
+                                  k=512).to_pandas()
+        (j, u) = self._brute(data)[("a", "b")]
+        assert got.iloc[0].est_jaccard == pytest.approx(j, abs=0.07)
+        assert got.iloc[0].est_union == pytest.approx(u, rel=0.15)
+
+    def test_layout_independent(self, ray_session):
+        from ocr_ray.functions.sketches import grouped_kmv_overlap
+        rng = np.random.default_rng(3)
+        words = [f"w{i}" for i in range(100)]
+        data = {g: [" ".join(rng.choice(words, 30)) for _ in range(8)]
+                for g in ("x", "y", "z")}
+        ds = self._mk_ds(data)
+        a = grouped_kmv_overlap(ds, "source", "text", k=64).to_pandas()
+        b = grouped_kmv_overlap(ds.repartition(7), "source", "text",
+                                k=64).to_pandas()
+        assert a.equals(b)
+
+    def test_corpus_smoke(self, ray_session):
+        from ocr_ray.functions.sketches import source_overlap_jaccard
+        got = source_overlap_jaccard("/root/testdata/sf0.001",
+                                     k=256).to_pandas()
+        # 20 sources -> 190 pairs, all estimates in [0, 1]
+        assert len(got) == 190
+        assert ((got.est_jaccard >= 0) & (got.est_jaccard <= 1)).all()
+        assert (got.est_union > 0).all()
