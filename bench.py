@@ -249,6 +249,27 @@ def run_queries() -> dict:
         times["approx_quantiles_rows"] = t.num_rows
     except Exception as e:  # pragma: no cover - defensive
         times["approx_quantiles"] = f"error: {type(e).__name__}"
+    # distributed wordcount + per-language top-k (round 5)
+    try:
+        from ocr_ray.functions.textops import top_terms_per_lang
+
+        t0 = time.time()
+        t = top_terms_per_lang(SF_DIR).to_pandas()
+        times["top_terms_per_lang"] = round(time.time() - t0, 2)
+        times["top_terms_rows"] = len(t)
+    except Exception as e:  # pragma: no cover - defensive
+        times["top_terms_per_lang"] = f"error: {type(e).__name__}"
+    # pairwise source overlap via grouped KMV sketches (round 5): ONE
+    # streaming pass, n_sources x k x 8 B state, driver-side pair fold
+    try:
+        from ocr_ray.functions.sketches import source_overlap_jaccard
+
+        t0 = time.time()
+        t = source_overlap_jaccard(SF_DIR).to_pandas()
+        times["source_overlap"] = round(time.time() - t0, 2)
+        times["source_overlap_pairs"] = len(t)
+    except Exception as e:  # pragma: no cover - defensive
+        times["source_overlap"] = f"error: {type(e).__name__}"
     return times
 
 
