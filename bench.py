@@ -142,6 +142,20 @@ def run_queries() -> dict:
         approx = set(results["knn_ivf"]["vec_id"])
         times["knn_ivf_recall_at_10"] = round(
             len(exact & approx) / max(1, len(exact)), 3)
+    # PQ quality: compressed-domain ADC + exact re-rank vs brute force
+    # (not a registry entry — the driver registry is capped at 50)
+    if "knn_bruteforce" in results:
+        try:
+            from ocr_ray.functions.pq import knn_pq
+
+            t0 = time.time()
+            pq_res = knn_pq(SF_DIR).to_pandas()
+            times["knn_pq"] = round(time.time() - t0, 2)
+            exact = set(results["knn_bruteforce"]["vec_id"])
+            times["pq_recall_at_10"] = round(
+                len(exact & set(pq_res["vec_id"])) / max(1, len(exact)), 3)
+        except Exception as e:  # pragma: no cover - defensive
+            times["knn_pq"] = f"error: {type(e).__name__}"
     # end-to-end corpus preparation (filter->dedup->decontaminate->chunk)
     try:
         from ocr_ray.pipelines.corpus_pipeline import prepare_corpus
