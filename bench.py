@@ -156,6 +156,17 @@ def run_queries() -> dict:
                 len(exact & set(pq_res["vec_id"])) / max(1, len(exact)), 3)
         except Exception as e:  # pragma: no cover - defensive
             times["knn_pq"] = f"error: {type(e).__name__}"
+    # all-pairs kNN graph over the full embeddings table (approximate
+    # neighbor sets; recall measured on the planted corpus below)
+    try:
+        from ocr_ray.functions.graph import knn_graph
+
+        t0 = time.time()
+        n_edges = knn_graph(SF_DIR, k=5).count()
+        times["knn_graph"] = round(time.time() - t0, 2)
+        times["knn_graph_edges"] = n_edges
+    except Exception as e:  # pragma: no cover - defensive
+        times["knn_graph"] = f"error: {type(e).__name__}"
     # end-to-end corpus preparation (filter->dedup->decontaminate->chunk)
     try:
         from ocr_ray.pipelines.corpus_pipeline import prepare_corpus
@@ -369,6 +380,14 @@ def run_dedup_recall() -> dict:
     found = {(r["vec_a"], r["vec_b"])
              for r in semantic_dedup_pairs(neardup_dir).take_all()}
     out["dedup_recall_semdedup"] = recall(found, truth_emb)
+    # kNN graph: every planted cos-0.95 pair must be mutual-top-1
+    # (directed truth, 80 edges); same co-location contract as semdedup
+    from ocr_ray.functions.graph import knn_graph
+    truth_graph = {(2 * i, 2 * i + 1) for i in range(40)} | \
+                  {(2 * i + 1, 2 * i) for i in range(40)}
+    found = {(r["src"], r["dst"])
+             for r in knn_graph(neardup_dir, k=1, probe_r=3).take_all()}
+    out["knn_graph_recall"] = recall(found, truth_graph)
     return out
 
 

