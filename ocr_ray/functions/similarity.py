@@ -543,3 +543,38 @@ SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors,
              / 1000000.0 / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_norm
 FROM embeddings GROUP BY label
 """
+
+
+def embedding_cluster_sample(sf_dir: str, per_cluster: int = 8,
+                             n_clusters: int = 16) -> pa.Table:
+    """Coverage-stratified sample over EMBEDDING SPACE: each vector is
+    assigned to its nearest IVF centroid (map-only, centroids are the
+    cached integer-exact k-means), then EXACTLY min(per_cluster,
+    cluster size) members are picked per cluster by the deterministic
+    bottom-k key-hash sampler — ONE pruned scan + ONE associative
+    aggregate, no shuffle.
+
+    The diversity-sampling counterpart to uniform sampling: every
+    region of embedding space is represented regardless of density
+    skew (a 100-member niche cluster contributes as many rows as the
+    million-member bulk).  Picks are a pure function of vec_id, so the
+    sample is identical on any layout/cluster/day and growing
+    per_cluster never resamples existing members (bottom-k prefix
+    property).  Returns pa.Table(cluster, vec_id) sorted by
+    (cluster, pick hash)."""
+    from .sketches import stratified_fixed_sample
+
+    _, cent = build_ivf_index(sf_dir, n_clusters)
+    ds = _read(sf_dir, ["vec_id", "embedding"])
+
+    def assign(batch: pa.Table, cent=cent) -> pa.Table:
+        m = _batch_matrix(batch)
+        b = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1).argmin(1)
+        return pa.table({"cluster": pa.array(b.astype(np.int64),
+                                             pa.int64()),
+                         "vec_id": batch["vec_id"]})
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow")
+    out = stratified_fixed_sample(tagged, "cluster", "vec_id",
+                                  k=per_cluster)
+    return out.set_column(1, "vec_id", out["vec_id"].cast(pa.int64()))

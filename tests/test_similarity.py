@@ -143,3 +143,61 @@ class TestAdaptiveNprobe:
         q = _query_vector(sf, 0)
         assert len(probe_buckets(path, cent, q, 4,
                                  min_covered_rows=320)) == 4
+
+
+class TestEmbeddingClusterSample:
+    def test_exact_per_cluster_counts(self, ray_session):
+        """Every cluster contributes exactly min(per_cluster, size)."""
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow.parquet as pqt
+
+        from ocr_ray.functions.similarity import (
+            build_ivf_index,
+            embedding_cluster_sample,
+        )
+
+        got = embedding_cluster_sample(SF, per_cluster=5, n_clusters=8)
+        picked = Counter(got["cluster"].to_pylist())
+        # true cluster sizes from the cached index assignment
+        path, _ = build_ivf_index(SF, n_clusters=8)
+        import os
+        sizes = {}
+        for name in os.listdir(path):
+            if name.startswith("bucket="):
+                b = int(name.split("=")[1])
+                d = f"{path}/{name}"
+                sizes[b] = sum(
+                    pqt.ParquetFile(f"{d}/{f}").metadata.num_rows
+                    for f in os.listdir(d) if f.endswith(".parquet"))
+        assert picked == {b: min(5, n) for b, n in sizes.items() if n}
+        # sampled ids are real and unique
+        ids = got["vec_id"].to_pylist()
+        assert len(ids) == len(set(ids))
+
+    def test_deterministic(self, ray_session):
+        from ocr_ray.functions.similarity import embedding_cluster_sample
+
+        a = embedding_cluster_sample(SF, per_cluster=3, n_clusters=8)
+        b = embedding_cluster_sample(SF, per_cluster=3, n_clusters=8)
+        assert a.equals(b)
+
+    def test_prefix_property(self, ray_session):
+        """The size-2 sample is a prefix of the size-4 sample within
+        each cluster — growing an eval set never resamples."""
+        from ocr_ray.functions.similarity import embedding_cluster_sample
+
+        small = embedding_cluster_sample(SF, per_cluster=2, n_clusters=8)
+        big = embedding_cluster_sample(SF, per_cluster=4, n_clusters=8)
+
+        def by_cluster(t):
+            out = {}
+            for c, v in zip(t["cluster"].to_pylist(),
+                            t["vec_id"].to_pylist()):
+                out.setdefault(c, []).append(v)
+            return out
+
+        s, b = by_cluster(small), by_cluster(big)
+        for c, vs in s.items():
+            assert b[c][:len(vs)] == vs
