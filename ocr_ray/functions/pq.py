@@ -331,3 +331,130 @@ def knn_pq(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     return rd.from_arrow(pa.table({
         "vec_id": pa.array(np.asarray(ids)[order], pa.int64()),
         "cosine": pa.array(cos[order], pa.float64())}))
+
+
+def knn_pq_batch(sf_dir: str, n_queries: int = 8, k: int = 5,
+                 m: int = 8, nbits: int = 8, n_clusters: int = 16,
+                 nprobe: int | None = None, refine_factor: int = 8,
+                 min_covered_rows: int | None = None):
+    """Batched multi-query PQ top-k (the knn_ivf_batch contract on the
+    COMPRESSED table): ONE read over the union of every query's probed
+    code partitions, one fancy-indexed LUT pass scores ALL queries per
+    batch, per-(batch, query) top-N keeps refine_factor*k candidates,
+    and ONE predicate-pushdown point fetch re-ranks every query's
+    candidates exactly.  Per-query results are filtered to that
+    query's own probed buckets and candidate list, so each answer is
+    identical to running knn_pq alone (verified in tests)."""
+    import ray.data as rd
+
+    path, cbs, cent = build_pq_index(sf_dir, m, nbits, n_clusters)
+    mq, kcb, dsub = cbs.shape
+    empty = rd.from_arrow(pa.table({"query_id": pa.array([], pa.int64()),
+                                    "vec_id": pa.array([], pa.int64()),
+                                    "cosine": pa.array([], pa.float64())}))
+    tbl = pqt.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", n_queries)])
+    if tbl.num_rows == 0:
+        return empty
+    order = pc.sort_indices(tbl["vec_id"])
+    qids = pc.take(tbl["vec_id"], order).to_numpy(zero_copy_only=False)
+    qmat = np.asarray(pc.take(tbl["embedding"], order).to_pylist(),
+                      dtype=np.float64)
+    qn = _normalize_rows(qmat)
+
+    if nprobe is None:
+        nprobe = len(cent)
+    if min_covered_rows is None:
+        min_covered_rows = 32 * k
+    from .similarity import probe_buckets
+
+    per_q_buckets = [
+        set(probe_buckets(path, cent, q, nprobe, min_covered_rows))
+        for q in qmat]
+    all_paths = []
+    for b in sorted(set().union(*per_q_buckets)):
+        d = f"{path}/bucket={b}"
+        if os.path.isdir(d):
+            all_paths.extend(f"{d}/{f}" for f in sorted(os.listdir(d))
+                             if f.endswith(".parquet"))
+    if not all_paths:
+        return empty
+
+    # (Q, m*kcb) flattened LUTs; a batch's scores for every query come
+    # from ONE fancy-index + sum — no per-query matmul
+    lut_flat = (cbs[None, :, :, :] * qn[:, None, None, :]
+                .reshape(len(qn), mq, 1, dsub)).sum(-1).reshape(
+                    len(qn), mq * kcb)
+    mask = np.array([[b in bq for bq in per_q_buckets]
+                     for b in range(n_clusters)])  # (bucket, query)
+    n_cand = max(k, refine_factor * k)
+
+    raw = rd.read_parquet(all_paths, columns=["vec_id", "codes"],
+                          include_paths=True)
+
+    def adc_topn(batch: pa.Table, lut_flat=lut_flat, mq=mq, kcb=kcb,
+                 mask=mask, n=n_cand) -> pa.Table:
+        codes = _codes_matrix(batch, mq)
+        off = np.arange(mq) * kcb + codes            # (rows, m)
+        scores = lut_flat[:, off].sum(-1)            # (Q, rows)
+        buckets = np.array([int(p.split("bucket=")[1].split("/")[0])
+                            for p in batch["path"].to_pylist()],
+                           dtype=np.int64)
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False))
+        out_q, out_v, out_a = [], [], []
+        for j in range(scores.shape[0]):
+            ok = mask[buckets, j]
+            if not ok.any():
+                continue
+            sel_ids, sel_adc = ids[ok], scores[j, ok]
+            sel = np.lexsort((sel_ids, -sel_adc))[:min(n, len(sel_ids))]
+            out_q.extend([j] * len(sel))
+            out_v.extend(sel_ids[sel].tolist())
+            out_a.extend(sel_adc[sel].tolist())
+        return pa.table({"q_ix": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "adc": pa.array(out_a, pa.float64())})
+
+    def final_topn(group: pa.Table, n=n_cand) -> pa.Table:
+        ids = np.asarray(group["vec_id"].to_pylist())
+        adc = np.asarray(group["adc"].to_pylist())
+        sel = np.lexsort((ids, -adc))[:n]
+        return pa.table({"q_ix": group["q_ix"].take(pa.array(sel)),
+                         "vec_id": pa.array(ids[sel], pa.int64()),
+                         "adc": pa.array(adc[sel], pa.float64())})
+
+    cand = (raw.map_batches(adc_topn, batch_format="pyarrow",
+                            batch_size=8192)
+            .groupby("q_ix").map_groups(final_topn,
+                                        batch_format="pyarrow"))
+    # the one driver gate: Q * refine_factor*k candidate ids
+    per_q: dict[int, list[int]] = {}
+    for r in cand.take_all():
+        per_q.setdefault(int(r["q_ix"]), []).append(int(r["vec_id"]))
+    all_ids = sorted({v for vs in per_q.values() for v in vs})
+    if not all_ids:
+        return empty
+
+    rtbl = pqt.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "in", all_ids)])
+    rx = np.asarray(rtbl["embedding"].to_pylist(), dtype=np.float64)
+    rids = np.asarray(rtbl["vec_id"].to_numpy(zero_copy_only=False))
+    norms = np.linalg.norm(rx, axis=1)
+    norms[norms == 0] = 1.0
+    cos_all = np_round_half_up((rx @ qn.T) / norms[:, None], 6)
+    pos = {int(v): i for i, v in enumerate(rids)}
+    out_q, out_v, out_c = [], [], []
+    for j in sorted(per_q):
+        cand_ids = np.array(sorted(set(per_q[j])), dtype=np.int64)
+        rows = np.array([pos[int(v)] for v in cand_ids])
+        cj = cos_all[rows, j]
+        sel = np.lexsort((cand_ids, -cj))[:min(k, len(cand_ids))]
+        out_q.extend([int(qids[j])] * len(sel))
+        out_v.extend(cand_ids[sel].tolist())
+        out_c.extend(cj[sel].tolist())
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "cosine": pa.array(out_c, pa.float64())}))

@@ -174,3 +174,27 @@ class TestRecallAndCompression:
         _write_corpus(sf, rng.randn(6, 16))
         out = knn_pq(sf, k=50, m=4, nbits=2, n_clusters=2).take_all()
         assert len(out) == 6
+
+
+class TestKnnPqBatch:
+    def test_batch_matches_per_query_pq(self, ray_session):
+        """Each query's batched answer equals running knn_pq alone
+        (same index, same nprobe/refine) — batching only dedups IO."""
+        from ocr_ray.functions.pq import knn_pq, knn_pq_batch
+
+        out = knn_pq_batch(SF, n_queries=4, k=5, nprobe=6).to_pandas()
+        for qid in range(4):
+            got = out[out["query_id"] == qid]
+            single = knn_pq(SF, query_vec_id=qid, k=5,
+                            nprobe=6).to_pandas()
+            assert list(got["vec_id"]) == list(single["vec_id"])
+            assert list(got["cosine"]) == list(single["cosine"])
+
+    def test_each_query_is_own_top_hit(self, ray_session):
+        from ocr_ray.functions.pq import knn_pq_batch
+
+        out = knn_pq_batch(SF, n_queries=6, k=3).to_pandas()
+        for qid, g in out.groupby("query_id"):
+            top = g.sort_values(["cosine", "vec_id"],
+                                ascending=[False, True]).iloc[0]
+            assert top["vec_id"] == qid and top["cosine"] == 1.0
