@@ -1530,3 +1530,82 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
            AS BIGINT) % 1000000 < p.thr
 GROUP BY d.source
 """
+
+
+def mixture_token_plan(sf_dir: str, budget_tokens: int = 1_000_000,
+                       tau: float = 0.7) -> pa.Table:
+    """Training-mixture token budgeting: allocate a total token budget
+    across sources by the n^tau temperature rule (the
+    source_temperature_sample weights applied to TOKEN MASS instead of
+    doc sampling) and report the implied epochs per source — epochs > 1
+    flags a source the plan would repeat (the over-epoching early
+    warning a mixture designer needs before launching a run).
+
+    ONE pruned (source, text) scan with per-block partial token
+    rollups -> a #sources-row groupby -> driver math on that tiny
+    table.  Token counts are the whitespace rule shared with
+    doc_token_counts; every float is produced by the round_half_up
+    discipline, so the DuckDB mirror (MIXTURE_TOKEN_PLAN_SQL via
+    tests/test_mixture_plan.py) is byte-identical.
+
+    Returns pa.Table(source, n_tokens, weight, target_tokens, epochs)
+    sorted by source."""
+    from ray.data.aggregate import Sum
+
+    from ._num import np_round_half_up
+    from .relational import _gb
+
+    ds = _read(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().str.strip(_ASCII_WS)
+        n = s.str.split(_ASCII_WS_RE, regex=True).map(
+            lambda t: 0 if t == [""] else len(t)).astype("int64")
+        t = pa.table({"source": batch["source"],
+                      "n_tokens": pa.array(n, pa.int64())})
+        return _gb(t, ["source"], [("n_tokens", "sum")], ["n_tokens"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=4096)
+           .groupby("source")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+           .to_pandas().sort_values("source").reset_index(drop=True))
+
+    n = agg["n_tokens"].to_numpy(dtype=np.float64)
+    z = float(np.sum(n ** tau))            # sorted-source order: exact
+    w = (n ** tau) / z if z else np.zeros_like(n)
+    target = np.floor(budget_tokens * w + 0.5).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        epochs = np.where(n > 0, target / np.maximum(n, 1), 0.0)
+    return pa.table({
+        "source": pa.array(agg["source"], pa.string()),
+        "n_tokens": pa.array(agg["n_tokens"], pa.int64()),
+        "weight": pa.array(np_round_half_up(w, 6), pa.float64()),
+        "target_tokens": pa.array(target, pa.int64()),
+        "epochs": pa.array(np_round_half_up(epochs, 4), pa.float64()),
+    })
+
+
+def mixture_token_plan_sql(budget_tokens: int = 1_000_000,
+                           tau: float = 0.7) -> str:
+    """DuckDB mirror of mixture_token_plan (same token rule as
+    DOC_TOKEN_COUNTS_SQL, same pow/round shape as the engine)."""
+    return f"""
+WITH tok AS (
+  SELECT source,
+         sum(CASE WHEN length(trim(text, {_SQL_WS})) = 0 THEN 0
+              ELSE array_length(string_split_regex(
+                     trim(text, {_SQL_WS}), '[ \t\n\r\f\v]+')) END)
+           AS n_tokens
+  FROM documents GROUP BY source
+), z AS (SELECT sum(pow(n_tokens, {tau})) AS z FROM tok)
+SELECT source, n_tokens,
+  floor(pow(n_tokens, {tau}) / (SELECT z FROM z) * 1e6 + 0.5) / 1e6
+    AS weight,
+  CAST(floor({budget_tokens} * pow(n_tokens, {tau}) / (SELECT z FROM z)
+       + 0.5) AS BIGINT) AS target_tokens,
+  floor(CAST(floor({budget_tokens} * pow(n_tokens, {tau})
+            / (SELECT z FROM z) + 0.5) AS BIGINT)
+        / CAST(n_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4 AS epochs
+FROM tok ORDER BY source
+"""
