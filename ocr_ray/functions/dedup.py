@@ -267,8 +267,17 @@ def minhash_lsh_pairs_from_features(feats, jaccard_threshold: float = 0.8):
         {"doc_id": "doc_a", "shingles": "sh_a"})
     fb = feats.select_columns(["doc_id", "shingles"]).rename_columns(
         {"doc_id": "doc_b", "shingles": "sh_b"})
-    joined = (cands.join(fa, "inner", num_partitions=nparts, on=("doc_a",))
-              .join(fb, "inner", num_partitions=nparts, on=("doc_b",)))
+    # schema-enforce + compact between the two joins: the first join's
+    # empty partitions emit schema-less blocks that break the second
+    # join's Acero key resolution on sparse candidate sets
+    mid_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("n_bands", pa.int64()),
+                            ("sh_a", pa.binary())])
+    half = (cands.join(fa, "inner", num_partitions=nparts, on=("doc_a",))
+            .map_batches(_with_schema(mid_schema), batch_format="pyarrow")
+            .repartition(_compact_parts(cands.count()))
+            .materialize())
+    joined = half.join(fb, "inner", num_partitions=nparts, on=("doc_b",))
 
     def verify(batch: pa.Table, thr=jaccard_threshold) -> pa.Table:
         out = []
@@ -596,16 +605,13 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
     def label_sum(ds) -> int:
         return int(ds.aggregate(Sum("label", alias_name="s"))["s"])
 
-    def messages(batch: pa.Table) -> pa.Table:
-        la = batch["label_a"].to_numpy(zero_copy_only=False)
-        lb = batch["label_b"].to_numpy(zero_copy_only=False)
-        m = np.minimum(la, lb)
-        doc = np.concatenate([
-            batch["doc_a"].to_numpy(zero_copy_only=False),
-            batch["doc_b"].to_numpy(zero_copy_only=False)])
-        return pa.table({"doc_id": pa.array(doc, pa.int64()),
-                         "label": pa.array(np.concatenate([m, m]),
-                                           pa.int64())})
+    def to_b(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_b"],
+                         "label": batch["label"]})
+
+    def to_a(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_a"],
+                         "label": batch["label"]})
 
     def shorten(batch: pa.Table) -> pa.Table:
         # label <- min(label, label(label)); parent <= label always under
@@ -619,13 +625,20 @@ def dedup_clusters(pairs_ds, max_rounds: int = 20):
     prev_sum = label_sum(labels)
     converged = False
     for _ in range(max_rounds):
-        la = labels.rename_columns({"doc_id": "doc_a", "label": "label_a"})
-        lb = labels.rename_columns({"doc_id": "doc_b", "label": "label_b"})
-        propagated = (edges
-                      .join(la, "inner", num_partitions=nparts, on=("doc_a",))
-                      .join(lb, "inner", num_partitions=nparts, on=("doc_b",))
-                      .map_batches(messages, batch_format="pyarrow"))
-        mid = (propagated.union(labels)
+        # TWO single-level joins (a's label -> b, b's label -> a), never
+        # a join consuming another join's output: a join's empty
+        # partitions emit schema-less blocks that break the NEXT Acero
+        # join's key resolution (surfaced by tiny edge sets, where
+        # nparts > non-empty partitions; same min-label fixpoint)
+        la = labels.rename_columns({"doc_id": "doc_a"})
+        lb = labels.rename_columns({"doc_id": "doc_b"})
+        msgs_b = (edges.join(la, "inner", num_partitions=nparts,
+                             on=("doc_a",))
+                  .map_batches(to_b, batch_format="pyarrow"))
+        msgs_a = (edges.join(lb, "inner", num_partitions=nparts,
+                             on=("doc_b",))
+                  .map_batches(to_a, batch_format="pyarrow"))
+        mid = (msgs_b.union(msgs_a).union(labels)
                .groupby("doc_id").aggregate(Min("label",
                                                 alias_name="label"))
                .map_batches(_with_schema(label_schema),
@@ -848,3 +861,88 @@ def leakage_safe_split(sf_dir: str, test_permille: int = 100,
                            num_partitions=_num_partitions(docs.count()),
                            on=("doc_id",))
     return joined.map_batches(assign, batch_format="pyarrow")
+
+
+def dedup_survivors_by_quality(sf_dir: str, near: bool = False):
+    """Quality-aware dedup: the survivor of every duplicate cluster is
+    its HIGHEST-QUALITY member (doc_quality_scores; ties -> lowest
+    doc_id), not the arbitrary min-id — "keep the best copy", the
+    policy an actual training-data pipeline wants when mirror sites
+    carry degraded rescans of the same document.
+
+    Shape: clusters (join-based min-label + pointer jumping, as in
+    dedup_survivors) ⋈ per-doc quality on doc_id, then keeper selection
+    is ONE groupby(cluster_id).Min over a packed int64
+    ``(quality_inverted << 40) | doc_id`` key — the semdedup keeper
+    trick: no per-cluster tiny-group map_groups, min == (max quality,
+    min id) lexicographically.  Losers = members minus keepers;
+    survivors = corpus LEFT ANTI JOIN losers, all hash-partitioned.
+
+    Returns Dataset[doc_id] (same contract as dedup_survivors; the two
+    agree on CLUSTER COUNT but may pick different representatives —
+    pinned in tests)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ._io import clean_read
+    from .textops import doc_quality_scores
+
+    _QBITS = 21                      # quality in [0,1] * 1e6 < 2^21
+    _IDB = 40                        # doc_id headroom (10^12 docs)
+
+    pairs_ds = dup_pairs_from_scan(sf_dir) if near \
+        else ngram_jaccard_pairs_ds(sf_dir)
+    clusters = dedup_clusters(pairs_ds)
+    n_members = clusters.count()
+    docs = clean_read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if n_members == 0:
+        return docs
+
+    quality = doc_quality_scores(sf_dir)
+    clusters = clusters.repartition(_compact_parts(n_members)) \
+        .materialize()
+    nparts = _num_partitions(n_members)
+    member_q = clusters.join(quality, "inner",
+                             num_partitions=nparts, on=("doc_id",))
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) and int(ids.max()) >= (1 << _IDB):
+            raise ValueError("doc_id exceeds 40-bit keeper headroom")
+        q = batch["quality"].to_numpy(zero_copy_only=False)
+        qi = (1 << _QBITS) - 1 - np.floor(q * 1e6 + 0.5).astype(np.int64)
+        key = (qi << _IDB) | ids.astype(np.int64)
+        return pa.table({"cluster_id": batch["cluster_id"],
+                         "key": pa.array(key, pa.int64())})
+
+    keepers = (member_q.map_batches(pack, batch_format="pyarrow")
+               .groupby("cluster_id")
+               .aggregate(Min("key", alias_name="key")))
+
+    mask = (1 << _IDB) - 1
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table({"keep_id": pa.array(key & mask, pa.int64())})
+
+    keep_schema = pa.schema([("keep_id", pa.int64())])
+    keepers = (keepers.map_batches(unpack, batch_format="pyarrow")
+               .map_batches(_with_schema(keep_schema),
+                            batch_format="pyarrow")
+               .repartition(_compact_parts(max(1, n_members)))
+               .materialize())
+
+    member_ids = clusters.select_columns(["doc_id"])
+    losers = (member_ids.join(
+        keepers.rename_columns({"keep_id": "doc_id"}), "left_anti",
+        num_partitions=nparts, on=("doc_id",))
+        .repartition(_compact_parts(max(1, n_members)))
+        .materialize())
+    n_losers = losers.count()
+    if n_losers == 0:
+        return docs
+    n_docs = docs.count()
+    return (docs.join(losers, "left_anti",
+                      num_partitions=_num_partitions(n_docs),
+                      on=("doc_id",))
+            .repartition(_compact_parts(max(1, n_docs - n_losers))))
