@@ -1,0 +1,128 @@
+"""Winnowing fingerprints: the paper's guarantees (window coverage,
+shared-substring detection, density), reference parity, and the
+overlap-pair detector on planted shared passages."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _ref_winnow(text, k, w):
+    """Independent reference implementation (per-character loops)."""
+    data = text.encode("utf-8")
+    if len(data) < k:
+        return []
+    base = 1_000_003
+    hashes = []
+    for i in range(len(data) - k + 1):
+        h = 0
+        for c in data[i:i + k]:
+            h = (h * base + c) % (1 << 64)
+        hashes.append(h)
+    if len(hashes) < w:
+        best = min(range(len(hashes)), key=lambda i: (hashes[i], -i))
+        return [(best, hashes[best])]
+    out, last = [], -1
+    for s in range(len(hashes) - w + 1):
+        win = hashes[s:s + w]
+        m = min(win)
+        i = s + max(j for j in range(w) if win[j] == m)  # rightmost
+        if i != last:
+            out.append((i, hashes[i]))
+            last = i
+    return out
+
+
+def _write_docs(path, rows):
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(
+        [{"doc_id": i, "text": t} for i, t in enumerate(rows)]),
+        f"{path}/documents.parquet")
+
+
+class TestSelection:
+    def test_matches_reference(self):
+        from ocr_ray.functions.winnow import winnow_select
+
+        rng = np.random.RandomState(9)
+        texts = ["the quick brown fox jumps over the lazy dog",
+                 "aaaaaaaaaaaaaaaa", "ab", "", "abcdefg",
+                 "x" * 3 + "abcabcabc" * 5]
+        texts += ["".join(rng.choice(list("abcd efg"), size=60))
+                  for _ in range(20)]
+        for t in texts:
+            pos, fp = winnow_select(t, k=5, w=4)
+            assert list(zip(pos.tolist(), fp.tolist())) == \
+                _ref_winnow(t, 5, 4)
+
+    def test_window_coverage_guarantee(self):
+        """Every window of w consecutive k-grams contains a selection."""
+        from ocr_ray.functions.winnow import winnow_select
+
+        rng = np.random.RandomState(3)
+        t = "".join(rng.choice(list("abcdef "), size=400))
+        k, w = 5, 4
+        pos, _ = winnow_select(t, k, w)
+        ps = set(pos.tolist())
+        n_grams = len(t.encode()) - k + 1
+        for s in range(n_grams - w + 1):
+            assert any(s <= p < s + w for p in ps)
+
+    def test_shared_substring_guarantee(self):
+        """Texts sharing a substring of length >= w + k - 1 share a
+        fingerprint (the paper's theorem 1 direction)."""
+        from ocr_ray.functions.winnow import winnow_select
+
+        k, w = 5, 4
+        shared = "zqxjkvwpml"          # len 10 >= w + k - 1 = 8
+        a = "aaaa " + shared + " bbbb cccc dddd"
+        b = "eeee ffff " + shared + " gggg"
+        _, fa = winnow_select(a, k, w)
+        _, fb = winnow_select(b, k, w)
+        assert set(fa.tolist()) & set(fb.tolist())
+
+    def test_density(self):
+        """Expected density 2/(w+1); allow a wide band."""
+        from ocr_ray.functions.winnow import winnow_select
+
+        rng = np.random.RandomState(1)
+        t = "".join(rng.choice(list("abcdefghij"), size=5000))
+        k, w = 5, 8
+        pos, _ = winnow_select(t, k, w)
+        density = len(pos) / (len(t) - k + 1)
+        assert 0.1 < density < 0.4      # 2/(w+1) = 0.222
+
+
+class TestOverlapPairs:
+    def test_planted_shared_passage(self, ray_session, tmp_path):
+        from ocr_ray.functions.winnow import winnow_overlap_pairs
+
+        sf = str(tmp_path / "sf")
+        passage = "the shared boilerplate sentence appears here verbatim"
+        rng = np.random.RandomState(7)
+
+        def noise(n):
+            return "".join(rng.choice(list("abcdefgh "), size=n))
+
+        docs = [noise(120) + passage + noise(120),
+                noise(100) + passage + noise(140),
+                noise(260), noise(260)]
+        _write_docs(sf, docs)
+        got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+               for r in winnow_overlap_pairs(sf, min_shared=3)
+               .take_all()}
+        assert (0, 1) in got and got[(0, 1)] >= 3
+        assert all(p == (0, 1) for p in got)    # no noise pairs
+
+    def test_fingerprints_deterministic(self, ray_session, tmp_path):
+        from ocr_ray.functions.winnow import winnow_fingerprints
+
+        sf = str(tmp_path / "sf")
+        _write_docs(sf, ["some document text here", "another one"])
+        a = sorted(map(tuple, (r.values() for r in
+                               winnow_fingerprints(sf).take_all())))
+        b = sorted(map(tuple, (r.values() for r in
+                               winnow_fingerprints(sf).take_all())))
+        assert a == b and len(a) > 0
