@@ -167,6 +167,16 @@ def run_queries() -> dict:
         times["knn_graph_edges"] = n_edges
     except Exception as e:  # pragma: no cover - defensive
         times["knn_graph"] = f"error: {type(e).__name__}"
+    # shared-passage pair detection over the full documents table
+    try:
+        from ocr_ray.functions.winnow import winnow_overlap_pairs
+
+        t0 = time.time()
+        n_overlap = winnow_overlap_pairs(SF_DIR, min_shared=3).count()
+        times["winnow_overlap"] = round(time.time() - t0, 2)
+        times["winnow_overlap_pairs"] = n_overlap
+    except Exception as e:  # pragma: no cover - defensive
+        times["winnow_overlap"] = f"error: {type(e).__name__}"
     # end-to-end corpus preparation (filter->dedup->decontaminate->chunk)
     try:
         from ocr_ray.pipelines.corpus_pipeline import prepare_corpus
