@@ -171,3 +171,36 @@ def exact_knn_graph_local(sf_dir: str, k: int = 5) -> set:
         for j in order:
             edges.add((int(ids[i]), int(ids[j])))
     return edges
+
+
+def mutual_knn_graph(sf_dir: str, k: int = 5, n_clusters: int = 16,
+                     probe_r: int = 4, replicate_db: bool = True):
+    """Symmetric (mutual) kNN graph: an undirected edge survives iff
+    BOTH directions exist in the kNN graph — i is in j's top-k AND j
+    is in i's top-k.  The standard robustification for graph
+    clustering and density estimation: hub vectors lose their
+    spurious one-way edges.
+
+    ONE groupby over canonicalized pairs: each directed edge maps to
+    (doc_a=min, doc_b=max, 1); knn_graph emits each direction at most
+    once, so a direction-count of 2 IS mutuality.  Returns
+    Dataset[doc_a, doc_b, cosine] with doc_a < doc_b."""
+    from ray.data.aggregate import Max, Sum
+
+    edges = knn_graph(sf_dir, k, n_clusters, probe_r, replicate_db)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_a": pa.array(np.minimum(src, dst), pa.int64()),
+            "doc_b": pa.array(np.maximum(src, dst), pa.int64()),
+            "cosine": batch["cosine"],
+            "n": pa.array(np.ones(len(src), np.int64), pa.int64())})
+
+    agg = (edges.map_batches(canon, batch_format="pyarrow")
+           .groupby(["doc_a", "doc_b"])
+           .aggregate(Sum("n", alias_name="n_dir"),
+                      Max("cosine", alias_name="cosine")))
+    return (agg.filter(expr="n_dir >= 2")
+            .select_columns(["doc_a", "doc_b", "cosine"]))

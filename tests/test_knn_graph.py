@@ -1,7 +1,10 @@
 """kNN graph: exactness at full probe, planted-pair recall, edge
 hygiene (no self loops, no duplicates, exact per-source degree)."""
 
+import os
+
 import numpy as np
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -92,3 +95,46 @@ class TestPlantedRecall:
                          replicate_db=False).take_all()
         deg = Counter(r["src"] for r in rows)
         assert len(deg) == 120 and set(deg.values()) == {1}
+
+
+class TestMutualGraph:
+    def test_matches_bruteforce_mutual(self, ray_session):
+        """At full probe the mutual graph equals the brute-force mutual
+        graph exactly."""
+        from ocr_ray.functions.graph import (
+            exact_knn_graph_local,
+            mutual_knn_graph,
+        )
+
+        directed = exact_knn_graph_local(SF, k=5)
+        truth = {(min(a, b), max(a, b)) for a, b in directed
+                 if (b, a) in directed}
+        got = {(r["doc_a"], r["doc_b"]) for r in
+               mutual_knn_graph(SF, k=5, probe_r=16).take_all()}
+        assert got == truth
+        assert all(a < b for a, b in got)
+
+    def test_one_way_edges_dropped(self, ray_session, tmp_path):
+        """Planted hub geometry: c's nearest is b, but b's nearest is
+        a — (b, c) must NOT survive the mutual filter at k=1."""
+        import pyarrow.parquet as pqt
+
+        from ocr_ray.functions.graph import mutual_knn_graph
+
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf, exist_ok=True)
+
+        def vec(deg):
+            r = np.deg2rad(deg)
+            return [float(np.cos(r)), float(np.sin(r))] + [0.0] * 6
+
+        tbl = pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array([vec(0), vec(5), vec(20)],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0, 0, 0], pa.int32())})
+        pqt.write_table(tbl, f"{sf}/embeddings.parquet")
+        got = {(r["doc_a"], r["doc_b"]) for r in
+               mutual_knn_graph(sf, k=1, n_clusters=2,
+                                probe_r=2).take_all()}
+        assert got == {(0, 1)}
