@@ -140,3 +140,83 @@ def winnow_overlap_pairs(sf_dir: str, min_shared: int = 2,
              .groupby(["doc_a", "doc_b"])
              .aggregate(Sum("n", alias_name="n_shared")))
     return pairs.filter(expr=f"n_shared >= {int(min_shared)}")
+
+
+def winnow_containment_pairs(sf_dir: str, min_shared: int = 2,
+                             k: int = 5, w: int = 4,
+                             max_bucket: int = 64):
+    """Overlap pairs with ASYMMETRIC containment scores — MOSS's
+    report metric: ``contain_a`` = shared / |fingerprints(doc_a)| (how
+    much of A is covered by the match; near 1.0 means A is quoted
+    inside B even when B is huge, which symmetric Jaccard dilutes to
+    noise).
+
+    One extra tiny groupby over the fingerprint Dataset for per-doc
+    distinct-fingerprint totals, joined onto the pair list
+    (hash-partitioned, with the chained-join hygiene).  Scores round
+    half-up to 1e-4 like the dedup pair family.
+    Returns Dataset[doc_a, doc_b, n_shared, contain_a, contain_b]."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ._num import np_round_half_up
+    from ._part import compact_parts, nparts_for
+    from .dedup import _with_schema
+
+    out_schema = pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("n_shared", pa.int64()),
+        ("contain_a", pa.float64()), ("contain_b", pa.float64())])
+
+    pairs = winnow_overlap_pairs(sf_dir, min_shared, k, w,
+                                 max_bucket).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    fps = winnow_fingerprints(sf_dir, k, w)
+
+    def distinct_in_doc(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "fp"]) \
+            .group_by(["doc_id", "fp"]).aggregate([]) \
+            .select(["doc_id", "fp"])
+
+    totals = (fps.map_batches(distinct_in_doc, batch_format="pyarrow")
+              .groupby("doc_id")
+              .aggregate(Count(alias_name="n_fp")))
+
+    nparts = nparts_for(n_pairs)
+    mid_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("n_shared", pa.int64()),
+                            ("n_fp_a", pa.int64())])
+    half = (pairs.join(
+        totals.rename_columns({"doc_id": "doc_a", "n_fp": "n_fp_a"}),
+        "inner", num_partitions=nparts, on=("doc_a",))
+        .map_batches(_with_schema(mid_schema), batch_format="pyarrow")
+        .repartition(compact_parts(n_pairs))
+        .materialize())
+    joined = half.join(
+        totals.rename_columns({"doc_id": "doc_b", "n_fp": "n_fp_b"}),
+        "inner", num_partitions=nparts, on=("doc_b",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ns = batch["n_shared"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        fa = batch["n_fp_a"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        fb = batch["n_fp_b"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
+            "n_shared": batch["n_shared"],
+            "contain_a": pa.array(
+                np_round_half_up(ns / np.maximum(fa, 1), 4),
+                pa.float64()),
+            "contain_b": pa.array(
+                np_round_half_up(ns / np.maximum(fb, 1), 4),
+                pa.float64())})
+
+    return (joined.map_batches(score, batch_format="pyarrow")
+            .map_batches(_with_schema(out_schema),
+                         batch_format="pyarrow")
+            .repartition(compact_parts(n_pairs)))

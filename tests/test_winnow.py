@@ -126,3 +126,39 @@ class TestOverlapPairs:
         b = sorted(map(tuple, (r.values() for r in
                                winnow_fingerprints(sf).take_all())))
         assert a == b and len(a) > 0
+
+
+class TestContainment:
+    def test_quote_has_high_containment(self, ray_session, tmp_path):
+        """Doc 1 IS (mostly) a quote inside the much larger doc 0:
+        contain of the small doc ~ 1.0, of the big doc well below."""
+        from ocr_ray.functions.winnow import winnow_containment_pairs
+
+        rng = np.random.RandomState(11)
+        quote = "this exact paragraph is lifted verbatim into the host"
+
+        def noise(n):
+            return "".join(rng.choice(list("abcdefgh "), size=n))
+
+        _write_docs(str(tmp_path / "sf"),
+                    [noise(400) + quote + noise(400),   # big host
+                     quote,                             # the quote
+                     noise(300)])                       # unrelated
+        out = winnow_containment_pairs(str(tmp_path / "sf"),
+                                       min_shared=2).take_all()
+        rows = {(r["doc_a"], r["doc_b"]): r for r in out}
+        assert set(rows) == {(0, 1)}
+        r = rows[(0, 1)]
+        assert r["contain_b"] >= 0.8       # quote almost fully covered
+        assert r["contain_a"] <= 0.3       # host barely covered
+        assert r["n_shared"] >= 2
+
+    def test_empty_when_no_overlap(self, ray_session, tmp_path):
+        from ocr_ray.functions.winnow import winnow_containment_pairs
+
+        rng = np.random.RandomState(2)
+        _write_docs(str(tmp_path / "sf"),
+                    ["".join(rng.choice(list("abcd "), size=200)),
+                     "".join(rng.choice(list("wxyz "), size=200))])
+        assert winnow_containment_pairs(
+            str(tmp_path / "sf")).take_all() == []
