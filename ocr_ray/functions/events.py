@@ -817,3 +817,145 @@ DISTINCT_USERS_SQL = """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
 """
+
+
+def event_funnel(sf_dir: str,
+                 steps: tuple = ("view", "click", "purchase"),
+                 within_hours: int = 24):
+    """Funnel analysis (first-touch): how many users complete each
+    ordered step, where step k+1 must happen AT or after the user's
+    step-k completion time and within ``within_hours`` of it.
+    t1 = min ts of step 1; t_k = min ts of step k with
+    t_{k-1} <= ts <= t_{k-1} + window.  NULL users are excluded.
+
+    Kernel: the sessionize/asof shape — hash(user) %% P partitions,
+    ONE lexsort(user, ts) per partition, then per step one masked
+    ``np.minimum.reduceat`` over the user segments (no per-user
+    Python).  Partitions emit per-step partial counts; a tiny groupby
+    sums them and a 3-row finalize adds the conversion ratios.
+
+    Returns (step, event_type, n_users, conversion) — conversion =
+    n_users / step-1 users, round_half_up 6.  DuckDB mirror:
+    ``event_funnel_sql`` (pytest-gated; driver registry is full)."""
+    from ray.data.aggregate import Sum
+
+    from ._io import clean_read
+    from ._num import np_round_half_up
+    from ._part import nparts_for
+
+    ds = clean_read(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts", "event_type"])
+    win_us = np.int64(within_hours) * 3600 * 1_000_000
+    step_list = list(steps)
+    n_steps = len(step_list)
+
+    import pyarrow.parquet as _pq
+    n_events = _pq.ParquetFile(
+        f"{sf_dir}/events.parquet").metadata.num_rows
+    n_parts = nparts_for(n_events, rows_per_part=500_000, floor=8)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        kind = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep_type = np.isin(kind, step_list)
+        unull = pc.is_null(batch["user_id"]).to_numpy(
+            zero_copy_only=False)
+        keep = keep_type & ~unull
+        users = pc.fill_null(batch["user_id"], 0).to_numpy(
+            zero_copy_only=False)[keep]
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        sidx = np.empty(int(keep.sum()), np.int64)
+        kk = kind[keep]
+        for i, s in enumerate(step_list):
+            sidx[kk == s] = i
+        mix = users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        part = ((mix >> np.uint64(33)) % np.uint64(n_parts)) \
+            .astype(np.int64)
+        return pa.table({"user_id": pa.array(users, pa.int64()),
+                         "ts_us": pa.array(ts_us, pa.int64()),
+                         "sidx": pa.array(sidx, pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    part_schema = pa.schema([("step", pa.int64()), ("n", pa.int64())])
+
+    def per_part(part: pa.Table) -> pa.Table:
+        users = part["user_id"].to_numpy(zero_copy_only=False)
+        ts = part["ts_us"].to_numpy(zero_copy_only=False)
+        sidx = part["sidx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, users))
+        users, ts, sidx = users[order], ts[order], sidx[order]
+        n = len(users)
+        if n == 0:
+            return part_schema.empty_table()
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = users[1:] != users[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.cumsum(new) - 1
+        big = np.int64(1) << np.int64(62)
+        counts = np.zeros(n_steps, np.int64)
+        # t_prev per USER (indexed by rank), +inf sentinel = not reached
+        t_prev = None
+        for si in range(n_steps):
+            if si == 0:
+                ok = sidx == 0
+            else:
+                tp_row = t_prev[rank]
+                ok = ((sidx == si) & (tp_row < big)
+                      & (ts >= tp_row) & (ts <= tp_row + win_us))
+            masked = np.where(ok, ts, big)
+            t_step = np.minimum.reduceat(masked, starts)
+            counts[si] = int((t_step < big).sum())
+            t_prev = t_step
+        return pa.table({
+            "step": pa.array(np.arange(n_steps), pa.int64()),
+            "n": pa.array(counts, pa.int64())})
+
+    agg = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("part").map_groups(per_part, batch_format="pyarrow")
+           .groupby("step").aggregate(Sum("n", alias_name="n_users")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        step = batch["step"].to_numpy(zero_copy_only=False)
+        nu = batch["n_users"].to_numpy(zero_copy_only=False)
+        order = np.argsort(step)
+        step, nu = step[order], nu[order]
+        base = float(nu[0]) if len(nu) and step[0] == 0 and nu[0] else 1.0
+        conv = np_round_half_up(nu / base, 6)
+        return pa.table({
+            "step": pa.array(step + 1, pa.int64()),
+            "event_type": pa.array([step_list[s] for s in step],
+                                   pa.string()),
+            "n_users": pa.array(nu, pa.int64()),
+            "conversion": pa.array(conv, pa.float64())})
+
+    # the aggregate output is <= n_steps rows: a single tiny block
+    return agg.repartition(1).map_batches(finalize,
+                                          batch_format="pyarrow")
+
+
+def event_funnel_sql(steps: tuple = ("view", "click", "purchase"),
+                     within_hours: int = 24) -> str:
+    """DuckDB mirror of event_funnel (first-touch semantics, inclusive
+    boundaries, NULL users excluded)."""
+    ctes = [f"""s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{steps[0]}' AND user_id IS NOT NULL
+  GROUP BY user_id)"""]
+    for i in range(1, len(steps)):
+        ctes.append(f"""s{i + 1} AS (
+  SELECT e.user_id, min(e.ts) AS t{i + 1}
+  FROM events e JOIN s{i} USING (user_id)
+  WHERE e.event_type = '{steps[i]}' AND e.ts >= t{i}
+    AND e.ts <= t{i} + INTERVAL {within_hours} HOUR
+  GROUP BY e.user_id)""")
+    selects = [
+        f"SELECT {i + 1} AS step, '{s}' AS event_type, "
+        f"(SELECT count(*) FROM s{i + 1}) AS n_users"
+        for i, s in enumerate(steps)]
+    return ("WITH " + ",\n".join(ctes) + "\n, funnel AS ("
+            + "\nUNION ALL\n".join(selects) + ")\n"
+            "SELECT step, event_type, n_users,\n"
+            "  floor(n_users / (SELECT greatest(n_users, 1) FROM funnel "
+            "WHERE step = 1) * 1e6 + 0.5) / 1e6 AS conversion\n"
+            "FROM funnel ORDER BY step")

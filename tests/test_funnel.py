@@ -1,0 +1,89 @@
+"""Funnel analysis: DuckDB parity at sf0.001, planted boundary
+semantics (inclusive window edges, same-ts steps, NULL users)."""
+
+import os
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(path, rows):
+    """rows: (user_id | None, minutes_offset, event_type)"""
+    os.makedirs(path, exist_ok=True)
+    base = datetime(2024, 1, 1)
+    pq.write_table(pa.Table.from_pylist([
+        {"event_id": i, "ts": base + timedelta(minutes=m),
+         "user_id": u, "event_type": t, "value": 1.0, "props": "{}"}
+        for i, (u, m, t) in enumerate(rows)]),
+        f"{path}/events.parquet")
+
+
+class TestParity:
+    def test_sf0001_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from ocr_ray.functions.events import (
+            event_funnel,
+            event_funnel_sql,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = event_funnel(sf).to_pandas().sort_values("step") \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf}/events.parquet'")
+        want = con.execute(event_funnel_sql()).fetchdf()
+        assert list(got["step"]) == list(want["step"])
+        assert list(got["event_type"]) == list(want["event_type"])
+        assert list(got["n_users"]) == list(want["n_users"])
+        assert list(got["conversion"]) == list(want["conversion"])
+        assert got["n_users"].iloc[0] > 0
+
+
+class TestSemantics:
+    def test_planted_funnel(self, ray_session, tmp_path):
+        from ocr_ray.functions.events import event_funnel
+
+        sf = str(tmp_path / "sf")
+        _write_events(sf, [
+            # user 1: full funnel inside the window
+            (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+            # user 2: click lands exactly AT the 24 h edge (inclusive)
+            (2, 0, "view"), (2, 24 * 60, "click"),
+            # user 3: click one minute past the window -> drops at step 2
+            (3, 0, "view"), (3, 24 * 60 + 1, "click"),
+            # user 4: purchase BEFORE the click -> not counted at step 3
+            (4, 0, "view"), (4, 30, "purchase"), (4, 40, "click"),
+            # user 5: click at the SAME ts as the view (inclusive >=)
+            (5, 0, "view"), (5, 0, "click"),
+            # NULL user: never counted
+            (None, 0, "view"), (None, 1, "click"),
+        ])
+        out = {r["step"]: r["n_users"]
+               for r in event_funnel(sf).take_all()}
+        assert out == {1: 5, 2: 4, 3: 1}
+
+    def test_matches_duckdb_on_planted(self, ray_session, tmp_path):
+        import duckdb
+
+        from ocr_ray.functions.events import (
+            event_funnel,
+            event_funnel_sql,
+        )
+
+        sf = str(tmp_path / "sf")
+        _write_events(sf, [
+            (1, 0, "view"), (1, 5, "click"), (1, 9, "purchase"),
+            (2, 0, "view"), (2, 24 * 60, "click"), (2, 24 * 60, "purchase"),
+            (3, 3, "click"), (3, 4, "purchase"),      # no view: step-1 miss
+        ])
+        got = event_funnel(sf).to_pandas().sort_values("step") \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf}/events.parquet'")
+        want = con.execute(event_funnel_sql()).fetchdf()
+        assert list(got["n_users"]) == list(want["n_users"])
+        assert list(got["conversion"]) == list(want["conversion"])
