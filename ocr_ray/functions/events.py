@@ -959,3 +959,91 @@ def event_funnel_sql(steps: tuple = ("view", "click", "purchase"),
             "  floor(n_users / (SELECT greatest(n_users, 1) FROM funnel "
             "WHERE step = 1) * 1e6 + 0.5) / 1e6 AS conversion\n"
             "FROM funnel ORDER BY step")
+
+
+def event_transitions(sf_dir: str):
+    """Event-to-event transition counts (the Markov matrix behind
+    "what do users do next"): for every user, consecutive event pairs
+    ordered by (ts, event_id) — the event_id tiebreak makes same-ts
+    ordering deterministic and SQL-mirrorable.  NULL users excluded.
+
+    Kernel: hash(user) %% P partitions -> ONE lexsort(user, ts,
+    event_id) -> shifted same-user comparison (no per-user Python) ->
+    in-partition pair rollup (<= |types|^2 rows leave each partition)
+    -> tiny global groupby.  Returns (from_type, to_type, n_transitions)
+    sorted by the pair.  DuckDB mirror: EVENT_TRANSITIONS_SQL
+    (pytest-gated; driver registry is full)."""
+    from ray.data.aggregate import Sum
+
+    from ._io import clean_read
+    from ._part import nparts_for
+
+    ds = clean_read(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    import pyarrow.parquet as _pq
+    n_events = _pq.ParquetFile(
+        f"{sf_dir}/events.parquet").metadata.num_rows
+    n_parts = nparts_for(n_events, rows_per_part=500_000, floor=8)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        unull = pc.is_null(batch["user_id"]).to_numpy(
+            zero_copy_only=False)
+        keep = ~unull
+        t = batch.filter(pa.array(keep))
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        mix = users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        part = ((mix >> np.uint64(33)) % np.uint64(n_parts)) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "part": pa.array(part, pa.int64())})
+
+    out_schema = pa.schema([("from_type", pa.string()),
+                            ("to_type", pa.string()),
+                            ("n", pa.int64())])
+
+    def per_part(part: pa.Table) -> pa.Table:
+        users = part["user_id"].to_numpy(zero_copy_only=False)
+        ts = part["ts_us"].to_numpy(zero_copy_only=False)
+        eid = part["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, users))
+        users = users[order]
+        types = part["event_type"].take(pa.array(order))
+        n = len(users)
+        if n < 2:
+            return out_schema.empty_table()
+        same = users[1:] == users[:-1]
+        idx = np.flatnonzero(same)
+        if len(idx) == 0:
+            return out_schema.empty_table()
+        t = pa.table({
+            "from_type": types.take(pa.array(idx)),
+            "to_type": types.take(pa.array(idx + 1))})
+        g = t.group_by(["from_type", "to_type"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "from_type": g["from_type"], "to_type": g["to_type"],
+            "n": pc.cast(g["count_all"], pa.int64())})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pyarrow")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("n", alias_name="n_transitions")))
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH nxt AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT from_type, to_type, count(*) AS n_transitions
+FROM nxt WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""

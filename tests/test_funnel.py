@@ -87,3 +87,49 @@ class TestSemantics:
         want = con.execute(event_funnel_sql()).fetchdf()
         assert list(got["n_users"]) == list(want["n_users"])
         assert list(got["conversion"]) == list(want["conversion"])
+
+
+class TestTransitions:
+    def test_sf0001_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from ocr_ray.functions.events import (
+            EVENT_TRANSITIONS_SQL,
+            event_transitions,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = event_transitions(sf).to_pandas() \
+            .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf}/events.parquet'")
+        want = con.execute(EVENT_TRANSITIONS_SQL
+                           + " ORDER BY from_type, to_type").fetchdf()
+        assert list(got["from_type"]) == list(want["from_type"])
+        assert list(got["to_type"]) == list(want["to_type"])
+        assert list(got["n_transitions"]) == list(want["n_transitions"])
+        assert got["n_transitions"].sum() > 0
+
+    def test_planted_chain(self, ray_session, tmp_path):
+        from ocr_ray.functions.events import event_transitions
+
+        sf = str(tmp_path / "sf")
+        _write_events(sf, [
+            (1, 0, "view"), (1, 1, "click"), (1, 2, "click"),
+            (2, 0, "view"), (2, 1, "click"),
+            (None, 0, "view"), (None, 1, "click"),   # excluded
+        ])
+        out = {(r["from_type"], r["to_type"]): r["n_transitions"]
+               for r in event_transitions(sf).take_all()}
+        assert out == {("view", "click"): 2, ("click", "click"): 1}
+
+    def test_same_ts_tiebreak_by_event_id(self, ray_session, tmp_path):
+        from ocr_ray.functions.events import event_transitions
+
+        sf = str(tmp_path / "sf")
+        # both events at minute 0: order must follow event_id (0 then 1)
+        _write_events(sf, [(1, 0, "signup"), (1, 0, "view")])
+        out = {(r["from_type"], r["to_type"]): r["n_transitions"]
+               for r in event_transitions(sf).take_all()}
+        assert out == {("signup", "view"): 1}
