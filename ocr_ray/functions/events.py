@@ -1047,3 +1047,98 @@ SELECT from_type, to_type, count(*) AS n_transitions
 FROM nxt WHERE to_type IS NOT NULL
 GROUP BY from_type, to_type
 """
+
+
+def weekly_retention(sf_dir: str):
+    """Cohort retention: users grouped by their FIRST active epoch-week
+    (cohort), counted once per (cohort, week_offset) they return in.
+    Weeks are pure epoch math (floor(epoch_seconds / 604800)) on BOTH
+    engines — no calendar-truncation semantics to disagree on.
+    NULL users excluded.
+
+    Kernel: hash(user) %% P co-locates each user's full history, so
+    per-user cohort (segmented ``np.minimum.reduceat``) and the
+    distinct (cohort, offset, user) triples resolve entirely inside
+    the partition (np.unique over a packed key) — only
+    <= |cohorts| x |offsets| partial-count rows leave each partition.
+    Returns (cohort_week, week_offset, n_users).  DuckDB mirror:
+    WEEKLY_RETENTION_SQL (pytest-gated; driver registry is full)."""
+    from ray.data.aggregate import Sum
+
+    from ._io import clean_read
+    from ._part import nparts_for
+
+    ds = clean_read(f"{sf_dir}/events.parquet",
+                    columns=["user_id", "ts"])
+
+    import pyarrow.parquet as _pq
+    n_events = _pq.ParquetFile(
+        f"{sf_dir}/events.parquet").metadata.num_rows
+    n_parts = nparts_for(n_events, rows_per_part=500_000, floor=8)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        unull = pc.is_null(batch["user_id"]).to_numpy(
+            zero_copy_only=False)
+        t = batch.filter(pa.array(~unull))
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        wk = ts_us // np.int64(604_800_000_000)
+        mix = users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        part = ((mix >> np.uint64(33)) % np.uint64(n_parts)) \
+            .astype(np.int64)
+        return pa.table({"user_id": pa.array(users, pa.int64()),
+                         "wk": pa.array(wk, pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    part_schema = pa.schema([("cohort_week", pa.int64()),
+                             ("week_offset", pa.int64()),
+                             ("n", pa.int64())])
+
+    def per_part(part: pa.Table) -> pa.Table:
+        users = part["user_id"].to_numpy(zero_copy_only=False)
+        wk = part["wk"].to_numpy(zero_copy_only=False)
+        n = len(users)
+        if n == 0:
+            return part_schema.empty_table()
+        order = np.lexsort((wk, users))
+        users, wk = users[order], wk[order]
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = users[1:] != users[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.cumsum(new) - 1
+        cohort = np.minimum.reduceat(wk, starts)[rank]
+        offset = wk - cohort
+        # distinct (user, cohort, offset) inside the partition: users
+        # are fully co-located, so this IS the global distinct (cohort
+        # is a function of rank, so (rank, offset) suffices as the key)
+        _, ix = np.unique(
+            (rank.astype(np.int64) << 32) ^ offset.astype(np.int64),
+            return_index=True)
+        t = pa.table({"cohort_week": pa.array(cohort[ix], pa.int64()),
+                      "week_offset": pa.array(offset[ix], pa.int64())})
+        g = t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"cohort_week": g["cohort_week"],
+                         "week_offset": g["week_offset"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pyarrow")
+            .groupby(["cohort_week", "week_offset"])
+            .aggregate(Sum("n", alias_name="n_users")))
+
+
+WEEKLY_RETENTION_SQL = """
+WITH w AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+  FROM events WHERE user_id IS NOT NULL
+), c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id)
+SELECT cw AS cohort_week, wk - cw AS week_offset,
+       count(DISTINCT w.user_id) AS n_users
+FROM w JOIN c USING (user_id)
+GROUP BY cw, wk - cw
+"""

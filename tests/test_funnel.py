@@ -133,3 +133,47 @@ class TestTransitions:
         out = {(r["from_type"], r["to_type"]): r["n_transitions"]
                for r in event_transitions(sf).take_all()}
         assert out == {("signup", "view"): 1}
+
+
+class TestRetention:
+    def test_sf0001_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from ocr_ray.functions.events import (
+            WEEKLY_RETENTION_SQL,
+            weekly_retention,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = weekly_retention(sf).to_pandas() \
+            .sort_values(["cohort_week", "week_offset"]) \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf}/events.parquet'")
+        want = con.execute(WEEKLY_RETENTION_SQL
+                           + " ORDER BY cohort_week, week_offset") \
+            .fetchdf()
+        assert list(got["cohort_week"]) == list(want["cohort_week"])
+        assert list(got["week_offset"]) == list(want["week_offset"])
+        assert list(got["n_users"]) == list(want["n_users"])
+        assert len(got) > 1
+
+    def test_planted_cohorts(self, ray_session, tmp_path):
+        from ocr_ray.functions.events import weekly_retention
+
+        sf = str(tmp_path / "sf")
+        wk = 7 * 24 * 60          # one week in minutes
+        _write_events(sf, [
+            # user 1: weeks 0, 1, 3 (two events in week 1 count once)
+            (1, 0, "view"), (1, wk, "click"), (1, wk + 9, "view"),
+            (1, 3 * wk, "view"),
+            # user 2: joins in week 1, returns week 2
+            (2, wk, "view"), (2, 2 * wk, "view"),
+            (None, 0, "view"),                       # excluded
+        ])
+        out = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+               for r in weekly_retention(sf).take_all()}
+        base = 2817  # epoch-week of 2024-01-01 (pure epoch math)
+        assert out == {(base, 0): 1, (base, 1): 1, (base, 3): 1,
+                       (base + 1, 0): 1, (base + 1, 1): 1}
