@@ -177,3 +177,82 @@ def dsir_select(sf_dir: str, k: int, target_pred=None,
     w = dsir_weights(sf_dir, target_pred, n_buckets, alpha, seed,
                      pred_columns)
     return w.sort("key", descending=True).limit(k)
+
+
+def source_token_divergence(sf_dir: str, n_buckets: int = 10_000,
+                            alpha: float | None = None) -> "pa.Table":
+    """Pairwise Jensen-Shannon divergence between every source's hashed
+    unigram+bigram distribution — "which dumps write DIFFERENTLY"
+    (the distributional complement to grouped-KMV overlap's "which
+    dumps duplicate each other").
+
+    ONE integer aggregate fits every per-source histogram at once
+    (state = n_sources x n_buckets int64, merge-order-independent);
+    JS divergence (base 2, add-alpha smoothed) is driver math on that
+    tiny state.  ``alpha=None`` (default) smooths ADAPTIVELY — each
+    source gets pseudo mass equal to 1% of its real token mass, so the
+    statistic is comparable across corpus sizes (a fixed alpha of 0.5
+    adds n_buckets/2 pseudo counts and drowns small corpora toward 0).  JS is symmetric, in [0, 1], 0 iff identical
+    distributions — planted tests pin both ends.
+    Returns pa.Table(source_a, source_b, js_divergence) for a < b."""
+    from ray.data.aggregate import AggregateFn
+
+    from ._io import clean_read
+
+    # source vocabulary first (tiny distinct scan) so the aggregate
+    # state has a fixed, order-independent layout
+    srcs = sorted(r["source"] for r in
+                  clean_read(f"{sf_dir}/documents.parquet",
+                             columns=["source"])
+                  .groupby("source").count().take_all())
+    s_ix = {s: i for i, s in enumerate(srcs)}
+    n_src = len(srcs)
+
+    def acc_block(state, blk):
+        arr = (np.frombuffer(state, dtype=np.int64)
+               .reshape(n_src, n_buckets).copy() if state
+               else np.zeros((n_src, n_buckets), np.int64))
+        for s, t in zip(blk["source"].to_pylist(),
+                        blk["text"].to_pylist()):
+            ids = _bucket_ids(t or "", n_buckets)
+            if len(ids):
+                arr[s_ix[s]] += np.bincount(ids, minlength=n_buckets)
+        return arr.tobytes()
+
+    def merge(s1, s2):
+        if not s1:
+            return s2
+        if not s2:
+            return s1
+        return (np.frombuffer(s1, dtype=np.int64)
+                + np.frombuffer(s2, dtype=np.int64)).tobytes()
+
+    agg = AggregateFn(init=lambda _: b"", merge=merge,
+                      accumulate_block=acc_block, name="srcdiv")
+    ds = clean_read(f"{sf_dir}/documents.parquet",
+                    columns=["source", "text"])
+    arr = np.frombuffer(ds.aggregate(agg)["srcdiv"],
+                        dtype=np.int64).reshape(n_src, n_buckets)
+
+    if alpha is None:
+        row_mass = arr.sum(axis=1, keepdims=True).astype(np.float64)
+        a = np.maximum(row_mass * 0.01 / n_buckets, 1e-12)
+    else:
+        a = np.full((n_src, 1), float(alpha))
+    sm = arr + a
+    probs = sm / sm.sum(axis=1, keepdims=True)
+
+    def _kl(p, q):
+        return float(np.sum(p * np.log2(p / q)))
+
+    rows = []
+    for i in range(n_src):
+        for j in range(i + 1, n_src):
+            m = 0.5 * (probs[i] + probs[j])
+            js = 0.5 * _kl(probs[i], m) + 0.5 * _kl(probs[j], m)
+            rows.append({"source_a": srcs[i], "source_b": srcs[j],
+                         "js_divergence":
+                             float(np.floor(js * 1e6 + 0.5) / 1e6)})
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("source_a", pa.string()), ("source_b", pa.string()),
+        ("js_divergence", pa.float64())]))

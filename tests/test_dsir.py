@@ -155,3 +155,55 @@ class TestDsir:
         assert n > 0 and len(sel) == 10
         keys = [r["key"] for r in sel]
         assert keys == sorted(keys, reverse=True)
+
+
+class TestSourceDivergence:
+    def test_identical_sources_diverge_zero(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions.dsir import source_token_divergence
+
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf, exist_ok=True)
+        texts = [f"shared vocabulary doc {i} alpha beta" for i in range(20)]
+        rows = ([{"doc_id": i, "text": t, "source": "a"}
+                 for i, t in enumerate(texts)]
+                + [{"doc_id": 100 + i, "text": t, "source": "b"}
+                   for i, t in enumerate(texts)])
+        pq.write_table(pa.Table.from_pylist(rows),
+                       f"{sf}/documents.parquet")
+        out = source_token_divergence(sf).to_pylist()
+        assert len(out) == 1
+        assert out[0]["js_divergence"] == 0.0
+
+    def test_disjoint_sources_diverge_high(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions.dsir import source_token_divergence
+
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf, exist_ok=True)
+        rows = ([{"doc_id": i, "text": f"latin verba {i} scriptum est",
+                  "source": "latin"} for i in range(20)]
+                + [{"doc_id": 100 + i, "text": f"zzq xxw {i} qqz wwx",
+                    "source": "xyz"} for i in range(20)])
+        pq.write_table(pa.Table.from_pylist(rows),
+                       f"{sf}/documents.parquet")
+        out = source_token_divergence(sf).to_pylist()
+        assert out[0]["js_divergence"] > 0.5
+
+    def test_sf0001_runs_and_is_symmetric_complete(self, ray_session):
+        from ocr_ray.functions.dsir import source_token_divergence
+
+        out = source_token_divergence("/root/testdata/sf0.001")
+        n_src = len({r["source_a"] for r in out.to_pylist()}
+                    | {r["source_b"] for r in out.to_pylist()})
+        assert len(out) == n_src * (n_src - 1) // 2
+        assert all(0.0 <= r["js_divergence"] <= 1.0
+                   for r in out.to_pylist())
