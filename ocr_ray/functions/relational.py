@@ -830,3 +830,63 @@ SELECT quantile_disc(o_totalprice, 0.25) AS p25,
        quantile_disc(o_totalprice, 0.95) AS p95
 FROM orders
 """
+
+
+def q13_customer_distribution(sf_dir: str):
+    """Customer order-count distribution (TPC-H Q13 shape): how many
+    customers placed exactly N qualifying orders, INCLUDING the
+    zero-order customers only an OUTER join surfaces (the one join
+    type the library didn't exercise yet — Ray's native left_outer).
+    Qualifying = o_orderpriority <> '1-URGENT' (the Q13 comment-filter
+    analog on this schema).
+
+    Shape: per-customer order counts collapse to <= |customers| rows
+    via partial aggregation BEFORE the join, so the left_outer shuffle
+    moves two key-sized tables, never raw orders; the distribution
+    rollup after fill_null(0) is a tiny second groupby.
+    Returns (c_count, custdist) sorted by custdist DESC, c_count DESC
+    (the Q13 ordering)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.not_equal(batch["o_orderpriority"],
+                                        "1-URGENT"))
+        t = pa.table({"c_custkey": sel["o_custkey"],
+                      "n": pa.array(np.ones(sel.num_rows, np.int64),
+                                    pa.int64())})
+        return _gb(t, ["c_custkey"], [("n", "sum")], ["n"])
+
+    cnts = (orders.map_batches(o_partial, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("c_custkey").aggregate(Sum("n", alias_name="n")))
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    n_cust = cust.count()
+    joined = cust.join(cnts, join_type="left_outer",
+                       num_partitions=_nparts_for(n_cust),
+                       on=("c_custkey",))
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(batch["n"], 0)
+        t = pa.table({"c_count": pc.cast(n, pa.int64()),
+                      "d": pa.array(np.ones(batch.num_rows, np.int64),
+                                    pa.int64())})
+        return _gb(t, ["c_count"], [("d", "sum")], ["d"])
+
+    return (joined.map_batches(dist_partial, batch_format="pyarrow")
+            .groupby("c_count").aggregate(Sum("d", alias_name="custdist"))
+            .sort(["custdist", "c_count"], descending=[True, True]))
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""

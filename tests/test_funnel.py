@@ -177,3 +177,27 @@ class TestRetention:
         base = 2817  # epoch-week of 2024-01-01 (pure epoch math)
         assert out == {(base, 0): 1, (base, 1): 1, (base, 3): 1,
                        (base + 1, 0): 1, (base + 1, 1): 1}
+
+
+class TestQ13:
+    def test_sf0001_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from ocr_ray.functions.relational import (
+            Q13_SQL,
+            q13_customer_distribution,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = q13_customer_distribution(sf).to_pandas() \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"'{sf}/{t}.parquet'")
+        want = con.execute(Q13_SQL).fetchdf()
+        assert list(got["c_count"]) == list(want["c_count"])
+        assert list(got["custdist"]) == list(want["custdist"])
+        # the outer join must surface zero-order customers
+        assert 0 in set(got["c_count"]) or \
+            int(want[want["c_count"] == 0]["custdist"].sum()) == 0
