@@ -890,3 +890,174 @@ SELECT c_count, count(*) AS custdist FROM (
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
+
+
+def q18_large_volume_customers(sf_dir: str, qty_threshold: float = 250.0,
+                               k: int = 20):
+    """Large-volume customers (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds a threshold — the distributed HAVING
+    pattern: the quantity rollup collapses lineitem to <= |orders|
+    key-sized rows BEFORE the having-filter and the orders join, so
+    the join shuffle moves only the (rare) qualifying keys.
+    Quantities are integral in this corpus, so the float sum is exact
+    (the Q1 discipline).  Returns (c_custkey, o_orderkey, o_orderdate,
+    o_totalprice, sum_qty) by totalprice DESC, orderkey ASC, top k."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "sum_qty": batch["l_quantity"]})
+        return _gb(t, ["l_orderkey"], [("sum_qty", "sum")], ["sum_qty"])
+
+    big = (li.map_batches(li_partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("l_orderkey").aggregate(Sum("sum_qty",
+                                                alias_name="sum_qty"))
+           .filter(expr=f"sum_qty > {float(qty_threshold)}")
+           .materialize())
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderdate"])
+    joined = big.join(orders, join_type="inner",
+                      num_partitions=_nparts_for(max(1, big.count())),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["o_custkey"],
+            "o_orderkey": batch["l_orderkey"],
+            "o_orderdate": pc.strftime(batch["o_orderdate"],
+                                       format="%Y-%m-%d"),
+            "o_totalprice": batch["o_totalprice"],
+            "sum_qty": batch["sum_qty"],
+        })
+
+    return (joined.map_batches(finalize, batch_format="pyarrow")
+            .sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(k))
+
+
+Q18_SQL = """
+SELECT o.o_custkey AS c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice, t.sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250.0) t
+JOIN orders o ON o.o_orderkey = t.l_orderkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
+"""
+
+
+def q7_nation_volume(sf_dir: str):
+    """Shipping volume between every (supplier nation, customer nation)
+    pair per ship year (TPC-H Q7 generalized to ALL nation pairs — the
+    synthetic corpus's nations are uniform, so the classic two-nation
+    restriction would test almost nothing).  The heaviest relational
+    shape in the library: supplier nation rides into the lineitem scan
+    as a dense broadcast (the Q5 dimension pattern), the customer side
+    goes through TWO large hash joins (lineitem ⋈ orders on orderkey,
+    then ⋈ customer on custkey) with the chained-join hygiene
+    (schema-enforce + compact between them), and a partial rollup
+    between the joins shrinks the second shuffle to
+    (custkey, nation, year)-keyed rows.
+    Returns (supp_nation, cust_nation, l_year, revenue)."""
+    from ray.data.aggregate import Sum
+
+    from ._part import compact_parts
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    n2name = dict(zip(nat["n_nationkey"].to_pylist(),
+                      nat["n_name"].to_pylist()))
+    supp2nat = _dense_lookup(
+        sup["s_suppkey"].to_numpy(),
+        [n2name[nk] for nk in sup["s_nationkey"].to_pylist()])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def li_map(batch: pa.Table, supp2nat=None) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "supp_nation": pa.array(
+                supp2nat[batch["l_suppkey"].to_numpy()], pa.string()),
+            "l_year": pc.cast(pc.year(batch["l_shipdate"]), pa.int64()),
+            "c": _cents(rev)})
+        return _gb(t, ["l_orderkey", "supp_nation", "l_year"],
+                   [("c", "sum")], ["c"])
+
+    fact = li.map_batches(li_map, batch_format="pyarrow",
+                          batch_size=65536,
+                          fn_kwargs={"supp2nat": supp2nat})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n_orders = orders.count()
+    nparts = _nparts_for(n_orders)
+    j1 = fact.join(orders, join_type="inner", num_partitions=nparts,
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def shrink(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": batch["o_custkey"],
+                      "supp_nation": batch["supp_nation"],
+                      "l_year": batch["l_year"], "c": batch["c"]})
+        return _gb(t, ["o_custkey", "supp_nation", "l_year"],
+                   [("c", "sum")], ["c"])
+
+    mid_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("supp_nation", pa.string()),
+                            ("l_year", pa.int64()), ("c", pa.int64())])
+    half = (j1.map_batches(shrink, batch_format="pyarrow")
+            .map_batches(lambda b, s=mid_schema: b.select(
+                [f.name for f in s]).cast(s), batch_format="pyarrow")
+            .repartition(compact_parts(n_orders))
+            .materialize())
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = half.join(cust, join_type="inner", num_partitions=nparts,
+                   on=("o_custkey",), right_on=("c_custkey",))
+
+    def cust_nation(batch: pa.Table, n2name=n2name) -> pa.Table:
+        names = [n2name[nk] for nk in
+                 batch["c_nationkey"].to_pylist()]
+        t = pa.table({"supp_nation": batch["supp_nation"],
+                      "cust_nation": pa.array(names, pa.string()),
+                      "l_year": batch["l_year"], "c": batch["c"]})
+        return _gb(t, ["supp_nation", "cust_nation", "l_year"],
+                   [("c", "sum")], ["c"])
+
+    agg = (j2.map_batches(cust_nation, batch_format="pyarrow")
+           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("c", alias_name="c")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "supp_nation": batch["supp_nation"],
+            "cust_nation": batch["cust_nation"],
+            "l_year": batch["l_year"],
+            "revenue": round_half_up(pc.divide(pc.cast(
+                batch["c"], pa.float64()), pa.scalar(100.0)), 2)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       floor((sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+"""

@@ -201,3 +201,49 @@ class TestQ13:
         # the outer join must surface zero-order customers
         assert 0 in set(got["c_count"]) or \
             int(want[want["c_count"] == 0]["custdist"].sum()) == 0
+
+
+class TestQ18:
+    def test_sf0001_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from ocr_ray.functions.relational import (
+            Q18_SQL,
+            q18_large_volume_customers,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = q18_large_volume_customers(sf).to_pandas() \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        for t in ("lineitem", "orders"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"'{sf}/{t}.parquet'")
+        want = con.execute(Q18_SQL).fetchdf()
+        assert len(got) == len(want) > 0
+        for col in ("c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "sum_qty"):
+            assert list(got[col]) == list(want[col]), col
+
+
+class TestQ7:
+    def test_sf0001_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from ocr_ray.functions.relational import Q7_SQL, q7_nation_volume
+
+        sf = "/root/testdata/sf0.001"
+        got = q7_nation_volume(sf).to_pandas() \
+            .sort_values(["supp_nation", "cust_nation", "l_year"]) \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        for t in ("lineitem", "supplier", "nation", "orders",
+                  "customer"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"'{sf}/{t}.parquet'")
+        want = con.execute(
+            Q7_SQL + " ORDER BY supp_nation, cust_nation, l_year") \
+            .fetchdf()
+        assert len(got) == len(want) > 0
+        for col in ("supp_nation", "cust_nation", "l_year", "revenue"):
+            assert list(got[col]) == list(want[col]), col
