@@ -1061,3 +1061,50 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation cn ON c.c_nationkey = cn.n_nationkey
 GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
 """
+
+
+def salted_join(large_ds, small_ds, on: str, right_on: str | None = None,
+                n_salts: int = 8, num_partitions: int | None = None):
+    """Skew-proof inner hash join (the join-side counterpart to the
+    salted COUNT DISTINCT): a hot key in a plain hash join lands every
+    one of its rows in ONE aggregator partition — the straggler that
+    kills wall-clock at 100 TB.  Salting splits each large-side key's
+    rows across ``n_salts`` sub-partitions (salt = splitmix of a
+    per-batch row counter — deterministic layout-independence is NOT
+    required for correctness here, only balance) and replicates each
+    small-side row to all ``n_salts`` salts, so the join key becomes
+    (key, salt) and no partition holds more than ~1/n_salts of a hot
+    key.  Result rows equal the plain inner join exactly (tested on a
+    planted 90%-one-key skew); cost = small side x n_salts, the
+    standard trade.
+
+    ``large_ds``/``small_ds``: Datasets.  ``on``: large-side key
+    column; ``right_on``: small-side key column (defaults to ``on``)."""
+    import ray.data as rd
+
+    right_on = right_on or on
+
+    def salt_large(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = batch[on].to_numpy(zero_copy_only=False)
+        mix = ((keys.astype(np.uint64) + np.arange(n, dtype=np.uint64))
+               * np.uint64(0x9E3779B97F4A7C15))
+        salt = ((mix >> np.uint64(33)) % np.uint64(n_salts)) \
+            .astype(np.int64)
+        return batch.append_column("_salt", pa.array(salt, pa.int64()))
+
+    def replicate_small(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n), n_salts))
+        rep = batch.take(idx)
+        salt = np.tile(np.arange(n_salts, dtype=np.int64), n)
+        return rep.append_column("_salt", pa.array(salt, pa.int64()))
+
+    left = large_ds.map_batches(salt_large, batch_format="pyarrow")
+    right = small_ds.map_batches(replicate_small, batch_format="pyarrow")
+    if num_partitions is None:
+        num_partitions = _nparts_for(large_ds.count())
+    joined = left.join(right, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=(on, "_salt"), right_on=(right_on, "_salt"))
+    return joined.drop_columns(["_salt"])

@@ -247,3 +247,51 @@ class TestQ7:
         assert len(got) == len(want) > 0
         for col in ("supp_nation", "cust_nation", "l_year", "revenue"):
             assert list(got[col]) == list(want[col]), col
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join_on_planted_skew(self, ray_session):
+        """90% of the large side carries ONE key: the salted join must
+        return exactly the plain join's multiset of rows."""
+        import numpy as np
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import salted_join
+
+        rng = np.random.RandomState(4)
+        keys = np.where(rng.rand(5000) < 0.9, 7,
+                        rng.randint(0, 50, 5000)).astype(np.int64)
+        large = rd.from_arrow(pa.table({
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(np.arange(5000), pa.int64())}))
+        small = rd.from_arrow(pa.table({
+            "rk": pa.array(np.arange(0, 50, 1), pa.int64()),
+            "name": pa.array([f"n{i}" for i in range(50)],
+                             pa.string())}))
+
+        got = sorted((r["k"], r["v"], r["name"]) for r in
+                     salted_join(large, small, on="k",
+                                 right_on="rk").take_all())
+        want = sorted((int(k), int(v), f"n{k}")
+                      for k, v in zip(keys, np.arange(5000)))
+        assert got == want
+
+    def test_small_side_dup_keys(self, ray_session):
+        """Duplicate keys on the small side multiply rows exactly as a
+        plain join would."""
+        import numpy as np
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import salted_join
+
+        large = rd.from_arrow(pa.table({
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "v": pa.array([10, 11, 20], pa.int64())}))
+        small = rd.from_arrow(pa.table({
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "w": pa.array([100, 101, 200], pa.int64())}))
+        got = sorted((r["k"], r["v"], r["w"]) for r in
+                     salted_join(large, small, on="k",
+                                 num_partitions=4).take_all())
+        assert got == [(1, 10, 100), (1, 10, 101), (1, 11, 100),
+                       (1, 11, 101), (2, 20, 200)]
