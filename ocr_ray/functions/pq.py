@@ -253,6 +253,27 @@ def build_pq_index(sf_dir: str, m: int = 8, nbits: int = 4,
     return path, cbs, cent
 
 
+def _rerank_sources(sf_dir: str, index_path: str) -> list[str]:
+    """Files the exact re-rank point-fetch reads: the base corpus plus
+    any files recorded by append_to_pq_index (the appended vectors
+    live outside the original parquet)."""
+    import json
+
+    srcs = [f"{sf_dir}/embeddings.parquet"]
+    extra = f"{index_path}/_extra_sources.json"
+    if os.path.exists(extra):
+        srcs.extend(json.load(open(extra)))
+    return srcs
+
+
+def _point_fetch(sources: list[str], ids: list[int]) -> pa.Table:
+    tabs = [pqt.read_table(p, columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "in", ids)])
+            for p in sources]
+    return pa.concat_tables([t for t in tabs if t.num_rows]) \
+        if any(t.num_rows for t in tabs) else tabs[0]
+
+
 def _empty_topk():
     import ray.data as rd
 
@@ -319,9 +340,8 @@ def knn_pq(sf_dir: str, query_vec_id: int = 0, k: int = 10,
         return _empty_topk()
 
     # exact re-rank: predicate-pushdown point fetch of ONLY those rows
-    tbl = pqt.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"],
-                         filters=[("vec_id", "in", cand_ids)])
+    # (base corpus + any appended source files)
+    tbl = _point_fetch(_rerank_sources(sf_dir, path), cand_ids)
     x = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
     ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
     norms = np.linalg.norm(x, axis=1)
@@ -436,9 +456,7 @@ def knn_pq_batch(sf_dir: str, n_queries: int = 8, k: int = 5,
     if not all_ids:
         return empty
 
-    rtbl = pqt.read_table(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"],
-                          filters=[("vec_id", "in", all_ids)])
+    rtbl = _point_fetch(_rerank_sources(sf_dir, path), all_ids)
     rx = np.asarray(rtbl["embedding"].to_pylist(), dtype=np.float64)
     rids = np.asarray(rtbl["vec_id"].to_numpy(zero_copy_only=False))
     norms = np.linalg.norm(rx, axis=1)
@@ -458,3 +476,92 @@ def knn_pq_batch(sf_dir: str, n_queries: int = 8, k: int = 5,
         "query_id": pa.array(out_q, pa.int64()),
         "vec_id": pa.array(out_v, pa.int64()),
         "cosine": pa.array(out_c, pa.float64())}))
+
+
+def append_to_pq_index(index_path: str, new_embeddings_file: str,
+                       batch_size: int = 4096) -> dict:
+    """Continuous ingestion for the PQ index (the band-index append
+    story on the vector side): encode NEW vectors under the index's
+    FROZEN codebook and add them as NEW files inside the existing
+    bucket partitions — committed files are never touched, so readers
+    mid-query see either the old or the new file set, both valid.
+
+    The codebook is deliberately not retrained (the standard IVF-PQ
+    append contract): quantization error drifts only if the new data's
+    distribution does, and the exact re-rank absorbs moderate drift —
+    rebuild when recall against a brute-force sample degrades.
+    Bucket counts are refreshed via tmp-write + atomic rename, so
+    adaptive probing sees the appended rows.  Caller contract: new
+    vec_ids must not repeat ids already in the index (same rule as the
+    parquet corpus itself).
+
+    Returns {"rows": appended, "buckets": touched}."""
+    import json
+
+    import ray.data as rd
+
+    meta = json.load(open(f"{index_path}/_pq_meta.json"))
+    cbs = np.asarray(meta["codebooks"], dtype=np.float64)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    m = int(meta["m"])
+
+    ds = rd.read_parquet(new_embeddings_file,
+                         columns=["vec_id", "embedding"])
+
+    def encode_batch(batch: pa.Table) -> pa.Table:
+        x = _batch_matrix(batch)
+        codes = _encode(_normalize_rows(x), cbs)
+        bucket = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1) \
+            .argmin(1).astype(np.int64)
+        n, mm = codes.shape
+        codes_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(mm), n,
+            [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+        return pa.table({"vec_id": batch["vec_id"],
+                         "codes": codes_arr,
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    # stage under a private dir, then move files into the live bucket
+    # dirs with unique names (os.rename within the same fs is atomic)
+    tmp = f"{index_path}/.append.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ds.map_batches(encode_batch, batch_format="pyarrow",
+                   batch_size=batch_size).write_parquet(
+        tmp, partition_cols=["bucket"])
+
+    counts = json.load(open(f"{index_path}/_bucket_counts.json"))
+    appended, touched = 0, 0
+    for name in sorted(os.listdir(tmp)):
+        if not name.startswith("bucket="):
+            continue
+        b = name.split("=", 1)[1]
+        src_dir, dst_dir = f"{tmp}/{name}", f"{index_path}/{name}"
+        os.makedirs(dst_dir, exist_ok=True)
+        moved = 0
+        for i, f in enumerate(sorted(os.listdir(src_dir))):
+            if not f.endswith(".parquet"):
+                continue
+            rows = pqt.ParquetFile(f"{src_dir}/{f}").metadata.num_rows
+            os.rename(f"{src_dir}/{f}",
+                      f"{dst_dir}/append-{os.getpid()}-{i}-{f}")
+            moved += rows
+        counts[b] = counts.get(b, 0) + moved
+        appended += moved
+        touched += 1
+    with open(f"{index_path}/_bucket_counts.json.tmp", "w") as f:
+        json.dump(counts, f)
+    os.rename(f"{index_path}/_bucket_counts.json.tmp",
+              f"{index_path}/_bucket_counts.json")
+    # record the source file so the exact re-rank can point-fetch the
+    # appended vectors (they live outside the base corpus parquet)
+    extra_file = f"{index_path}/_extra_sources.json"
+    extras = (json.load(open(extra_file))
+              if os.path.exists(extra_file) else [])
+    if new_embeddings_file not in extras:
+        extras.append(new_embeddings_file)
+    with open(extra_file + ".tmp", "w") as f:
+        json.dump(extras, f)
+    os.rename(extra_file + ".tmp", extra_file)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"rows": appended, "buckets": touched}

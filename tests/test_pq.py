@@ -198,3 +198,56 @@ class TestKnnPqBatch:
             top = g.sort_values(["cosine", "vec_id"],
                                 ascending=[False, True]).iloc[0]
             assert top["vec_id"] == qid and top["cosine"] == 1.0
+
+
+class TestAppend:
+    def test_appended_vector_is_searchable(self, ray_session, tmp_path):
+        """Append a near-copy of the query vector after the build: the
+        probe must surface it; committed files stay byte-untouched;
+        bucket counts grow by exactly the appended rows."""
+        import json
+
+        from ocr_ray.functions.pq import (
+            append_to_pq_index,
+            build_pq_index,
+            knn_pq,
+        )
+
+        sf = str(tmp_path / "sf")
+        rng = np.random.RandomState(21)
+        base = rng.randn(200, 32)
+        _write_corpus(sf, base)
+        path, _, _ = build_pq_index(sf, m=8, nbits=4, n_clusters=4)
+        before = {}
+        for r, _, fs in os.walk(path):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    before[p] = os.stat(p).st_mtime_ns
+        counts_before = json.load(open(f"{path}/_bucket_counts.json"))
+
+        # new rows: a near-duplicate of vector 0 plus background
+        q = base[0]
+        new = np.vstack([q + rng.randn(32) * 0.01,
+                         rng.randn(9, 32)])
+        newt = pa.table({
+            "vec_id": pa.array(np.arange(1000, 1010), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in new],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(10, np.int32), pa.int32())})
+        pqt.write_table(newt, str(tmp_path / "new.parquet"))
+        res = append_to_pq_index(path, str(tmp_path / "new.parquet"))
+        assert res["rows"] == 10
+
+        # committed files untouched
+        for p, mt in before.items():
+            assert os.stat(p).st_mtime_ns == mt
+        counts_after = json.load(open(f"{path}/_bucket_counts.json"))
+        assert (sum(counts_after.values())
+                == sum(counts_before.values()) + 10)
+
+        # the planted near-copy must now be vector 0's top-2 neighbor
+        # (knn_pq rebuilds nothing: the cached index path is reused)
+        top = knn_pq(sf, query_vec_id=0, k=2, m=8, nbits=4,
+                     n_clusters=4).take_all()
+        assert {r["vec_id"] for r in top} == {0, 1000}
