@@ -148,6 +148,14 @@ def _media_features(sf_dir: str):
     return media_features(media)
 
 
+def _event_funnel(sf_dir: str):
+    """First-touch view->click->purchase funnel (inclusive 24 h step
+    windows); see ocr_ray/functions/events.py event_funnel."""
+    from ocr_ray.functions import events as ev
+
+    return ev.event_funnel(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.functions import corpus_prep as cp
     from ocr_ray.functions import dedup as dd
@@ -235,18 +243,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # groupby; the shape stays covered by nation_customer_balance
         # and pytest) for the float grouped-quantile operator
         "priority_price_quantiles": _priority_price_quantiles,
-        "topk_orders_by_price": rel.topk_orders_by_price,
-        "orders_by_year": rel.orders_by_year,
+        # topk_orders_by_price / orders_by_year / nation_customer_balance
+        # / brand_size_matrix rotated out this round (simple groupby /
+        # top-k shapes fully covered by the remaining entries and
+        # pytest) for four join-heavy classics:
+        "q13_customer_distribution": rel.q13_customer_distribution,
+        "q18_large_volume_customers": rel.q18_large_volume_customers,
+        "q7_nation_volume": rel.q7_nation_volume,
         "q4_high_quantity_orders": rel.q4_high_quantity_orders,
-        "nation_customer_balance": rel.nation_customer_balance,
-        "brand_size_matrix": rel.brand_size_matrix,
         "top_orders_per_segment": rel.top_orders_per_segment,
         "q14_promo_revenue_share": rel.q14_promo_revenue_share,
         "q10_returned_revenue_by_customer": rel.q10_returned_revenue_by_customer,
         "order_price_quantiles": rel.order_price_quantiles,
-        # events / streaming-shaped (§2.9)
-        "events_by_type": ev.events_by_type,
-        "events_daily": ev.events_daily,
+        # events / streaming-shaped (§2.9); events_by_type /
+        # events_daily rotated out (basic rollups — the daily shape
+        # stays driver-covered by events_daily_moving_avg,
+        # events_hourly_histogram and events_windows_watermark) for the
+        # funnel / transition / retention family:
+        "event_funnel": _event_funnel,
+        "event_transitions": ev.event_transitions,
+        "weekly_retention": ev.weekly_retention,
         "top_users_by_value": ev.top_users_by_value,
         "sessionize": ev.sessionize,
         "props_k_stats": ev.props_k_stats,
@@ -277,18 +293,18 @@ def oracle_sql() -> dict[str, str]:
         "q5_supplier_region_revenue": rel.Q5_SQL,
         "q6_revenue_delta": rel.Q6_SQL,
         "priority_price_quantiles": cp.PRIORITY_PRICE_QUANTILES_SQL,
-        "topk_orders_by_price": rel.TOPK_ORDERS_SQL,
-        "orders_by_year": rel.ORDERS_BY_YEAR_SQL,
+        "q13_customer_distribution": rel.Q13_SQL,
+        "q18_large_volume_customers": rel.Q18_SQL,
+        "q7_nation_volume": rel.Q7_SQL,
         "q4_high_quantity_orders": rel.Q4_SQL,
-        "nation_customer_balance": rel.NATION_BALANCE_SQL,
-        "brand_size_matrix": rel.BRAND_SIZE_SQL,
         "top_orders_per_segment": rel.TOP_ORDERS_PER_SEGMENT_SQL,
         "q14_promo_revenue_share": rel.Q14_SQL,
         "q10_returned_revenue_by_customer": rel.Q10_SQL,
         "order_price_quantiles": rel.ORDER_PRICE_QUANTILES_SQL,
         "passage_removal": cp.PASSAGE_REMOVAL_SQL,
-        "events_by_type": ev.EVENTS_BY_TYPE_SQL,
-        "events_daily": ev.EVENTS_DAILY_SQL,
+        "event_funnel": ev.event_funnel_sql(),
+        "event_transitions": ev.EVENT_TRANSITIONS_SQL,
+        "weekly_retention": ev.WEEKLY_RETENTION_SQL,
         "top_users_by_value": ev.TOP_USERS_SQL,
         "sessionize": ev.SESSIONIZE_SQL,
         "props_k_stats": ev.PROPS_K_SQL,

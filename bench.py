@@ -36,7 +36,10 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_order_revenue",
     "q5_supplier_region_revenue",
-    "events_by_type",
+    # events_by_type rotated out of the registry (round-5 continuation)
+    # in favor of the funnel family; the funnel is the better bench
+    # anyway (lexsort + segmented-reduceat kernel vs a plain groupby)
+    "event_funnel",
     "sessionize",
     "doc_token_counts",
     "exact_dedup_groups",

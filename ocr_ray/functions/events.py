@@ -950,7 +950,7 @@ def event_funnel_sql(steps: tuple = ("view", "click", "purchase"),
     AND e.ts <= t{i} + INTERVAL {within_hours} HOUR
   GROUP BY e.user_id)""")
     selects = [
-        f"SELECT {i + 1} AS step, '{s}' AS event_type, "
+        f"SELECT CAST({i + 1} AS BIGINT) AS step, '{s}' AS event_type, "
         f"(SELECT count(*) FROM s{i + 1}) AS n_users"
         for i, s in enumerate(steps)]
     return ("WITH " + ",\n".join(ctes) + "\n, funnel AS ("

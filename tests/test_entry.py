@@ -16,7 +16,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 # fast, shape-diverse subset for the per-commit gate
 CHECKED = [
     "q1_pricing_summary", "q6_revenue_delta", "priority_price_quantiles",
-    "events_by_type", "sessionize", "doc_token_counts",
+    "event_funnel", "sessionize", "doc_token_counts",
     "exact_dedup_groups", "knn_bruteforce",
 ]
 
