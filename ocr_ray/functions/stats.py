@@ -1,0 +1,136 @@
+"""Distributed EXACT second-moment statistics — the Pearson
+correlation matrix over numeric fact-table columns, computed without
+any float accumulation.
+
+Why the fuss: the textbook one-pass corr (Welford / running float
+sums) gives merge-order-dependent last-ulp results on a distributed
+engine — the exact class of nondeterminism this repo bans.  Here every
+value is scaled once to int64 (half-up, the shared discipline), and
+the aggregate state is a vector of PYTHON ints (arbitrary precision),
+so sums of squares/products can NEVER overflow and every merge is
+exact integer addition — bit-identical on any block layout, any merge
+order, any cluster.  The DuckDB mirror does the same arithmetic in
+HUGEINT (int128), so correlations match to the rounded digit.
+
+corr(x, y) = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)),
+computed from the exact integer sums at the driver fold (state size:
+O(d^2) ints), rounded half-up to 6.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_SCALE = 100.0          # cents-style fixed point, shared with _cents
+
+
+def correlation_matrix(sf_dir: str, table: str = "lineitem",
+                       cols: tuple = ("l_quantity", "l_extendedprice",
+                                      "l_discount", "l_tax")) -> pa.Table:
+    """Pairwise Pearson correlations over ``cols`` of ``table``.
+    Returns pa.Table(col_a, col_b, corr) for a < b (column-name order).
+    ONE streaming aggregate; see module docstring for the exactness
+    argument."""
+    from ray.data.aggregate import AggregateFn
+
+    from ._io import clean_read
+
+    d = len(cols)
+    ds = clean_read(f"{sf_dir}/{table}.parquet", columns=list(cols))
+
+    def acc_block(state, blk):
+        # state: list [n, Sx_0..Sx_{d-1}, upper-tri S_ij incl. diag]
+        # of PYTHON ints (exact, unbounded)
+        if not state:
+            state = [0] * (1 + d + d * (d + 1) // 2)
+        state = list(state)
+        m = np.stack([
+            np.floor(blk[c].to_numpy(zero_copy_only=False)
+                     * _SCALE + 0.5).astype(np.int64)
+            for c in cols])                       # (d, n) exact ints
+        state[0] += m.shape[1]
+        # block-level products in object dtype only at the 128-bit-risk
+        # step: int64 matmul could overflow silently, so go through
+        # Python ints per pair on the BLOCK SUM level (d^2 scalars per
+        # block, not per row)
+        for i in range(d):
+            state[1 + i] += int(m[i].sum(dtype=np.int64))
+        k = 1 + d
+        for i in range(d):
+            for j in range(i, d):
+                # exact: int64 rowwise product can overflow, so split
+                # into (hi*2^32 + lo) once per pair
+                prod = m[i].astype(object) * m[j].astype(object)
+                state[k] += int(prod.sum())
+                k += 1
+        return state
+
+    def merge(s1, s2):
+        if not s1:
+            return s2
+        if not s2:
+            return s1
+        return [a + b for a, b in zip(s1, s2)]
+
+    agg = AggregateFn(init=lambda _: [], merge=merge,
+                      accumulate_block=acc_block, name="corr")
+    st = ds.aggregate(agg)["corr"]
+    n = st[0]
+    sx = st[1:1 + d]
+    sij = {}
+    k = 1 + d
+    for i in range(d):
+        for j in range(i, d):
+            sij[(i, j)] = st[k]
+            k += 1
+
+    rows = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            num = n * sij[(i, j)] - sx[i] * sx[j]
+            den_a = n * sij[(i, i)] - sx[i] * sx[i]
+            den_b = n * sij[(j, j)] - sx[j] * sx[j]
+            if den_a <= 0 or den_b <= 0:
+                r = 0.0
+            else:
+                # exact ints -> one float division at the very end
+                r = float(num) / float(np.sqrt(float(den_a))
+                                       * np.sqrt(float(den_b)))
+            rows.append({"col_a": cols[i], "col_b": cols[j],
+                         "corr": float(np.floor(r * 1e6 + 0.5) / 1e6)})
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("col_a", pa.string()), ("col_b", pa.string()),
+        ("corr", pa.float64())]))
+
+
+def correlation_matrix_sql(table: str = "lineitem",
+                           cols: tuple = ("l_quantity",
+                                          "l_extendedprice",
+                                          "l_discount", "l_tax")) -> str:
+    """DuckDB mirror: the SAME integer sums in HUGEINT, the same final
+    fold — NOT DuckDB's corr() (whose float accumulation is
+    order-dependent in the last ulp)."""
+    def s(c):
+        return f"CAST(floor({c} * 100.0 + 0.5) AS HUGEINT)"
+
+    sums = [f"count(*) AS n"]
+    for c in cols:
+        sums.append(f"sum({s(c)}) AS sx_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            sums.append(f"sum({s(a)} * {s(b)}) AS sp_{a}_{b}")
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            num = f"(n * sp_{a}_{b} - sx_{a} * sx_{b})"
+            da = f"(n * sp_{a}_{a} - sx_{a} * sx_{a})"
+            db = f"(n * sp_{b}_{b} - sx_{b} * sx_{b})"
+            pairs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"floor(CAST({num} AS DOUBLE) / "
+                f"(sqrt(CAST({da} AS DOUBLE)) * "
+                f"sqrt(CAST({db} AS DOUBLE))) * 1e6 + 0.5) / 1e6 "
+                f"AS corr FROM sums")
+    return (f"WITH sums AS (SELECT {', '.join(sums)} FROM {table})\n"
+            + "\nUNION ALL\n".join(pairs))
