@@ -134,3 +134,90 @@ def correlation_matrix_sql(table: str = "lineitem",
                 f"AS corr FROM sums")
     return (f"WITH sums AS (SELECT {', '.join(sums)} FROM {table})\n"
             + "\nUNION ALL\n".join(pairs))
+
+
+def ols_fit(sf_dir: str, table: str = "lineitem",
+            x_col: str = "l_quantity",
+            y_col: str = "l_extendedprice") -> pa.Table:
+    """Closed-form simple linear regression y = intercept + slope * x
+    from the SAME exact integer moment sums as correlation_matrix —
+    one streaming aggregate, zero float accumulation, bit-identical on
+    any layout.  slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2); r2 = corr^2.
+    Returns one row (slope, intercept, r2), rounded half-up to 6.
+    DuckDB mirror: ols_fit_sql (same HUGEINT arithmetic, not
+    regr_slope's float accumulation)."""
+    from ray.data.aggregate import AggregateFn
+
+    from ._io import clean_read
+
+    ds = clean_read(f"{sf_dir}/{table}.parquet", columns=[x_col, y_col])
+
+    def acc_block(state, blk):
+        if not state:
+            state = [0] * 6         # n, Sx, Sy, Sxx, Syy, Sxy
+        state = list(state)
+        x = np.floor(blk[x_col].to_numpy(zero_copy_only=False)
+                     * _SCALE + 0.5).astype(np.int64)
+        y = np.floor(blk[y_col].to_numpy(zero_copy_only=False)
+                     * _SCALE + 0.5).astype(np.int64)
+        state[0] += len(x)
+        state[1] += int(x.sum(dtype=np.int64))
+        state[2] += int(y.sum(dtype=np.int64))
+        state[3] += int((x.astype(object) * x.astype(object)).sum())
+        state[4] += int((y.astype(object) * y.astype(object)).sum())
+        state[5] += int((x.astype(object) * y.astype(object)).sum())
+        return state
+
+    def merge(s1, s2):
+        if not s1:
+            return s2
+        if not s2:
+            return s1
+        return [a + b for a, b in zip(s1, s2)]
+
+    agg = AggregateFn(init=lambda _: [], merge=merge,
+                      accumulate_block=acc_block, name="ols")
+    n, sx, sy, sxx, syy, sxy = ds.aggregate(agg)["ols"]
+    den = n * sxx - sx * sx
+    if den <= 0:
+        slope, intercept, r2 = 0.0, float(sy) / max(n, 1) / _SCALE, 0.0
+    else:
+        num = n * sxy - sx * sy
+        slope = float(num) / float(den)
+        # intercept back in ORIGINAL units: the scale cancels in the
+        # slope; the intercept carries one factor of 1/_SCALE
+        intercept = (float(sy) - slope * float(sx)) / n / _SCALE
+        dy = n * syy - sy * sy
+        r2 = (float(num) ** 2 / (float(den) * float(dy))
+              if dy > 0 else 0.0)
+
+    def r6(v):
+        return float(np.floor(v * 1e6 + 0.5) / 1e6)
+
+    return pa.Table.from_pylist(
+        [{"slope": r6(slope), "intercept": r6(intercept), "r2": r6(r2)}],
+        schema=pa.schema([("slope", pa.float64()),
+                          ("intercept", pa.float64()),
+                          ("r2", pa.float64())]))
+
+
+def ols_fit_sql(table: str = "lineitem", x_col: str = "l_quantity",
+                y_col: str = "l_extendedprice") -> str:
+    """HUGEINT mirror of ols_fit (same fold, same rounding)."""
+    xs = f"CAST(floor({x_col} * 100.0 + 0.5) AS HUGEINT)"
+    ys = f"CAST(floor({y_col} * 100.0 + 0.5) AS HUGEINT)"
+    return f"""
+WITH s AS (SELECT count(*) AS n, sum({xs}) AS sx, sum({ys}) AS sy,
+                  sum({xs} * {xs}) AS sxx, sum({ys} * {ys}) AS syy,
+                  sum({xs} * {ys}) AS sxy FROM {table})
+SELECT
+  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6 AS slope,
+  floor((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        / n / 100.0 * 1e6 + 0.5) / 1e6 AS intercept,
+  floor(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+        * 1e6 + 0.5) / 1e6 AS r2
+FROM s
+"""

@@ -83,3 +83,36 @@ class TestCorrelation:
         out = correlation_matrix(sf, table="t",
                                  cols=("a", "k")).to_pylist()
         assert out[0]["corr"] == 0.0      # zero variance -> defined 0
+
+
+class TestOls:
+    def test_sf0001_matches_hugeint_oracle(self, ray_session):
+        import duckdb
+
+        from ocr_ray.functions.stats import ols_fit, ols_fit_sql
+
+        sf = "/root/testdata/sf0.001"
+        got = ols_fit(sf).to_pylist()[0]
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                    f"'{sf}/lineitem.parquet'")
+        want = con.execute(ols_fit_sql()).fetchdf().iloc[0]
+        assert got["slope"] == want["slope"]
+        assert got["intercept"] == want["intercept"]
+        assert got["r2"] == want["r2"]
+
+    def test_planted_line(self, ray_session, tmp_path):
+        from ocr_ray.functions.stats import ols_fit
+
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf, exist_ok=True)
+        rng = np.random.RandomState(12)
+        x = rng.rand(5000) * 100
+        y = 3.0 * x + 7.0
+        pq.write_table(pa.table({
+            "x": pa.array(x, pa.float64()),
+            "y": pa.array(y, pa.float64())}), f"{sf}/t.parquet")
+        got = ols_fit(sf, table="t", x_col="x", y_col="y").to_pylist()[0]
+        assert abs(got["slope"] - 3.0) < 1e-3
+        assert abs(got["intercept"] - 7.0) < 0.05
+        assert got["r2"] > 0.9999
