@@ -221,3 +221,79 @@ SELECT
         * 1e6 + 0.5) / 1e6 AS r2
 FROM s
 """
+
+
+_RI_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def ri_check(sf_dir: str, edges=_RI_EDGES) -> pa.Table:
+    """Referential-integrity audit: orphan-row counts for every
+    fact -> dimension key edge — the pipeline-health check a corpus
+    ingest runs before anything joins.
+
+    Per edge: distinct fact keys via per-block partial dedup + one
+    groupby (key-sized), then a LEFT ANTI join against the dimension's
+    key column and a count — the dedup_survivors anti-join shape, so
+    neither side funnels through the driver.  Returns
+    (fact_table, fact_key, dim_table, n_orphan_keys) per edge.
+    DuckDB mirror: ri_check_sql (exact)."""
+    from ray.data.aggregate import Count
+
+    from ._io import clean_read
+    from ._part import compact_parts, nparts_for
+
+    rows = []
+    for ft, fk, dt, dk in edges:
+        fact = clean_read(f"{sf_dir}/{ft}.parquet", columns=[fk])
+
+        key_schema = pa.schema([(fk, pa.int64())])
+
+        def dedup_block(batch: pa.Table, fk=fk,
+                        key_schema=key_schema) -> pa.Table:
+            # cast both sides to int64: key dtypes differ across tables
+            # (int32 nation keys vs int64 order keys), and Acero
+            # refuses mixed-type join keys
+            return batch.group_by([fk]).aggregate([]).select([fk]) \
+                .cast(key_schema)
+
+        keys = (fact.map_batches(dedup_block, batch_format="pyarrow")
+                .groupby(fk).count()
+                .select_columns([fk]).materialize())
+        n_keys = keys.count()
+        # compact to row-bounded blocks: drops the groupby's schema-less
+        # empty blocks, which break the anti join's Acero key resolution
+        keys = keys.repartition(compact_parts(max(1, n_keys))) \
+            .materialize()
+        dim = clean_read(f"{sf_dir}/{dt}.parquet", columns=[dk]) \
+            .rename_columns({dk: fk}) \
+            .map_batches(lambda b, s=key_schema: b.select([s[0].name])
+                         .cast(s), batch_format="pyarrow")
+        orphans = keys.join(dim, "left_anti",
+                            num_partitions=nparts_for(n_keys),
+                            on=(fk,))
+        rows.append({"fact_table": ft, "fact_key": fk,
+                     "dim_table": dt,
+                     "n_orphan_keys": orphans.count()})
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("fact_table", pa.string()), ("fact_key", pa.string()),
+        ("dim_table", pa.string()), ("n_orphan_keys", pa.int64())]))
+
+
+def ri_check_sql(edges=_RI_EDGES) -> str:
+    parts = []
+    for ft, fk, dt, dk in edges:
+        parts.append(
+            f"SELECT '{ft}' AS fact_table, '{fk}' AS fact_key, "
+            f"'{dt}' AS dim_table, "
+            f"(SELECT count(*) FROM (SELECT DISTINCT {fk} FROM {ft}) f "
+            f" WHERE {fk} IS NOT NULL AND {fk} NOT IN "
+            f" (SELECT {dk} FROM {dt})) AS n_orphan_keys")
+    return "\nUNION ALL\n".join(parts)

@@ -116,3 +116,37 @@ class TestOls:
         assert abs(got["slope"] - 3.0) < 1e-3
         assert abs(got["intercept"] - 7.0) < 0.05
         assert got["r2"] > 0.9999
+
+
+class TestRiCheck:
+    def test_sf0001_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from ocr_ray.functions.stats import ri_check, ri_check_sql
+
+        sf = "/root/testdata/sf0.001"
+        got = ri_check(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        for t in ("lineitem", "orders", "part", "supplier", "customer",
+                  "nation", "region"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"'{sf}/{t}.parquet'")
+        want = con.execute(ri_check_sql()).fetchdf()
+        assert list(got["fact_table"]) == list(want["fact_table"])
+        assert list(got["n_orphan_keys"]) == list(want["n_orphan_keys"])
+
+    def test_planted_orphans_detected(self, ray_session, tmp_path):
+        from ocr_ray.functions.stats import ri_check
+
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf, exist_ok=True)
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array([1, 1, 2, 99, 98], pa.int64())}),
+            f"{sf}/lineitem.parquet")
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64())}),
+            f"{sf}/orders.parquet")
+        got = ri_check(sf, edges=(
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),)) \
+            .to_pylist()
+        assert got[0]["n_orphan_keys"] == 2       # 98 and 99
