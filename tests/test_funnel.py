@@ -295,3 +295,66 @@ class TestSaltedJoin:
                                  num_partitions=4).take_all())
         assert got == [(1, 10, 100), (1, 10, 101), (1, 11, 100),
                        (1, 11, 101), (2, 20, 200)]
+
+
+class TestRandomizedParity:
+    def test_event_trio_random_streams(self, ray_session, tmp_path):
+        """20 seeded random event streams with adversarial structure
+        (same-ts collisions, NULL users, exact-window boundaries,
+        singleton users): funnel, transitions and retention must match
+        DuckDB on every one."""
+        import duckdb
+        import numpy as np
+
+        from ocr_ray.functions.events import (
+            EVENT_TRANSITIONS_SQL,
+            WEEKLY_RETENTION_SQL,
+            event_funnel,
+            event_funnel_sql,
+            event_transitions,
+            weekly_retention,
+        )
+
+        types = ["view", "click", "purchase", "error"]
+        for seed in range(20):
+            rng = np.random.RandomState(seed)
+            n = int(rng.randint(5, 120))
+            rows = []
+            for i in range(n):
+                u = None if rng.rand() < 0.1 else int(rng.randint(1, 8))
+                # coarse minute grid -> frequent same-ts collisions;
+                # occasionally land EXACTLY on the 24 h boundary
+                m = int(rng.choice([0, 1, 5, 24 * 60,
+                                    int(rng.randint(0, 3000))]))
+                rows.append((u, m, types[int(rng.randint(0, 4))]))
+            sf = str(tmp_path / f"sf{seed}")
+            _write_events(sf, rows)
+            con = duckdb.connect()
+            con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                        f"'{sf}/events.parquet'")
+
+            got = event_funnel(sf).to_pandas().sort_values("step") \
+                .reset_index(drop=True)
+            want = con.execute(event_funnel_sql()).fetchdf()
+            assert list(got["n_users"]) == list(want["n_users"]), \
+                f"funnel seed {seed}"
+
+            got = event_transitions(sf).to_pandas() \
+                .sort_values(["from_type", "to_type"]) \
+                .reset_index(drop=True)
+            want = con.execute(
+                EVENT_TRANSITIONS_SQL
+                + " ORDER BY from_type, to_type").fetchdf()
+            assert list(got["from_type"]) == list(want["from_type"]) \
+                and list(got["n_transitions"]) == \
+                list(want["n_transitions"]), f"transitions seed {seed}"
+
+            got = weekly_retention(sf).to_pandas() \
+                .sort_values(["cohort_week", "week_offset"]) \
+                .reset_index(drop=True)
+            want = con.execute(
+                WEEKLY_RETENTION_SQL
+                + " ORDER BY cohort_week, week_offset").fetchdf()
+            assert list(got["n_users"]) == list(want["n_users"]), \
+                f"retention seed {seed}"
+            con.close()
