@@ -358,3 +358,34 @@ class TestRandomizedParity:
             assert list(got["n_users"]) == list(want["n_users"]), \
                 f"retention seed {seed}"
             con.close()
+
+
+class TestSaltedJoinFuzz:
+    def test_random_tables_equal_plain_join(self, ray_session):
+        """10 seeded random (large, small) table pairs incl. dup keys
+        on both sides and keys that miss: salted == plain, exactly."""
+        import numpy as np
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import salted_join
+
+        for seed in range(10):
+            rng = np.random.RandomState(100 + seed)
+            nl = int(rng.randint(10, 400))
+            ns = int(rng.randint(1, 40))
+            lk = rng.randint(0, 20, nl).astype(np.int64)
+            sk = rng.randint(0, 25, ns).astype(np.int64)  # some miss
+            large = rd.from_arrow(pa.table({
+                "k": pa.array(lk, pa.int64()),
+                "v": pa.array(np.arange(nl), pa.int64())}))
+            small = rd.from_arrow(pa.table({
+                "k": pa.array(sk, pa.int64()),
+                "w": pa.array(np.arange(ns), pa.int64())}))
+            got = sorted((r["k"], r["v"], r["w"]) for r in
+                         salted_join(large, small, on="k",
+                                     n_salts=int(rng.randint(2, 9)),
+                                     num_partitions=4).take_all())
+            want = sorted((int(k), int(v), int(w))
+                          for v, k in enumerate(lk)
+                          for w, k2 in enumerate(sk) if k == k2)
+            assert got == want, f"seed {seed}"

@@ -162,3 +162,43 @@ class TestContainment:
                      "".join(rng.choice(list("wxyz "), size=200))])
         assert winnow_containment_pairs(
             str(tmp_path / "sf")).take_all() == []
+
+
+class TestOverlapFuzz:
+    def test_random_corpora_match_bruteforce_pairs(self, ray_session,
+                                                   tmp_path):
+        """8 seeded random corpora: the distributed pair counts equal
+        the brute-force shared-distinct-fingerprint counts (below the
+        stop-gram cap)."""
+        from itertools import combinations
+
+        from ocr_ray.functions.winnow import (
+            winnow_overlap_pairs,
+            winnow_select,
+        )
+
+        for seed in range(8):
+            rng = np.random.RandomState(200 + seed)
+            n_docs = int(rng.randint(3, 12))
+            shared = "".join(rng.choice(list("abcdef "), size=30))
+            docs = []
+            for i in range(n_docs):
+                t = "".join(rng.choice(list("abcdefgh "),
+                                       size=int(rng.randint(40, 150))))
+                if rng.rand() < 0.5:          # half embed the passage
+                    t = t[:20] + shared + t[20:]
+                docs.append(t)
+            sf = str(tmp_path / f"sf{seed}")
+            _write_docs(sf, docs)
+
+            fps = [set(winnow_select(t, 5, 4)[1].tolist())
+                   for t in docs]
+            want = {}
+            for a, b in combinations(range(n_docs), 2):
+                m = len(fps[a] & fps[b])
+                if m >= 2:
+                    want[(a, b)] = m
+            got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+                   for r in winnow_overlap_pairs(
+                       sf, min_shared=2, max_bucket=64).take_all()}
+            assert got == want, f"seed {seed}"
