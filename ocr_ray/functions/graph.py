@@ -204,3 +204,29 @@ def mutual_knn_graph(sf_dir: str, k: int = 5, n_clusters: int = 16,
                       Max("cosine", alias_name="cosine")))
     return (agg.filter(expr="n_dir >= 2")
             .select_columns(["doc_a", "doc_b", "cosine"]))
+
+
+def semantic_communities(sf_dir: str, k: int = 5,
+                         min_cosine: float = 0.2,
+                         n_clusters: int = 16, probe_r: int = 4):
+    """Corpus clustering: connected components of the MUTUAL kNN graph
+    restricted to edges at or above ``min_cosine`` — the standard
+    mutual-kNN community construction (one-way hub edges removed, weak
+    edges thresholded, then components).  Distinct from SemDeDup:
+    communities group RELATED vectors at moderate similarity, not
+    near-duplicates at 0.95.
+
+    Composition: mutual_knn_graph -> cosine threshold filter ->
+    ``dedup_clusters`` (join-based min-label + pointer jumping).
+    Returns Dataset[vec_id, community] covering every vector that has
+    at least one qualifying mutual edge; singletons are implicitly
+    their own community (absent from the table, same contract as
+    dedup_clusters)."""
+    from .dedup import dedup_clusters
+
+    edges = (mutual_knn_graph(sf_dir, k, n_clusters, probe_r)
+             .filter(expr=f"cosine >= {float(min_cosine)}")
+             .rename_columns({"doc_a": "doc_a", "doc_b": "doc_b"}))
+    out = dedup_clusters(edges)
+    return out.rename_columns({"doc_id": "vec_id",
+                               "cluster_id": "community"})

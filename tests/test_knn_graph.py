@@ -138,3 +138,56 @@ class TestMutualGraph:
                mutual_knn_graph(sf, k=1, n_clusters=2,
                                 probe_r=2).take_all()}
         assert got == {(0, 1)}
+
+
+class TestCommunities:
+    def test_planted_three_clusters(self, ray_session, tmp_path):
+        """Three well-separated Gaussian blobs -> exactly three
+        communities, each containing exactly its blob's members."""
+        import pyarrow.parquet as pqt
+
+        from ocr_ray.functions.graph import semantic_communities
+
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf, exist_ok=True)
+        rng = np.random.RandomState(17)
+        centers = np.eye(3)                  # orthogonal unit centers
+        vecs, ids = [], []
+        for c in range(3):
+            base = np.zeros(12)
+            base[c * 4] = 10.0
+            for i in range(20):
+                vecs.append(base + rng.randn(12) * 0.3)
+                ids.append(c * 100 + i)
+        tbl = pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(60, np.int32), pa.int32())})
+        pqt.write_table(tbl, f"{sf}/embeddings.parquet")
+
+        # k large enough to connect a 20-member blob: every blob is
+        # exactly one community
+        rows = semantic_communities(sf, k=19, min_cosine=0.5,
+                                    n_clusters=4,
+                                    probe_r=4).take_all()
+        comm = {}
+        for r in rows:
+            comm.setdefault(r["community"], set()).add(r["vec_id"])
+        assert len(comm) == 3
+        got_groups = sorted(tuple(sorted(v)) for v in comm.values())
+        want_groups = sorted(tuple(c * 100 + i for i in range(20))
+                             for c in range(3))
+        assert got_groups == want_groups
+
+        # at small k the mutual graph legitimately FRAGMENTS a blob,
+        # but communities must stay PURE: none may span two blobs
+        rows = semantic_communities(sf, k=3, min_cosine=0.5,
+                                    n_clusters=4,
+                                    probe_r=4).take_all()
+        comm = {}
+        for r in rows:
+            comm.setdefault(r["community"], set()).add(r["vec_id"])
+        for members in comm.values():
+            blobs = {v // 100 for v in members}
+            assert len(blobs) == 1
