@@ -126,3 +126,28 @@ class TestEndToEnd:
         assert not any(new_id in p for p in got)
         # and nothing else sneaks in
         assert got == exact | near
+
+
+class TestMetamorphic:
+    def test_metric_properties(self):
+        """Levenshtein is a metric: symmetry, identity, triangle
+        inequality — fuzzed over random token-id triples."""
+        from ocr_ray.functions.editsim import token_edit_distance
+
+        rng = np.random.RandomState(77)
+        for _ in range(40):
+            a = rng.randint(0, 5, size=rng.randint(0, 18))
+            b = rng.randint(0, 5, size=rng.randint(0, 18))
+            c = rng.randint(0, 5, size=rng.randint(0, 18))
+            dab = token_edit_distance(a, b)
+            dba = token_edit_distance(b, a)
+            dac = token_edit_distance(a, c)
+            dcb = token_edit_distance(c, b)
+            assert dab == dba                       # symmetry
+            assert token_edit_distance(a, a) == 0   # identity
+            assert dab <= dac + dcb                 # triangle
+            # single edit moves distance by at most 1
+            if len(a):
+                a2 = a.copy()
+                a2[0] = (a2[0] + 1) % 7
+                assert abs(token_edit_distance(a2, b) - dab) <= 1
