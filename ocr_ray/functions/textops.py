@@ -730,3 +730,98 @@ SELECT lang,
 FROM counts
 QUALIFY rank <= 10
 """
+
+
+def mixed_language_stats(sf_dir: str):
+    """Per-LINE language composition (the mixed-language-document
+    filter signal a multilingual corpus needs: lang_id is per-doc and
+    silently averages a 50/50 en/de page into one label).  Each
+    non-empty line votes with the shared stopword rule; per doc:
+    n_lines, the majority line language (count desc, then the lang_id
+    de>en>es>fr precedence via sorted-key max) and its fraction.
+    Docs with no non-empty line read ('unk', 0.0).
+
+    Map-only over the pruned scan; exact SQL mirror
+    (MIXED_LANGUAGE_SQL — unnest + per-line CASE + windowed top-1),
+    pytest-gated.  Returns (doc_id, n_lines, top_lang, top_frac)."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+    word_re = re.compile(r"[a-zà-ÿä-ü]+")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        out_id, out_n, out_lang, out_frac = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            lines = [ln for ln in (text or "").split("\n")
+                     if ln.strip(" ")]
+            counts: dict[str, int] = {}
+            for ln in lines:
+                toks = word_re.findall(ln.lower())
+                votes = {lang: sum(t in sw for t in toks)
+                         for lang, sw in _STOPWORDS.items()}
+                best = max(sorted(votes), key=lambda k: votes[k])
+                lang = best if votes[best] > 0 else "unk"
+                counts[lang] = counts.get(lang, 0) + 1
+            out_id.append(doc_id)
+            out_n.append(len(lines))
+            if lines:
+                top = max(sorted(counts), key=lambda k: counts[k])
+                out_lang.append(top)
+                out_frac.append(
+                    float(np.floor(counts[top] / len(lines) * 1e6
+                                   + 0.5) / 1e6))
+            else:
+                out_lang.append("unk")
+                out_frac.append(0.0)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_lines": pa.array(out_n, pa.int64()),
+            "top_lang": pa.array(out_lang, pa.string()),
+            "top_frac": pa.array(out_frac, pa.float64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          batch_size=4096)
+
+
+MIXED_LANGUAGE_SQL = f"""
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents
+), nz AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(line), '[a-zà-ÿä-ü]+') AS toks
+  FROM lines WHERE length(trim(line, ' ')) > 0
+), v AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> list_contains({_sql_list(_STOPWORDS["en"])}, x))) AS en,
+         len(list_filter(toks, x -> list_contains({_sql_list(_STOPWORDS["de"])}, x))) AS de,
+         len(list_filter(toks, x -> list_contains({_sql_list(_STOPWORDS["fr"])}, x))) AS fr,
+         len(list_filter(toks, x -> list_contains({_sql_list(_STOPWORDS["es"])}, x))) AS es
+  FROM nz
+), langs AS (
+  SELECT doc_id,
+         CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unk'
+              WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+              WHEN en >= es AND en >= fr THEN 'en'
+              WHEN es >= fr THEN 'es'
+              ELSE 'fr' END AS lang
+  FROM v
+), per AS (
+  SELECT doc_id, lang, count(*) AS n FROM langs GROUP BY doc_id, lang
+), tot AS (
+  SELECT doc_id, sum(n) AS n_lines FROM per GROUP BY doc_id
+), top AS (
+  SELECT doc_id, lang, n,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, lang) AS rn
+  FROM per
+)
+SELECT d.doc_id AS doc_id,
+       COALESCE(tot.n_lines, 0) AS n_lines,
+       COALESCE(top.lang, 'unk') AS top_lang,
+       COALESCE(floor(top.n / CAST(tot.n_lines AS DOUBLE) * 1e6 + 0.5)
+                / 1e6, 0.0) AS top_frac
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN top ON d.doc_id = top.doc_id AND top.rn = 1
+ORDER BY d.doc_id
+"""

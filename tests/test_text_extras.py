@@ -122,3 +122,56 @@ class TestTopTermsPerLang:
         full = _oracle(tx.TOP_TERMS_PER_LANG_SQL)
         got = tx.top_terms_per_lang(SF, k=10).to_pandas()
         _check(got, full)
+
+
+class TestMixedLanguage:
+    def test_sf0001_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from ocr_ray.functions.textops import (
+            MIXED_LANGUAGE_SQL,
+            mixed_language_stats,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = mixed_language_stats(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf}/documents.parquet'")
+        want = con.execute(MIXED_LANGUAGE_SQL) \
+            .fetchdf().reset_index(drop=True)
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["n_lines"]) == list(want["n_lines"])
+        assert list(got["top_lang"]) == list(want["top_lang"])
+        assert list(got["top_frac"]) == list(want["top_frac"])
+
+    def test_planted_mixed_doc(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions.textops import mixed_language_stats
+
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf, exist_ok=True)
+        mixed = ("the cat is on the mat\n"
+                 "der hund ist nicht hier\n"
+                 "the dog is in the house\n"
+                 "und das ist auch gut")        # 2 en + 2 de
+        pure = "the one and the other and the rest"
+        empty = ""
+        pq.write_table(pa.Table.from_pylist([
+            {"doc_id": 0, "text": mixed},
+            {"doc_id": 1, "text": pure},
+            {"doc_id": 2, "text": empty}]),
+            f"{sf}/documents.parquet")
+        out = {r["doc_id"]: r for r in
+               mixed_language_stats(sf).take_all()}
+        assert out[0]["n_lines"] == 4
+        assert out[0]["top_lang"] == "de"     # tie -> de precedence
+        assert out[0]["top_frac"] == 0.5      # the mixed-doc signal
+        assert out[1]["top_lang"] == "en" and out[1]["top_frac"] == 1.0
+        assert out[2] == {"doc_id": 2, "n_lines": 0,
+                          "top_lang": "unk", "top_frac": 0.0}
