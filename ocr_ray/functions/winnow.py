@@ -220,3 +220,69 @@ def winnow_containment_pairs(sf_dir: str, min_shared: int = 2,
             .map_batches(_with_schema(out_schema),
                          batch_format="pyarrow")
             .repartition(compact_parts(n_pairs)))
+
+
+def containment_dedup_losers(sf_dir: str, threshold: float = 0.9,
+                             min_shared: int = 2, k: int = 5, w: int = 4,
+                             max_bucket: int = 64):
+    """Docs that are >= ``threshold`` CONTAINED in another document —
+    the subset-duplicate axis Jaccard dedup structurally misses (a
+    fully-quoted short doc inside a long host has low Jaccard but
+    containment ~1.0).  The contained (smaller-coverage) side of each
+    qualifying pair loses; ties (mutual containment — near-identical
+    docs) drop the higher doc_id, keeping the dedup family's min-id
+    keeper convention.  Returns Dataset[doc_id] of losers."""
+    import ray.data as rd
+
+    from ._part import compact_parts
+    from .dedup import _with_schema
+
+    pairs = winnow_containment_pairs(sf_dir, min_shared, k, w,
+                                     max_bucket)
+    id_schema = pa.schema([("doc_id", pa.int64())])
+
+    def losers(batch: pa.Table, thr=threshold) -> pa.Table:
+        da = batch["doc_a"].to_numpy(zero_copy_only=False)
+        db = batch["doc_b"].to_numpy(zero_copy_only=False)
+        ca = np.asarray(batch["contain_a"].to_pylist())
+        cb = np.asarray(batch["contain_b"].to_pylist())
+        out = []
+        both = (ca >= thr) & (cb >= thr)
+        only_a = (ca >= thr) & ~both
+        only_b = (cb >= thr) & ~both
+        out.append(da[only_a])                    # a contained in b
+        out.append(db[only_b])                    # b contained in a
+        out.append(np.maximum(da, db)[both])      # mutual: max id loses
+        ids = np.concatenate(out) if out else np.empty(0, np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    raw = (pairs.map_batches(losers, batch_format="pyarrow")
+           .map_batches(_with_schema(id_schema), batch_format="pyarrow")
+           .materialize())
+    n = raw.count()
+    if n == 0:
+        return rd.from_arrow(id_schema.empty_table())
+    # a doc can lose against several hosts: dedup the loser set
+    return (raw.repartition(compact_parts(n))
+            .groupby("doc_id").count().select_columns(["doc_id"]))
+
+
+def containment_dedup_survivors(sf_dir: str, threshold: float = 0.9,
+                                **kw):
+    """Corpus minus containment losers (hash-partitioned anti join —
+    the dedup_survivors shape)."""
+    from ._io import clean_read
+    from ._part import compact_parts, nparts_for
+
+    losers = containment_dedup_losers(sf_dir, threshold,
+                                      **kw).materialize()
+    docs = clean_read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_losers = losers.count()
+    if n_losers == 0:
+        return docs
+    losers = losers.repartition(compact_parts(n_losers)).materialize()
+    n_docs = docs.count()
+    return (docs.join(losers, "left_anti",
+                      num_partitions=nparts_for(n_docs),
+                      on=("doc_id",))
+            .repartition(compact_parts(max(1, n_docs - n_losers))))

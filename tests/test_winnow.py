@@ -202,3 +202,46 @@ class TestOverlapFuzz:
                    for r in winnow_overlap_pairs(
                        sf, min_shared=2, max_bucket=64).take_all()}
             assert got == want, f"seed {seed}"
+
+
+class TestContainmentDedup:
+    def test_quoted_doc_dropped_host_kept(self, ray_session, tmp_path):
+        from ocr_ray.functions.winnow import (
+            containment_dedup_losers,
+            containment_dedup_survivors,
+        )
+
+        rng = np.random.RandomState(31)
+        quote = "a long boilerplate passage quoted verbatim elsewhere"
+
+        def noise(n):
+            return "".join(rng.choice(list("abcdefgh "), size=n))
+
+        sf = str(tmp_path / "sf")
+        _write_docs(sf, [noise(400) + quote + noise(400),  # 0: host
+                         quote,                            # 1: subset
+                         noise(300),                       # 2: clean
+                         quote])                           # 3: dup quote
+        losers = sorted(r["doc_id"] for r in
+                        containment_dedup_losers(
+                            sf, threshold=0.8).take_all())
+        # both quote copies are contained in the host; between the two
+        # identical quotes the max id (3) also loses by the tie rule
+        assert 1 in losers and 3 in losers and 0 not in losers \
+            and 2 not in losers
+        surv = sorted(r["doc_id"] for r in
+                      containment_dedup_survivors(
+                          sf, threshold=0.8).take_all())
+        assert surv == sorted(set([0, 1, 2, 3]) - set(losers))
+        assert 0 in surv and 2 in surv
+
+    def test_no_containment_all_survive(self, ray_session, tmp_path):
+        from ocr_ray.functions.winnow import containment_dedup_survivors
+
+        rng = np.random.RandomState(5)
+        sf = str(tmp_path / "sf")
+        _write_docs(sf, ["".join(rng.choice(list("abcd "), size=200))
+                         for _ in range(4)])
+        surv = sorted(r["doc_id"] for r in
+                      containment_dedup_survivors(sf).take_all())
+        assert surv == [0, 1, 2, 3]
