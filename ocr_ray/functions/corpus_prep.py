@@ -1572,9 +1572,18 @@ def mixture_token_plan(sf_dir: str, budget_tokens: int = 1_000_000,
            .to_pandas().sort_values("source").reset_index(drop=True))
 
     n = agg["n_tokens"].to_numpy(dtype=np.float64)
-    z = float(np.sum(n ** tau))            # sorted-source order: exact
-    w = (n ** tau) / z if z else np.zeros_like(n)
-    target = np.floor(budget_tokens * w + 0.5).astype(np.int64)
+    # pow values quantize ONCE to integer micro-units so the normalizer
+    # z is an exact int sum — order-independent on BOTH engines (a raw
+    # float sum(pow(...)) adds in engine-chosen order; a last-ulp
+    # difference could flip a rounded weight on an exact tie)
+    pi = np.floor((n ** tau) * 1e6 + 0.5).astype(np.int64)
+    z_int = int(pi.sum())
+    if z_int > 0:
+        ratio = pi.astype(np.float64) / float(z_int)
+    else:
+        ratio = np.zeros_like(n)
+    w = ratio
+    target = np.floor(budget_tokens * ratio + 0.5).astype(np.int64)
     with np.errstate(divide="ignore", invalid="ignore"):
         epochs = np.where(n > 0, target / np.maximum(n, 1), 0.0)
     return pa.table({
@@ -1598,14 +1607,23 @@ WITH tok AS (
                      trim(text, {_SQL_WS}), '[ \t\n\r\f\v]+')) END)
            AS n_tokens
   FROM documents GROUP BY source
-), z AS (SELECT sum(pow(n_tokens, {tau})) AS z FROM tok)
+), p AS (
+  SELECT source, n_tokens,
+         CAST(floor(pow(n_tokens, {tau}) * 1e6 + 0.5) AS BIGINT) AS pi
+  FROM tok
+), z AS (SELECT sum(pi) AS z FROM p)
 SELECT source, n_tokens,
-  floor(pow(n_tokens, {tau}) / (SELECT z FROM z) * 1e6 + 0.5) / 1e6
-    AS weight,
-  CAST(floor({budget_tokens} * pow(n_tokens, {tau}) / (SELECT z FROM z)
-       + 0.5) AS BIGINT) AS target_tokens,
-  floor(CAST(floor({budget_tokens} * pow(n_tokens, {tau})
-            / (SELECT z FROM z) + 0.5) AS BIGINT)
-        / CAST(n_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4 AS epochs
-FROM tok ORDER BY source
+  CASE WHEN (SELECT z FROM z) = 0 THEN 0.0
+       ELSE floor(CAST(pi AS DOUBLE) / CAST((SELECT z FROM z) AS DOUBLE)
+                  * 1e6 + 0.5) / 1e6 END AS weight,
+  CASE WHEN (SELECT z FROM z) = 0 THEN 0
+       ELSE CAST(floor({budget_tokens} * (CAST(pi AS DOUBLE)
+            / CAST((SELECT z FROM z) AS DOUBLE)) + 0.5) AS BIGINT)
+       END AS target_tokens,
+  CASE WHEN n_tokens = 0 OR (SELECT z FROM z) = 0 THEN 0.0
+       ELSE floor(CAST(floor({budget_tokens} * (CAST(pi AS DOUBLE)
+            / CAST((SELECT z FROM z) AS DOUBLE)) + 0.5) AS BIGINT)
+            / CAST(n_tokens AS DOUBLE) * 1e4 + 0.5) / 1e4
+       END AS epochs
+FROM p ORDER BY source
 """

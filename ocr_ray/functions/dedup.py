@@ -929,8 +929,12 @@ def dedup_survivors_by_quality(sf_dir: str, near: bool = False):
     keepers = (keepers.map_batches(unpack, batch_format="pyarrow")
                .map_batches(_with_schema(keep_schema),
                             batch_format="pyarrow")
-               .repartition(_compact_parts(max(1, n_members)))
                .materialize())
+    # compact by the KEEPER count (one giant cluster => 1 keeper row;
+    # sizing by n_members could over-split rows into zero-column empty
+    # blocks that break the anti join below)
+    keepers = keepers.repartition(
+        _compact_parts(max(1, keepers.count()))).materialize()
 
     member_ids = clusters.select_columns(["doc_id"])
     losers = (member_ids.join(

@@ -915,23 +915,23 @@ def event_funnel(sf_dir: str,
            .groupby("part").map_groups(per_part, batch_format="pyarrow")
            .groupby("step").aggregate(Sum("n", alias_name="n_users")))
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        step = batch["step"].to_numpy(zero_copy_only=False)
-        nu = batch["n_users"].to_numpy(zero_copy_only=False)
-        order = np.argsort(step)
-        step, nu = step[order], nu[order]
-        base = float(nu[0]) if len(nu) and step[0] == 0 and nu[0] else 1.0
-        conv = np_round_half_up(nu / base, 6)
-        return pa.table({
-            "step": pa.array(step + 1, pa.int64()),
-            "event_type": pa.array([step_list[s] for s in step],
-                                   pa.string()),
-            "n_users": pa.array(nu, pa.int64()),
-            "conversion": pa.array(conv, pa.float64())})
+    # driver fold over <= n_steps rows (bounded): ALWAYS emit one row
+    # per step — a corpus with no step events at all must match the SQL
+    # oracle's len(steps) zero-count rows, and Ray skips map UDFs on
+    # empty blocks so a dataset-side finalize could not backfill them
+    import ray.data as rd
 
-    # the aggregate output is <= n_steps rows: a single tiny block
-    return agg.repartition(1).map_batches(finalize,
-                                          batch_format="pyarrow")
+    by_step = {int(r["step"]): int(r["n_users"])
+               for r in agg.take_all()}
+    nu = np.array([by_step.get(i, 0) for i in range(n_steps)],
+                  dtype=np.int64)
+    base = float(nu[0]) if nu[0] else 1.0
+    conv = np_round_half_up(nu / base, 6)
+    return rd.from_arrow(pa.table({
+        "step": pa.array(np.arange(1, n_steps + 1), pa.int64()),
+        "event_type": pa.array(step_list, pa.string()),
+        "n_users": pa.array(nu, pa.int64()),
+        "conversion": pa.array(conv, pa.float64())}))
 
 
 def event_funnel_sql(steps: tuple = ("view", "click", "purchase"),

@@ -225,8 +225,7 @@ def semantic_communities(sf_dir: str, k: int = 5,
     from .dedup import dedup_clusters
 
     edges = (mutual_knn_graph(sf_dir, k, n_clusters, probe_r)
-             .filter(expr=f"cosine >= {float(min_cosine)}")
-             .rename_columns({"doc_a": "doc_a", "doc_b": "doc_b"}))
+             .filter(expr=f"cosine >= {float(min_cosine)}"))
     out = dedup_clusters(edges)
     return out.rename_columns({"doc_id": "vec_id",
                                "cluster_id": "community"})

@@ -68,10 +68,9 @@ from .similarity import (
 _FIXED_POINT = float(1 << 24)
 
 
-def _normalize_rows(x: np.ndarray) -> np.ndarray:
-    norms = np.linalg.norm(x, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return x / norms
+# shared zero-norm-to-1.0 row normalization: PQ encoding must follow
+# the exact cosine convention of the IVF/semdedup family
+from .semdedup import _norm_rows as _normalize_rows  # noqa: E402
 
 
 def _fit_pq_codebooks(sample: np.ndarray, m: int, k: int,

@@ -100,7 +100,7 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, w: int = 4):
 
 def winnow_overlap_pairs(sf_dir: str, min_shared: int = 2,
                          k: int = 5, w: int = 4,
-                         max_bucket: int = 64):
+                         max_bucket: int = 64, fps=None):
     """Document pairs sharing >= min_shared selected fingerprints —
     shared-passage candidates.  ONE groupby(fp) co-locates selectors
     of the same hash (each doc contributes a fingerprint VALUE once —
@@ -108,10 +108,13 @@ def winnow_overlap_pairs(sf_dir: str, min_shared: int = 2,
     ``max_bucket`` docs are dropped as stop-gram buckets (boilerplate
     shared by everything — the standard posting-list cap, logged via
     the n_shared semantics: dropped buckets only LOWER counts).
-    Returns Dataset[doc_a, doc_b, n_shared], doc_a < doc_b."""
+    Returns Dataset[doc_a, doc_b, n_shared], doc_a < doc_b.
+    ``fps``: optionally a precomputed winnow_fingerprints Dataset so a
+    composing caller (containment) pays the corpus scan once."""
     from ray.data.aggregate import Sum
 
-    fps = winnow_fingerprints(sf_dir, k, w)
+    if fps is None:
+        fps = winnow_fingerprints(sf_dir, k, w)
 
     def dedup_in_doc(batch: pa.Table) -> pa.Table:
         t = batch.select(["fp", "doc_id"])
@@ -168,22 +171,35 @@ def winnow_containment_pairs(sf_dir: str, min_shared: int = 2,
         ("n_shared", pa.int64()),
         ("contain_a", pa.float64()), ("contain_b", pa.float64())])
 
+    # ONE corpus scan feeds BOTH the pair stage and the totals stage
+    # (the dup_pairs_from_scan IO-fusion lesson)
+    fps = winnow_fingerprints(sf_dir, k, w).materialize()
     pairs = winnow_overlap_pairs(sf_dir, min_shared, k, w,
-                                 max_bucket).materialize()
+                                 max_bucket, fps=fps).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return rd.from_arrow(out_schema.empty_table())
-
-    fps = winnow_fingerprints(sf_dir, k, w)
 
     def distinct_in_doc(batch: pa.Table) -> pa.Table:
         return batch.select(["doc_id", "fp"]) \
             .group_by(["doc_id", "fp"]).aggregate([]) \
             .select(["doc_id", "fp"])
 
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["doc_id"]).aggregate([([], "count_all")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "n": pa.compute.cast(g["count_all"],
+                                              pa.int64())})
+
+    # GLOBAL distinct before counting: the per-block dedup alone would
+    # double-count a (doc_id, fp) value whose in-doc repeats straddle a
+    # dynamic block split, deflating containment near the threshold
+    from ray.data.aggregate import Sum as _Sum
     totals = (fps.map_batches(distinct_in_doc, batch_format="pyarrow")
+              .groupby(["doc_id", "fp"]).count()
+              .map_batches(doc_partial, batch_format="pyarrow")
               .groupby("doc_id")
-              .aggregate(Count(alias_name="n_fp")))
+              .aggregate(_Sum("n", alias_name="n_fp")))
 
     nparts = nparts_for(n_pairs)
     mid_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),

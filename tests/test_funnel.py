@@ -389,3 +389,28 @@ class TestSaltedJoinFuzz:
                           for v, k in enumerate(lk)
                           for w, k2 in enumerate(sk) if k == k2)
             assert got == want, f"seed {seed}"
+
+
+class TestFunnelEmptyCorpus:
+    def test_no_step_events_still_emits_all_steps(self, ray_session,
+                                                  tmp_path):
+        """A corpus with NO funnel-step events must still emit
+        len(steps) zero rows, matching the SQL oracle (review fix)."""
+        import duckdb
+
+        from ocr_ray.functions.events import (
+            event_funnel,
+            event_funnel_sql,
+        )
+
+        sf = str(tmp_path / "sf")
+        _write_events(sf, [(1, 0, "error"), (None, 1, "view")])
+        got = event_funnel(sf).to_pandas().sort_values("step") \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf}/events.parquet'")
+        want = con.execute(event_funnel_sql()).fetchdf()
+        assert len(got) == len(want) == 3
+        assert list(got["n_users"]) == list(want["n_users"]) == [0, 0, 0]
+        assert list(got["conversion"]) == list(want["conversion"])

@@ -73,3 +73,29 @@ class TestSemantics:
         n_sources = len(out)
         assert abs(out["target_tokens"].sum() - 123_457) <= n_sources
         assert abs(out["weight"].sum() - 1.0) < 1e-4
+
+
+class TestZeroTokenSource:
+    def test_zero_token_source_parity(self, ray_session, tmp_path):
+        """A source of only-whitespace docs: engine and SQL both read
+        epochs 0.0 (review fix: the mirror divided by zero)."""
+        import duckdb
+
+        from ocr_ray.functions.corpus_prep import (
+            mixture_token_plan,
+            mixture_token_plan_sql,
+        )
+
+        sf = str(tmp_path / "sf")
+        _write_docs(sf, [("full", "some real tokens here"),
+                         ("empty", "   "), ("empty", "")])
+        got = mixture_token_plan(sf, budget_tokens=1000).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf}/documents.parquet'")
+        want = con.execute(mixture_token_plan_sql(1000)).fetchdf()
+        for col in ("source", "n_tokens", "weight", "target_tokens",
+                    "epochs"):
+            assert list(got[col]) == list(want[col]), col
+        row = got.set_index("source").loc["empty"]
+        assert row["n_tokens"] == 0 and row["epochs"] == 0.0
