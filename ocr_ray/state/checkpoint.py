@@ -294,3 +294,58 @@ class CheckpointedRunner:
                 json.load(open(self.marker_path(k)))["doc_count"]
                 for k in range(len(self.shards))),
         }
+
+
+def run_report(output_dir: str) -> dict:
+    """Operational rollup of EVERY committed lineage marker in an
+    output directory — the "what actually happened" record an operator
+    reads after any mix of runs, resumes and appends (the north rule's
+    per-partition lineage + metrics, aggregated).
+
+    Reads ONLY the tiny `_lineage/*.json` markers (never the data).
+    Reports totals (docs, rejects, per-reason), the merged OCR
+    confidence histogram, wall-time stats per shard, and GAPS — shard
+    indices missing between 0 and the max committed index, which after
+    a crash tell the operator exactly what a resume will redo."""
+    import json as _json
+
+    lineage = os.path.join(output_dir, "_lineage")
+    if not os.path.isdir(lineage):
+        raise FileNotFoundError(f"no lineage directory under "
+                                f"{output_dir}")
+    markers = []
+    for f in sorted(os.listdir(lineage)):
+        if f.startswith("shard-") and f.endswith(".json"):
+            markers.append(_json.load(open(os.path.join(lineage, f))))
+    if not markers:
+        return {"shards_committed": 0, "doc_count": 0,
+                "failed_count": 0, "gaps": []}
+
+    idx = sorted(m["shard"] for m in markers)
+    gaps = sorted(set(range(idx[-1] + 1)) - set(idx))
+    reasons: dict[str, int] = {}
+    for m in markers:
+        for r in m.get("failed_reasons", []):
+            reasons[r] = reasons.get(r, 0) + 1
+    hists = [m["metrics"].get("conf_hist", []) for m in markers
+             if m.get("metrics")]
+    hists = [h for h in hists if h]
+    conf_hist = [sum(h[i] for h in hists)
+                 for i in range(len(hists[0]))] if hists else []
+    durations = [m["committed_at"] - m["started_at"] for m in markers
+                 if "committed_at" in m and "started_at" in m]
+    return {
+        "shards_committed": len(markers),
+        "gaps": gaps,
+        "doc_count": sum(m["doc_count"] for m in markers),
+        "failed_count": sum(m["failed_count"] for m in markers),
+        "failed_reason_shards": reasons,
+        "conf_hist": conf_hist,
+        "shard_seconds": {
+            "min": round(min(durations), 3) if durations else 0.0,
+            "max": round(max(durations), 3) if durations else 0.0,
+            "mean": round(sum(durations) / len(durations), 3)
+            if durations else 0.0,
+        },
+        "input_files": sum(len(m["files"]) for m in markers),
+    }

@@ -196,3 +196,38 @@ class TestIncrementalAppend:
         os.remove(str(d / "part-0.parquet"))
         with pytest.raises(RuntimeError, match="gone"):
             CheckpointedRunner(str(d), out, n_shards=1).append_new_files()
+
+
+class TestRunReport:
+    def test_report_matches_run_manifest(self, ray_session, tmp_path):
+        from ocr_ray.fixtures import write_corpus
+        from ocr_ray.state.checkpoint import CheckpointedRunner, run_report
+
+        src = write_corpus(str(tmp_path / "in"), n_docs=30, seed=7,
+                           docs_per_file=10)      # 3 files -> 3 shards
+        out = str(tmp_path / "out")
+        runner = CheckpointedRunner(src, out, n_shards=3)
+        manifest = runner.run(resume=False)
+        rep = run_report(out)
+        assert rep["shards_committed"] == manifest["shards_total"] == 3
+        assert rep["doc_count"] == manifest["doc_count"]
+        assert rep["gaps"] == []
+        assert rep["failed_count"] >= 0
+        assert rep["shard_seconds"]["max"] >= rep["shard_seconds"]["min"]
+        assert sum(rep["conf_hist"]) > 0      # OCR histogram rolled up
+
+    def test_gap_detection_after_missing_marker(self, ray_session,
+                                                tmp_path):
+        import os
+
+        from ocr_ray.fixtures import write_corpus
+        from ocr_ray.state.checkpoint import CheckpointedRunner, run_report
+
+        src = write_corpus(str(tmp_path / "in"), n_docs=30, seed=7,
+                           docs_per_file=10)      # 3 files -> 3 shards
+        out = str(tmp_path / "out")
+        CheckpointedRunner(src, out, n_shards=3).run(resume=False)
+        os.remove(f"{out}/_lineage/shard-00001.json")   # simulate crash
+        rep = run_report(out)
+        assert rep["shards_committed"] == 2
+        assert rep["gaps"] == [1]             # exactly what resume redoes
