@@ -297,3 +297,94 @@ def ri_check_sql(edges=_RI_EDGES) -> str:
             f" WHERE {fk} IS NOT NULL AND {fk} NOT IN "
             f" (SELECT {dk} FROM {dt})) AS n_orphan_keys")
     return "\nUNION ALL\n".join(parts)
+
+
+def ols_multi(sf_dir: str, table: str = "lineitem",
+              x_cols: tuple = ("l_quantity", "l_discount", "l_tax"),
+              y_col: str = "l_extendedprice") -> pa.Table:
+    """Multiple linear regression y = b0 + sum(b_i * x_i) via the
+    normal equations over EXACT integer moments: the same
+    arbitrary-precision aggregate as correlation_matrix extended with
+    the intercept column (a constant 1 feature), solved driver-side
+    with one (d+1)x(d+1) numpy solve.  The moment sums are
+    merge-order-exact ints, so coefficients are a pure function of the
+    data — bit-identical on any layout (tested).
+
+    Returns one row per coefficient: (term, coef) with term 'intercept'
+    then x_cols order, plus an 'r2' row; coefficients rounded half-up
+    to 6.  Oracle: numpy lstsq on the raw rows (tests) — DuckDB's
+    regr_* family is bivariate only."""
+    from ray.data.aggregate import AggregateFn
+
+    from ._io import clean_read
+
+    d = len(x_cols)
+    cols = list(x_cols) + [y_col]
+    ds = clean_read(f"{sf_dir}/{table}.parquet", columns=cols)
+    # moment layout: X~ = [1, x_1..x_d, y] (d+2 wide), state =
+    # [n] + upper-tri sums of X~_i * X~_j for i<=j (ints, exact)
+    w = d + 2
+
+    def acc_block(state, blk):
+        if not state:
+            state = [0] * (1 + w * (w + 1) // 2)
+        state = list(state)
+        m = [np.ones(blk.num_rows, dtype=np.int64) * int(_SCALE)]
+        for c in cols:
+            m.append(np.floor(blk[c].to_numpy(zero_copy_only=False)
+                              * _SCALE + 0.5).astype(np.int64))
+        state[0] += blk.num_rows
+        k = 1
+        for i in range(w):
+            for j in range(i, w):
+                prod = m[i].astype(object) * m[j].astype(object)
+                state[k] += int(prod.sum())
+                k += 1
+        return state
+
+    def merge(s1, s2):
+        if not s1:
+            return s2
+        if not s2:
+            return s1
+        return [a + b for a, b in zip(s1, s2)]
+
+    agg = AggregateFn(init=lambda _: [], merge=merge,
+                      accumulate_block=acc_block, name="olsm")
+    st = ds.aggregate(agg)["olsm"]
+    n = st[0]
+    S = np.empty((w, w), dtype=np.float64)
+    k = 1
+    for i in range(w):
+        for j in range(i, w):
+            # moments carry _SCALE^2; the factor cancels in the solve
+            S[i, j] = S[j, i] = float(st[k])
+            k += 1
+    xtx = S[:w - 1, :w - 1]
+    xty = S[:w - 1, w - 1]
+    try:
+        beta = np.linalg.solve(xtx, xty)
+    except np.linalg.LinAlgError:
+        beta = np.linalg.lstsq(xtx, xty, rcond=None)[0]
+    # every column (incl. the constant) carries one _SCALE factor, so
+    # X'X and X'y both carry _SCALE^2 and it cancels in the solve:
+    # beta is already in natural units, intercept included
+    coefs = list(beta[1:])
+    intercept = float(beta[0])
+    # r2 from the same scaled moments (the scale cancels in the ratio):
+    # SSR~ = y~'y~ - beta'X~'y~ ; SST~ = y~'y~ - (sum y~)^2 / n
+    sy = S[w - 1, w - 1]
+    sum_yt = S[0, w - 1] / _SCALE        # S[0, w-1] = _SCALE * sum(y~)
+    sst = sy - (sum_yt ** 2) / n if n else 0.0
+    ssr = sy - float(beta @ S[:w - 1, w - 1])
+    r2 = 1.0 - ssr / sst if sst > 0 else 0.0
+
+    def r6(v):
+        return float(np.floor(v * 1e6 + 0.5) / 1e6)
+
+    rows = [{"term": "intercept", "coef": r6(intercept)}]
+    rows += [{"term": c, "coef": r6(float(b))}
+             for c, b in zip(x_cols, coefs)]
+    rows.append({"term": "r2", "coef": r6(float(r2))})
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("term", pa.string()), ("coef", pa.float64())]))

@@ -150,3 +150,49 @@ class TestRiCheck:
             ("lineitem", "l_orderkey", "orders", "o_orderkey"),)) \
             .to_pylist()
         assert got[0]["n_orphan_keys"] == 2       # 98 and 99
+
+
+class TestOlsMulti:
+    def test_matches_numpy_lstsq(self, ray_session, tmp_path):
+        from ocr_ray.functions.stats import ols_multi
+
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf, exist_ok=True)
+        rng = np.random.RandomState(9)
+        x1 = rng.rand(4000) * 10
+        x2 = rng.rand(4000) * 5
+        y = 2.0 * x1 - 1.5 * x2 + 4.0 + rng.randn(4000) * 0.01
+        pq.write_table(pa.table({
+            "x1": pa.array(x1, pa.float64()),
+            "x2": pa.array(x2, pa.float64()),
+            "y": pa.array(y, pa.float64())}), f"{sf}/t.parquet")
+        out = {r["term"]: r["coef"] for r in ols_multi(
+            sf, table="t", x_cols=("x1", "x2"),
+            y_col="y").to_pylist()}
+        # independent oracle on the SAME quantized values
+        x1q = np.floor(x1 * 100 + 0.5) / 100
+        x2q = np.floor(x2 * 100 + 0.5) / 100
+        yq = np.floor(y * 100 + 0.5) / 100
+        X = np.column_stack([np.ones_like(x1q), x1q, x2q])
+        beta = np.linalg.lstsq(X, yq, rcond=None)[0]
+        assert abs(out["intercept"] - beta[0]) < 1e-3
+        assert abs(out["x1"] - beta[1]) < 1e-4
+        assert abs(out["x2"] - beta[2]) < 1e-4
+        assert out["r2"] > 0.999
+
+    def test_layout_independent(self, ray_session, tmp_path):
+        from ocr_ray.functions.stats import ols_multi
+
+        rng = np.random.RandomState(4)
+        tbl = pa.table({
+            "a": pa.array(rng.rand(2000), pa.float64()),
+            "b": pa.array(rng.rand(2000), pa.float64()),
+            "y": pa.array(rng.rand(2000), pa.float64())})
+        outs = []
+        for rg in (64, 1024):
+            sf = str(tmp_path / f"sf{rg}")
+            os.makedirs(sf, exist_ok=True)
+            pq.write_table(tbl, f"{sf}/t.parquet", row_group_size=rg)
+            outs.append(ols_multi(sf, table="t", x_cols=("a", "b"),
+                                  y_col="y").to_pylist())
+        assert outs[0] == outs[1]
