@@ -1142,3 +1142,127 @@ SELECT cw AS cohort_week, wk - cw AS week_offset,
 FROM w JOIN c USING (user_id)
 GROUP BY cw, wk - cw
 """
+
+
+def user_peak_window_spend(sf_dir: str, window: int = 5):
+    """Per-user PEAK sliding-window spend: the maximum, over every
+    run of up to ``window`` consecutive events (ordered by ts with
+    event_id as the deterministic tiebreak), of the window's value sum
+    — the "biggest burst" analytic (ROWS BETWEEN k-1 PRECEDING AND
+    CURRENT ROW, then max per partition key).  SURVEY.md §2.9's
+    window-family gap: the tumbling/watermark windows above are
+    event-TIME windows; this is the ROWS-window shape, which needs
+    per-key ordered history rather than a truncated-key groupby.
+
+    Kernel (same partition family as ``sessionize`` /
+    ``error_click_asof``): hash(user) %% P co-locates each user's
+    history; one lexsort (user, ts, event_id) per ~500k-row partition,
+    ONE cumulative sum, and the sliding sum is ``cs[i] - cs[j-1]``
+    with ``j = max(segment_start, i-window+1)`` — no per-user Python,
+    no per-row loop.  Values are summed in exact int64 milli-units
+    (``_val_milli``) so window sums and their max are order-free and
+    bit-exact vs the SQL mirror; NULL values count as 0 (COALESCE in
+    the mirror), NULL users keep their own group via the ``uid_null``
+    sentinel.  Partitioning assumption (custom-operator rule): one
+    partition fits a worker; a user's history never crosses partitions.
+
+    Returns (user_id, n_events, peak_w5).  Oracle: USER_PEAK_WINDOW_SQL.
+    """
+    from ._part import nparts_for
+
+    ds = _read(sf_dir, ["user_id", "ts", "event_id", "value"])
+    k = int(window)
+
+    import pyarrow.parquet as _pq
+    n_events = _pq.ParquetFile(
+        f"{sf_dir}/events.parquet").metadata.num_rows
+    n_parts = nparts_for(n_events, rows_per_part=500_000, floor=8)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ua = batch["user_id"]
+        unull = pc.is_null(ua).to_numpy(zero_copy_only=False)
+        users = pc.fill_null(ua, 0).to_numpy(zero_copy_only=False)
+        mix = (users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               + unull.astype(np.uint64))
+        part = ((mix >> np.uint64(33)) % np.uint64(n_parts)).astype(
+            np.int64)
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "uid_null": pa.array(unull.astype(np.int64), pa.int64()),
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "v": pc.fill_null(_val_milli(batch["value"]), 0),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("peak_milli", pa.int64()),
+                            ("uid_null", pa.int64())])
+
+    def per_part(part: pa.Table) -> pa.Table:
+        n = len(part)
+        if n == 0:
+            return out_schema.empty_table()
+        users = part["user_id"].to_numpy(zero_copy_only=False)
+        unull = part["uid_null"].to_numpy(zero_copy_only=False)
+        ts = part["ts_us"].to_numpy(zero_copy_only=False)
+        eid = part["event_id"].to_numpy(zero_copy_only=False)
+        v = part["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, users, unull))
+        users, unull, v = users[order], unull[order], v[order]
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (users[1:] != users[:-1]) | (unull[1:] != unull[:-1])
+        starts = np.flatnonzero(new)
+        rank = np.cumsum(new) - 1
+        seg_start = starts[rank]
+        cs = np.cumsum(v)
+        j = np.maximum(seg_start, np.arange(n, dtype=np.int64) - (k - 1))
+        w = cs - np.where(j > 0, cs[np.maximum(j - 1, 0)], 0)
+        t = pa.table({"user_id": pa.array(users, pa.int64()),
+                      "uid_null": pa.array(unull, pa.int64()),
+                      "w": pa.array(w, pa.int64())})
+        g = t.group_by(["user_id", "uid_null"]).aggregate(
+            [("w", "count"), ("w", "max")])
+        return pa.table({
+            "user_id": g["user_id"].cast(pa.int64()),
+            "n_events": g["w_count"].cast(pa.int64()),
+            "peak_milli": g["w_max"].cast(pa.int64()),
+            "uid_null": g["uid_null"].cast(pa.int64()),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        gnull = batch["uid_null"].to_numpy(zero_copy_only=False) == 1
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(
+                [None if isnull else int(u)
+                 for u, isnull in zip(uid, gnull)], pa.int64()),
+            "n_events": batch["n_events"],
+            "peak_w5": round_half_up(pc.divide(pc.cast(
+                batch["peak_milli"], pa.float64()),
+                pa.scalar(1000.0)), 3),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pyarrow")
+            .map_batches(finalize, batch_format="pyarrow"))
+
+
+USER_PEAK_WINDOW_SQL = """
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         COALESCE(CAST(floor(value * 1000.0 + 0.5) AS BIGINT), 0) AS v
+  FROM events
+), w AS (
+  SELECT user_id,
+         sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w5
+  FROM m
+)
+SELECT user_id, count(*) AS n_events,
+       floor((max(w5) / 1000.0) * 1000.0 + 0.5) / 1000.0 AS peak_w5
+FROM w GROUP BY user_id
+"""
