@@ -1266,3 +1266,269 @@ SELECT user_id, count(*) AS n_events,
        floor((max(w5) / 1000.0) * 1000.0 + 0.5) / 1000.0 AS peak_w5
 FROM w GROUP BY user_id
 """
+
+
+def user_trailing_window_spend(sf_dir: str, window_minutes: int = 10):
+    """Per-EVENT trailing event-time window: for every event, the count
+    and value sum of the same user's events in the preceding
+    ``window_minutes`` (inclusive both ends) — the RANGE-interval
+    window shape (``RANGE BETWEEN INTERVAL t PRECEDING AND CURRENT
+    ROW``), the one window family the repo lacked (tumbling/watermark
+    are bucketed event-time, ``user_peak_window_spend`` is ROWS-k).
+    Reference analog: per-doc trailing quality context in the worker's
+    rolling stats (ocr_worker.py's per-run rollups); generalized here
+    to the event stream.
+
+    Scale design — bucketized band co-scan, NOT a per-user group (a
+    hot user's full history never gathers in one place): time is cut
+    into buckets exactly one window wide; every event is a QUERY in
+    its own bucket and a CANDIDATE replicated to buckets b and b+1
+    (a trailing partner of a query in bucket b lives in b-1 or b), and
+    a hash shuffle on (user, bucket) co-locates each query with all
+    its candidates.  Group size is bounded by one user's events in a
+    2-window slice, not their total history.  Within a partition: one
+    lexsort, the range join's disjoint band encoding (enc = gid*4w +
+    ts - bucket*w + w; candidates span [0,2w) of the band, query
+    probes enc-w..enc never leave it), then ONE global searchsorted
+    pair + a prefix-sum difference answers every query — no per-user
+    Python, no per-row loop.
+
+    Values are summed as exact int64 millis (``_val_milli``; NULL
+    counts 0 via COALESCE in the mirror) so window sums are order-free
+    and bit-exact vs the SQL mirror; RANGE semantics (all equal-ts
+    peers included regardless of tie order) fall out of the
+    searchsorted sides (left at ts-T, right at ts).  NULL users form
+    one window partition on both engines (uid_null sentinel).
+
+    Returns (event_id, user_id, n_in_window, trail_sum).
+    Oracle: TRAILING_WINDOW_SQL.
+    """
+    from ._part import nparts_for
+
+    ds = _read(sf_dir, ["event_id", "user_id", "ts", "value"])
+    w_us = np.int64(window_minutes) * 60 * 1_000_000
+
+    import pyarrow.parquet as _pq
+    n_events = _pq.ParquetFile(
+        f"{sf_dir}/events.parquet").metadata.num_rows
+    # tagged rows = 1 query + 2 candidate copies per input row
+    n_parts = nparts_for(3 * n_events, rows_per_part=500_000, floor=8)
+
+    def tag(batch: pa.Table, w_us=w_us) -> pa.Table:
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ua = batch["user_id"]
+        unull = pc.is_null(ua).to_numpy(zero_copy_only=False)
+        users = pc.fill_null(ua, 0).to_numpy(zero_copy_only=False)
+        eid = pc.cast(batch["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = pc.fill_null(_val_milli(batch["value"]), 0).to_numpy(
+            zero_copy_only=False)
+        b = ts_us // w_us
+        out_u, out_n, out_t, out_b, out_c, out_e, out_v = \
+            [], [], [], [], [], [], []
+        # queries: one row each, own bucket
+        out_u.append(users); out_n.append(unull.astype(np.int64))
+        out_t.append(ts_us); out_b.append(b)
+        out_c.append(np.zeros(len(ts_us), np.int64))
+        out_e.append(eid); out_v.append(np.zeros(len(ts_us), np.int64))
+        # candidates: replicated to buckets b and b+1
+        for d in (0, 1):
+            out_u.append(users); out_n.append(unull.astype(np.int64))
+            out_t.append(ts_us); out_b.append(b + d)
+            out_c.append(np.ones(len(ts_us), np.int64))
+            out_e.append(np.zeros(len(ts_us), np.int64))
+            out_v.append(v)
+        users_c = np.concatenate(out_u)
+        unull_c = np.concatenate(out_n)
+        bucket_c = np.concatenate(out_b)
+        mix = (users_c.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               + bucket_c.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+               + unull_c.astype(np.uint64))
+        part = ((mix >> np.uint64(33)) % np.uint64(n_parts)).astype(
+            np.int64)
+        return pa.table({
+            "user_id": pa.array(users_c, pa.int64()),
+            "uid_null": pa.array(unull_c, pa.int64()),
+            "ts_us": pa.array(np.concatenate(out_t), pa.int64()),
+            "bucket": pa.array(bucket_c, pa.int64()),
+            "is_cand": pa.array(np.concatenate(out_c), pa.int64()),
+            "event_id": pa.array(np.concatenate(out_e), pa.int64()),
+            "v": pa.array(np.concatenate(out_v), pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("uid_null", pa.int64()),
+                            ("n_in_window", pa.int64()),
+                            ("sum_milli", pa.int64())])
+
+    def per_part(part: pa.Table, w_us=w_us) -> pa.Table:
+        if len(part) == 0:
+            return out_schema.empty_table()
+        users = part["user_id"].to_numpy(zero_copy_only=False)
+        unull = part["uid_null"].to_numpy(zero_copy_only=False)
+        ts = part["ts_us"].to_numpy(zero_copy_only=False)
+        bucket = part["bucket"].to_numpy(zero_copy_only=False)
+        is_cand = part["is_cand"].to_numpy(zero_copy_only=False)
+        eid = part["event_id"].to_numpy(zero_copy_only=False)
+        v = part["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, is_cand, bucket, users, unull))
+        users, unull, ts = users[order], unull[order], ts[order]
+        bucket, is_cand = bucket[order], is_cand[order]
+        eid, v = eid[order], v[order]
+        new = np.empty(len(users), bool)
+        new[0] = True
+        new[1:] = ((users[1:] != users[:-1]) | (bucket[1:] != bucket[:-1])
+                   | (unull[1:] != unull[:-1]))
+        gid = np.cumsum(new) - 1
+        # disjoint band per (user, bucket) group — see range join above
+        enc = gid * (4 * w_us) + (ts - bucket * w_us) + w_us
+        cand = is_cand == 1
+        enc_c, v_c = enc[cand], v[cand]
+        cs = np.cumsum(v_c)
+        q = ~cand
+        if not q.any():
+            return out_schema.empty_table()
+        enc_q = enc[q]
+        lo = np.searchsorted(enc_c, enc_q - w_us, side="left")
+        hi = np.searchsorted(enc_c, enc_q, side="right")
+        n_in = hi - lo
+        total = np.where(hi > 0, cs[np.maximum(hi - 1, 0)], 0) \
+            - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        return pa.table({
+            "event_id": pa.array(eid[q], pa.int64()),
+            "user_id": pa.array(users[q], pa.int64()),
+            "uid_null": pa.array(unull[q], pa.int64()),
+            "n_in_window": pa.array(n_in, pa.int64()),
+            "sum_milli": pa.array(total, pa.int64()),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        gnull = batch["uid_null"].to_numpy(zero_copy_only=False) == 1
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": pa.array(
+                [None if isnull else int(u)
+                 for u, isnull in zip(uid, gnull)], pa.int64()),
+            "n_in_window": batch["n_in_window"],
+            "trail_sum": round_half_up(pc.divide(pc.cast(
+                batch["sum_milli"], pa.float64()), pa.scalar(1000.0)), 3),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part, batch_format="pyarrow")
+            .map_batches(finalize, batch_format="pyarrow"))
+
+
+TRAILING_WINDOW_SQL = """
+WITH m AS (
+  SELECT event_id, user_id, ts,
+         COALESCE(CAST(floor(value * 1000.0 + 0.5) AS BIGINT), 0) AS v
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+       floor((sum(v) OVER w) / 1000.0 * 1000.0 + 0.5) / 1000.0
+         AS trail_sum
+FROM m
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                   AND CURRENT ROW)
+"""
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir: str, types: tuple = PIVOT_TYPES):
+    """PIVOT: one wide row per user with per-event-type counts and
+    value sums as COLUMNS (the classic long->wide reshape; DuckDB's
+    PIVOT / conditional-aggregation shape).  The pivoted type set is a
+    fixed, declared parameter — a pivot's output schema must be known
+    before execution in a distributed engine (column discovery would
+    be a full extra scan); types outside it roll into ``n_other`` so
+    the pivot stays row-count-preserving.
+
+    Scale design: the reshape happens entirely INSIDE ``map_batches``
+    — each block emits one pre-aggregated wide partial per user seen
+    in the block (indicator masks + ``_gb``) — and the only shuffle is
+    a groupby-sum over those compact partials, exactly the
+    pre-aggregate-then-small-groupby rule.  No row-level exchange, no
+    per-type pass over the input: one boolean matrix (|batch| x
+    |types|) built from ONE equality kernel per type.
+
+    Values sum as exact int64 millis; NULL users keep one group
+    (uid_null sentinel); NULL values count 0 toward sums, 1 toward
+    counts (COALESCE in the mirror).
+
+    Returns (user_id, n_<type>... , v_<type>..., n_other).
+    Oracle: EVENTS_PIVOT_SQL.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, ["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ua = batch["user_id"]
+        unull = pc.is_null(ua).to_numpy(zero_copy_only=False)
+        users = pc.fill_null(ua, 0).to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = pc.fill_null(_val_milli(batch["value"]), 0).to_numpy(
+            zero_copy_only=False)
+        cols = {"user_id": pa.array(users, pa.int64()),
+                "uid_null": pa.array(unull.astype(np.int64), pa.int64())}
+        other = np.ones(len(et), bool)
+        aggs, names = [], []
+        for t in types:
+            m = et == t
+            other &= ~m
+            cols[f"n_{t}"] = pa.array(m.astype(np.int64), pa.int64())
+            cols[f"v_{t}"] = pa.array(np.where(m, v, 0), pa.int64())
+            aggs += [(f"n_{t}", "sum"), (f"v_{t}", "sum")]
+            names += [f"n_{t}", f"v_{t}"]
+        cols["n_other"] = pa.array(other.astype(np.int64), pa.int64())
+        aggs.append(("n_other", "sum"))
+        names.append("n_other")
+        return _gb(pa.table(cols), ["user_id", "uid_null"], aggs, names)
+
+    flat = [x for t in types for x in (f"n_{t}", f"v_{t}")] + ["n_other"]
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "uid_null"]) \
+        .aggregate(*[Sum(c, alias_name=c) for c in flat])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        gnull = batch["uid_null"].to_numpy(zero_copy_only=False) == 1
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        out = {"user_id": pa.array(
+            [None if isnull else int(u)
+             for u, isnull in zip(uid, gnull)], pa.int64())}
+        for t in types:
+            out[f"n_{t}"] = batch[f"n_{t}"]
+            out[f"v_{t}"] = round_half_up(pc.divide(pc.cast(
+                batch[f"v_{t}"], pa.float64()), pa.scalar(1000.0)), 3)
+        out["n_other"] = batch["n_other"]
+        return pa.table(out)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_PIVOT_SQL = """
+WITH m AS (
+  SELECT user_id, event_type,
+         COALESCE(CAST(floor(value * 1000.0 + 0.5) AS BIGINT), 0) AS v
+  FROM events
+)
+SELECT user_id,
+""" + ",\n".join(
+    f"       CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+    f" AS n_{t},\n"
+    f"       floor(COALESCE(sum(v) FILTER (WHERE event_type = '{t}'), 0)"
+    f" / 1000.0 * 1000.0 + 0.5) / 1000.0 AS v_{t}"
+    for t in PIVOT_TYPES) + f""",
+       CAST(count(*) FILTER (WHERE event_type NOT IN
+            {PIVOT_TYPES!r}) AS BIGINT) AS n_other
+FROM m GROUP BY user_id
+"""

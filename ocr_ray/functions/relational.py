@@ -1108,3 +1108,274 @@ def salted_join(large_ds, small_ds, on: str, right_on: str | None = None,
                        num_partitions=num_partitions,
                        on=(on, "_salt"), right_on=(right_on, "_salt"))
     return joined.drop_columns(["_salt"])
+
+
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, year(o_orderdate)) — the
+    grouping-sets family (subtotal + grand-total rows with a GROUPING
+    bitmask), which no prior operator covered.
+
+    Scale design: only the FINEST grain ever shuffles — per-block
+    partials over (priority, year) feed one small groupby, and the
+    coarser levels are derived FROM that finest result (exact int-cent
+    re-sums, so level totals are bit-identical to a direct computation)
+    in a single-block Arrow pass.  The finest grain is provably tiny
+    (|priorities| x |years|), so the `repartition(1)` that makes the
+    derivation one batch is a documented small-result gate, not a data
+    materialization — the input table itself never gathers anywhere.
+
+    ``lvl`` mirrors SQL GROUPING(priority, year): bit 1 = priority
+    rolled up, bit 0 = year rolled up (0 = finest, 1 = per-priority
+    subtotal, 3 = grand total).  A NULL **data** key stays a real group
+    at lvl 0 — distinguishable from subtotal NULLs exactly as in SQL —
+    via the usual sentinel-flag columns.
+
+    Returns (o_orderpriority, order_year, lvl, n_orders, revenue).
+    Oracle: ORDERS_ROLLUP_SQL.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        prio = batch["o_orderpriority"]
+        p_null = pc.is_null(prio)
+        years = pc.year(batch["o_orderdate"])
+        y_null = pc.is_null(years)
+        t = pa.table({
+            "prio": pc.fill_null(prio, ""),
+            "p_null": pc.cast(p_null, pa.int64()),
+            "order_year": pc.fill_null(pc.cast(years, pa.int64()), 0),
+            "y_null": pc.cast(y_null, pa.int64()),
+            "cents": _cents(batch["o_totalprice"]),
+        })
+        return _gb(t, ["prio", "p_null", "order_year", "y_null"],
+                   [("cents", "sum"), ("cents", "count_all")],
+                   ["cents", "n"])
+
+    finest = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["prio", "p_null", "order_year", "y_null"]) \
+        .aggregate(Sum("cents", alias_name="cents"),
+                   Sum("n", alias_name="n"))
+
+    def derive_levels(t: pa.Table) -> pa.Table:
+        rows = {"prio": [], "p_null": [], "order_year": [], "y_null": [],
+                "lvl": [], "n": [], "cents": []}
+
+        def emit(p, pn, y, yn, lvl, n, c):
+            rows["prio"].append(p); rows["p_null"].append(pn)
+            rows["order_year"].append(y); rows["y_null"].append(yn)
+            rows["lvl"].append(lvl); rows["n"].append(n)
+            rows["cents"].append(c)
+
+        for r in t.to_pylist():                       # tiny: P x Y rows
+            emit(r["prio"], r["p_null"], r["order_year"], r["y_null"],
+                 0, r["n"], r["cents"])
+        g1 = t.group_by(["prio", "p_null"]).aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        for r in g1.to_pylist():
+            emit(r["prio"], r["p_null"], 0, 1, 1, r["n_sum"],
+                 r["cents_sum"])
+        emit("", 1, 0, 1, 3,
+             pc.sum(t["n"]).as_py() or 0,
+             pc.sum(t["cents"]).as_py() or 0)
+        return pa.table({k: pa.array(v, pa.int64()
+                                     if k != "prio" else pa.string())
+                         for k, v in rows.items()})
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        p = batch["prio"].to_pylist()
+        pn = batch["p_null"].to_pylist()
+        y = batch["order_year"].to_pylist()
+        yn = batch["y_null"].to_pylist()
+        lvl = batch["lvl"].to_pylist()
+        return pa.table({
+            "o_orderpriority": pa.array(
+                [None if (n or L & 2) else v
+                 for v, n, L in zip(p, pn, lvl)], pa.string()),
+            "order_year": pa.array(
+                [None if (n or L & 1) else v
+                 for v, n, L in zip(y, yn, lvl)], pa.int64()),
+            "lvl": batch["lvl"],
+            "n_orders": batch["n"],
+            "revenue": round_half_up(pc.divide(pc.cast(
+                batch["cents"], pa.float64()), pa.scalar(100.0)), 2),
+        })
+
+    return (finest.repartition(1)
+            .map_batches(derive_levels, batch_format="pyarrow",
+                         batch_size=None)
+            .map_batches(finalize, batch_format="pyarrow"))
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(GROUPING(o_orderpriority, year(o_orderdate)) AS BIGINT)
+         AS lvl,
+       count(*) AS n_orders,
+       floor((sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              / 100.0) * 100.0 + 0.5) / 100.0 AS revenue
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, year(o_orderdate))
+"""
+
+
+def merge_changeset(sf_dir: str):
+    """MERGE INTO / CDC upsert: apply a changeset of inserts, updates
+    and deletes (each stamped with a commit sequence) to a base
+    snapshot with LAST-WRITER-WINS per key — the Delta/Hudi-style
+    "apply CDC feed" operator; no prior operator covered versioned
+    upsert resolution.
+
+    The changeset is derived deterministically from ``orders`` (no
+    external data; both engines derive the identical feed):
+
+    * seq 1: every key %% 7 == 0   -> U (price+100, status 'X')
+    * seq 1: fresh keys (key + 10^7 for key %% 11 == 0) -> I
+    * seq 2: every key %% 13 == 0  -> D (beats a seq-1 U at %% 91)
+    * seq 3: every key %% 14 == 0  -> U again (beats the seq-1 U)
+    * seq 4: every key %% 26 == 0  -> I (re-insert AFTER the seq-2
+      delete — the resurrection case that breaks naive delete-masking)
+
+    Each stream gets its own commit seq so any key sees at most one
+    change per seq and the max-seq winner is unique — ambiguous
+    same-seq writes to one key would be engine-nondeterministic in ANY
+    CDC implementation (and in the SQL mirror's row_number).
+
+    Semantics: base rows ride as seq 0; per key the max-seq row wins;
+    a winning D removes the key, any other winner IS the row ('U' is
+    an upsert).  Kernel — one hash(key) %% P shuffle co-locates every
+    version of a key, then ONE lexsort(key, seq) + last-of-run mask
+    per partition resolves the winner: no per-key Python, group size
+    bounded by versions-per-key, never by table size.
+
+    Returns the final snapshot (o_orderkey, o_custkey, o_orderstatus,
+    o_totalprice).  Oracle: MERGE_CHANGESET_SQL.
+    """
+    from ._part import nparts_for
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice"])
+    n_rows = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    n_parts = nparts_for(2 * n_rows, rows_per_part=500_000, floor=8)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        cust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        status = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+        cents = _cents(batch["o_totalprice"]).to_numpy(
+            zero_copy_only=False)
+        ks, cs, sts, cts, seqs, ops = [], [], [], [], [], []
+
+        def emit(m, k, c, st, ct, seq, op):
+            n = int(m.sum())
+            if n == 0:
+                return
+            ks.append(k[m]); cs.append(c[m])
+            sts.append(np.asarray(st)[m] if not np.isscalar(st)
+                       else np.full(n, st, dtype=object))
+            cts.append(ct[m] if isinstance(ct, np.ndarray)
+                       else np.full(n, ct, np.int64))
+            seqs.append(np.full(n, seq, np.int64))
+            ops.append(np.full(n, op, dtype=object))
+
+        all_m = np.ones(len(key), bool)
+        emit(all_m, key, cust, status, cents, 0, "B")        # base
+        emit(key % 7 == 0, key, cust, "X", cents + 10_000, 1, "U")
+        m_i = key % 11 == 0                                   # fresh keys
+        emit(m_i, key + 10_000_000, cust, "N", key * 100, 1, "I")
+        emit(key % 13 == 0, key, cust, status, cents, 2, "D")
+        emit(key % 14 == 0, key, cust, "Y", cents + 20_000, 3, "U")
+        emit(key % 26 == 0, key, cust, "Z",
+             np.full(len(key), 100, np.int64), 4, "I")
+        keys_c = np.concatenate(ks)
+        mix = keys_c.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        part = ((mix >> np.uint64(33)) % np.uint64(n_parts)).astype(
+            np.int64)
+        return pa.table({
+            "key": pa.array(keys_c, pa.int64()),
+            "cust": pa.array(np.concatenate(cs), pa.int64()),
+            "status": pa.array(np.concatenate(sts).astype(str),
+                               pa.string()),
+            "cents": pa.array(np.concatenate(cts), pa.int64()),
+            "seq": pa.array(np.concatenate(seqs), pa.int64()),
+            "op": pa.array(np.concatenate(ops).astype(str), pa.string()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64()),
+                            ("o_orderstatus", pa.string()),
+                            ("cents", pa.int64())])
+
+    def resolve(part: pa.Table) -> pa.Table:
+        if len(part) == 0:
+            return out_schema.empty_table()
+        key = part["key"].to_numpy(zero_copy_only=False)
+        seq = part["seq"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, key))
+        key = key[order]
+        last = np.empty(len(key), bool)
+        last[-1] = True
+        last[:-1] = key[1:] != key[:-1]
+        win = np.flatnonzero(last)
+        t = part.take(pa.array(order[win], pa.int64()))
+        keep = pc.invert(pc.equal(t["op"], "D"))
+        t = t.filter(keep)
+        return pa.table({
+            "o_orderkey": t["key"],
+            "o_custkey": t["cust"],
+            "o_orderstatus": t["status"],
+            "cents": t["cents"],
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "o_orderstatus": batch["o_orderstatus"],
+            "o_totalprice": round_half_up(pc.divide(pc.cast(
+                batch["cents"], pa.float64()), pa.scalar(100.0)), 2),
+        })
+
+    return (ds.map_batches(expand, batch_format="pyarrow")
+            .groupby("part").map_groups(resolve, batch_format="pyarrow")
+            .map_batches(finalize, batch_format="pyarrow"))
+
+
+MERGE_CHANGESET_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS key, o_custkey AS cust, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         0 AS seq, 'B' AS op
+  FROM orders
+),
+changes AS (
+  SELECT key, cust, 'X' AS status, cents + 10000 AS cents, 1 AS seq,
+         'U' AS op FROM base WHERE key % 7 = 0
+  UNION ALL
+  SELECT key + 10000000, cust, 'N', key * 100, 1, 'I'
+  FROM base WHERE key % 11 = 0
+  UNION ALL
+  SELECT key, cust, status, cents, 2, 'D' FROM base WHERE key % 13 = 0
+  UNION ALL
+  SELECT key, cust, 'Y', cents + 20000, 3, 'U' FROM base
+  WHERE key % 14 = 0
+  UNION ALL
+  SELECT key, cust, 'Z', 100, 4, 'I' FROM base WHERE key % 26 = 0
+),
+versions AS (
+  SELECT * FROM base UNION ALL SELECT * FROM changes
+),
+winners AS (
+  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC)
+         AS rn
+  FROM versions
+)
+SELECT key AS o_orderkey, cust AS o_custkey, status AS o_orderstatus,
+       floor((cents / 100.0) * 100.0 + 0.5) / 100.0 AS o_totalprice
+FROM winners WHERE rn = 1 AND op <> 'D'
+"""
