@@ -38,7 +38,9 @@ import numpy as np
 import pyarrow as pa
 
 from ._num import np_round_half_up
+from ._part import compact_parts as _compact
 from ._part import nparts_for
+from .dedup import _with_schema
 from .semdedup import _candidate_rows, _norm_rows
 
 _GRAPH_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
@@ -229,3 +231,178 @@ def semantic_communities(sf_dir: str, k: int = 5,
     out = dedup_clusters(edges)
     return out.rename_columns({"doc_id": "vec_id",
                                "cluster_id": "community"})
+
+
+RANK_SCALE = 10 ** 12          # fixed-point rank units (total mass)
+
+
+def pagerank(edges, damping_pct: int = 85, n_iter: int = 10,
+             num_partitions: int | None = None):
+    """Distributed PageRank over a directed edge Dataset[src, dst] —
+    the canonical "which nodes matter" graph analytic (Page et al.
+    1999; the power-iteration formulation every engine ships).
+
+    Scale design: per iteration exactly TWO exchanges — a hash join of
+    the rank table to the edges on src, and a groupby(dst) sum of the
+    contributions — both over Datasets, never a driver-side adjacency
+    structure; the only driver scalars are N (node count) and the
+    dangling mass D (one tiny aggregate per iteration, O(1) state).
+    The edge list is materialized ONCE and reused across iterations
+    (re-reading/vrecomputing the upstream per iteration would multiply
+    input IO by n_iter).
+
+    Determinism discipline: ranks are int64 fixed-point (RANK_SCALE =
+    total mass), per-edge contribution = rank // outdeg, and every
+    merge is exact integer addition — bit-identical across block
+    layouts and Ray's merge order, unlike float accumulation.  The
+    floor drops < outdeg ulps of mass per node per iteration
+    (bounded drift vs the float reference; the tests pin < 1e-6
+    relative).
+
+    damping_pct is the damping factor as an integer percent (85 =
+    0.85) so the update rule stays in integer arithmetic throughout.
+
+    Returns Dataset[node, rank] (rank = float share summing to ~1).
+    """
+    from ray.data.aggregate import Sum
+
+    from ._num import round_half_up as _rhu
+
+    d_num, d_den = int(damping_pct), 100
+
+    # ---- static structure: nodes, outdegree (ONE pass over edges)
+    def node_partial(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([src, dst])
+        deg = np.concatenate([np.ones(len(src), np.int64),
+                              np.zeros(len(dst), np.int64)])
+        t = pa.table({"node": pa.array(nodes, pa.int64()),
+                      "outdeg": pa.array(deg, pa.int64())})
+        g = t.group_by("node").aggregate([("outdeg", "sum")])
+        return pa.table({"node": g["node"], "outdeg": g["outdeg_sum"]})
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.float64())}))
+    # join hygiene (dedup_clusters discipline): groupby aggregates emit
+    # schema-LESS empty blocks that break Acero key resolution, and
+    # map_batches passes them through WITHOUT calling the UDF — the
+    # only real fix is a row-bounded compact repartition that merges
+    # the empties away.  Applied to EVERY join input below.
+    edges = edges.repartition(_compact(n_edges)).materialize()
+    nodes = edges.map_batches(node_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("outdeg", alias_name="outdeg")) \
+        .materialize()
+    n_nodes = nodes.count()
+    nodes = nodes.repartition(_compact(n_nodes)).materialize()
+    nparts = num_partitions or nparts_for(n_edges,
+                                          rows_per_part=500_000, floor=8)
+    r0 = RANK_SCALE // n_nodes
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "outdeg": batch["outdeg"],
+            "rank_i": pa.array(np.full(len(batch), r0, np.int64),
+                               pa.int64())})
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow") \
+        .materialize()
+
+    for _ in range(n_iter):
+        # dangling mass: one tiny aggregate -> driver scalar
+        def dang_partial(batch: pa.Table) -> pa.Table:
+            deg = batch["outdeg"].to_numpy(zero_copy_only=False)
+            r = batch["rank_i"].to_numpy(zero_copy_only=False)
+            return pa.table({"d": pa.array(
+                [int(r[deg == 0].sum())], pa.int64())})
+
+        dang = ranks.map_batches(dang_partial, batch_format="pyarrow") \
+            .aggregate(Sum("d", alias_name="d"))["d"] or 0
+
+        contrib_src = edges.join(
+            ranks.select_columns(["node", "outdeg", "rank_i"]),
+            join_type="inner", num_partitions=nparts,
+            on=("src",), right_on=("node",))
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            r = batch["rank_i"].to_numpy(zero_copy_only=False)
+            deg = batch["outdeg"].to_numpy(zero_copy_only=False)
+            t = pa.table({
+                "node": batch["dst"],
+                "c": pa.array(r // np.maximum(deg, 1), pa.int64())})
+            g = t.group_by("node").aggregate([("c", "sum")])
+            return pa.table({"node": g["node"], "c": g["c_sum"]})
+
+        # in_sums is non-empty whenever edges exist (every edge's src
+        # is a node, so the inner join always matches) — the compact
+        # repartition below is therefore always row-backed.
+        in_schema = pa.schema([("node", pa.int64()), ("c", pa.int64())])
+        in_sums = contrib_src.map_batches(contrib,
+                                          batch_format="pyarrow") \
+            .groupby("node").aggregate(Sum("c", alias_name="c")) \
+            .map_batches(_with_schema(in_schema),
+                         batch_format="pyarrow") \
+            .materialize()
+        in_sums = in_sums.repartition(_compact(in_sums.count())) \
+            .materialize()
+
+        base = ((d_den - d_num) * RANK_SCALE) // (d_den * n_nodes)
+        share = dang // n_nodes
+
+        joined = nodes.join(in_sums, join_type="left_outer",
+                            num_partitions=nparts, on=("node",))
+
+        def update(batch: pa.Table, base=base, share=share) -> pa.Table:
+            import pyarrow.compute as pc
+            c = pc.fill_null(batch["c"], 0).to_numpy(
+                zero_copy_only=False)
+            new = base + (d_num * (c + share)) // d_den
+            return pa.table({
+                "node": batch["node"],
+                "outdeg": batch["outdeg"],
+                "rank_i": pa.array(new, pa.int64())})
+
+        # the join's empty partitions emit schema-less blocks too —
+        # compact to exactly-n_nodes-backed blocks before the next
+        # iteration's join reads this as its right side
+        ranks = joined.map_batches(update, batch_format="pyarrow") \
+            .repartition(_compact(n_nodes)).materialize()
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "node": batch["node"],
+            "rank": _rhu(pc.divide(pc.cast(batch["rank_i"],
+                                           pa.float64()),
+                                   pa.scalar(float(RANK_SCALE))), 9),
+        })
+
+    return ranks.map_batches(finalize, batch_format="pyarrow")
+
+
+def document_pagerank(sf_dir: str, k: int = 5, n_clusters: int = 16,
+                      probe_r: int = 4, n_iter: int = 10):
+    """PageRank centrality over the semantic mutual-kNN graph: which
+    vectors sit at the center of the corpus's similarity structure —
+    the selection signal for centrality-weighted sampling (pick
+    representative docs) or its inverse (drop redundant hubs).
+
+    The mutual graph is undirected; each surviving pair feeds BOTH
+    directions so the random walk is symmetric."""
+    mut = mutual_knn_graph(sf_dir, k, n_clusters, probe_r)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    return pagerank(mut.map_batches(both_dirs, batch_format="pyarrow"),
+                    n_iter=n_iter)

@@ -572,3 +572,81 @@ def source_overlap_jaccard(sf_dir: str, window: int = 5, k: int = 4096):
     ds = clean_read(f"{sf_dir}/documents.parquet",
                     columns=["source", "text"])
     return grouped_kmv_overlap(ds, "source", "text", window=window, k=k)
+
+
+# ------------------------------------------------------- HyperLogLog
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (6 binary-search passes —
+    no float log2, whose 53-bit mantissa rounds values just below a
+    power of two UP and would flip a register by one on rare inputs)."""
+    x = x.copy()
+    n = np.zeros(x.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(s))
+        n[m] += s
+        x[m] >>= np.uint64(s)
+    n[x == 1] += 1
+    return n
+
+
+def hll_sketch(values, p: int = 12) -> np.ndarray:
+    """HyperLogLog registers (uint8[2^p]) over the values' blake2b
+    hashes: register index = top p bits, rank = leading-zero count of
+    the remaining 64-p bits + 1.  Deterministic (hash-based, no RNG);
+    relative error ~ 1.04/sqrt(2^p) (~1.6% at p=12 for 4 KB of state).
+    """
+    m = 1 << p
+    reg = np.zeros(m, np.uint8)
+    if len(values) == 0:
+        return reg
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    low = h & np.uint64((1 << (64 - p)) - 1)
+    rank = ((64 - p) - _bit_length_u64(low) + 1).astype(np.uint8)
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Register-wise max — associative, commutative, idempotent: the
+    merged sketch is identical for ANY block layout or merge order."""
+    return np.maximum(a, b)
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Bias-corrected harmonic-mean estimate with the small-range
+    linear-counting correction (Flajolet et al. 2007); the 64-bit-hash
+    large-range correction is unnecessary below ~2^57 distinct."""
+    m = len(reg)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct_hll(ds, column: str, p: int = 12):
+    """Distributed HLL distinct-count over a Dataset column: each block
+    accumulates into a 2^p-register state, Ray's aggregate tree merges
+    by register-wise max (order-free by idempotent-max algebra), and
+    only ONE 4 KB state ever reaches the driver — vs approx_distinct's
+    KMV this trades ~2x error per byte for O(1) accumulate cost and a
+    fixed-size state independent of k.
+
+    Returns a one-row pyarrow Table {approx_distinct: float64}.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(1 << p, np.uint8),
+        merge=hll_merge,
+        accumulate_block=lambda s, blk: hll_merge(
+            s, hll_sketch(blk[column].to_pylist(), p)),
+        finalize=lambda s: s.tobytes(),
+        name="hll")
+    reg = np.frombuffer(ds.aggregate(agg)["hll"], np.uint8)
+    est = hll_estimate(reg)
+    return pa.table({"approx_distinct":
+                     pa.array([round(est, 1)], pa.float64())})

@@ -2,6 +2,7 @@
 (reference style: tests_app/test_utils.py:4-22)."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from ocr_ray.functions.sketches import kmv_estimate, kmv_merge, kmv_sketch
@@ -397,3 +398,50 @@ class TestGroupedKMVOverlap:
         assert len(got) == 190
         assert ((got.est_jaccard >= 0) & (got.est_jaccard <= 1)).all()
         assert (got.est_union > 0).all()
+
+
+class TestHyperLogLog:
+    def test_bit_length_exact_on_boundaries(self):
+        from ocr_ray.functions.sketches import _bit_length_u64
+        xs = [0, 1, 2, 3, 4, (1 << 52) - 1, 1 << 52, (1 << 53) + 1,
+              (1 << 63) - 1, 1 << 63, (1 << 64) - 1]
+        got = _bit_length_u64(np.array(xs, np.uint64)).tolist()
+        assert got == [x.bit_length() for x in xs]
+
+    def test_error_within_bound_across_cardinalities(self):
+        """Deterministic hash -> the observed error is FIXED per
+        cardinality; assert the 3-sigma bound (~4.9% at p=12) plus the
+        small-range linear-counting regime."""
+        from ocr_ray.functions.sketches import hll_estimate, hll_sketch
+        for n in (100, 1_000, 50_000, 200_000):
+            est = hll_estimate(hll_sketch([f"item-{i}" for i in range(n)]))
+            assert abs(est / n - 1) < 0.05, (n, est)
+
+    def test_merge_is_layout_and_order_independent(self):
+        from ocr_ray.functions.sketches import hll_merge, hll_sketch
+        vals = [f"x{i}" for i in range(20_000)]
+        whole = hll_sketch(vals)
+        rng = np.random.default_rng(5)
+        idx = rng.permutation(len(vals))
+        merged = np.zeros(4096, np.uint8)
+        for k in range(7):
+            merged = hll_merge(
+                merged, hll_sketch([vals[j] for j in idx[k::7]]))
+        assert (whole == merged).all()
+        # idempotent: merging a sketch with itself changes nothing
+        assert (hll_merge(whole, whole) == whole).all()
+
+    def test_distributed_matches_driver_sketch(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import (
+            approx_distinct_hll,
+            hll_estimate,
+            hll_sketch,
+        )
+        vals = [f"doc-{i % 3000}" for i in range(9_000)]  # dups collapse
+        ds = rd.from_arrow(pa.table({"v": vals})).repartition(6)
+        got = approx_distinct_hll(ds, "v").to_pandas().iloc[0]
+        want = hll_estimate(hll_sketch(vals))
+        assert got["approx_distinct"] == round(want, 1)
+        assert abs(got["approx_distinct"] / 3000 - 1) < 0.05
