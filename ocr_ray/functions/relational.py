@@ -1379,3 +1379,223 @@ SELECT key AS o_orderkey, cust AS o_custkey, status AS o_orderstatus,
        floor((cents / 100.0) * 100.0 + 0.5) / 100.0 AS o_totalprice
 FROM winners WHERE rn = 1 AND op <> 'D'
 """
+
+
+def q21_blamed_suppliers(sf_dir: str, late_days: int = 60, k: int = 20):
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape, adapted to
+    this corpus's columns: "late" = shipped more than ``late_days``
+    after the order date, per (order, supplier)).  The reference SQL is
+    a DOUBLE-EXISTENTIAL self join — EXISTS(another supplier in the
+    order) AND NOT EXISTS(another LATE supplier in the order) — the
+    heaviest correlated-subquery shape in TPC-H.
+
+    Scale design — the existentials collapse to per-order aggregates:
+    a supplier s is blamed for order o iff o's late-supplier set is
+    exactly {s} and o has >= 2 suppliers.  So (1) lineitem reduces to
+    distinct (orderkey, suppkey, max_shipdate) via partial+global
+    groupby — the only lineitem-sized shuffle; (2) one hash join
+    attaches o_orderdate (status 'F' only); (3) per-ORDER integer
+    aggregates (n_supp, n_late, sum(suppkey*late)) resolve both
+    existentials with no self join at all — sum(suppkey*late) IS the
+    blamed supplier exactly when n_late == 1; (4) the per-supplier
+    count is key-sized.  Counting unit: (supplier, order) pairs —
+    mirrored by the DISTINCT in the oracle.
+    """
+    from ray.data.aggregate import Sum, Max
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "l_suppkey": batch["l_suppkey"],
+                      "ship_us": pc.cast(batch["l_shipdate"], pa.int64())})
+        return _gb(t, ["l_orderkey", "l_suppkey"],
+                   [("ship_us", "max")], ["max_ship"])
+
+    pairs = (li.map_batches(li_partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby(["l_orderkey", "l_suppkey"])
+             .aggregate(Max("max_ship", alias_name="max_ship")))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderstatus"])
+    n_orders = orders.count()          # parquet metadata, no execution
+
+    def o_map(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "odate_us": pc.cast(t["o_orderdate"],
+                                             pa.int64())})
+
+    fo = orders.map_batches(o_map, batch_format="pyarrow")
+    nparts = _nparts_for(n_orders)
+    j = pairs.join(fo, join_type="inner", num_partitions=nparts,
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+    cut_us = int(late_days) * 86_400_000_000  # days -> timestamp[us]
+
+    def per_order_partial(batch: pa.Table) -> pa.Table:
+        late = pc.cast(pc.greater(
+            batch["max_ship"],
+            pc.add(batch["odate_us"], pa.scalar(cut_us, pa.int64()))),
+            pa.int64())
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "n_late": late,
+                      "late_supp": pc.multiply(batch["l_suppkey"], late)})
+        return _gb(t, ["l_orderkey"],
+                   [("n_late", "count_all"), ("n_late", "sum"),
+                    ("late_supp", "sum")],
+                   ["n_supp", "n_late", "late_supp"])
+
+    per_order = (j.map_batches(per_order_partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("n_supp", alias_name="n_supp"),
+                            Sum("n_late", alias_name="n_late"),
+                            Sum("late_supp", alias_name="late_supp")))
+
+    blamed = (per_order.filter(expr="n_late == 1")
+              .filter(expr="n_supp >= 2"))
+
+    def supp_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"s_suppkey": batch["late_supp"]})
+        return _gb(t, ["s_suppkey"], [("s_suppkey", "count_all")],
+                   ["numwait"])
+
+    counts = (blamed.map_batches(supp_partial, batch_format="pyarrow")
+              .groupby("s_suppkey")
+              .aggregate(Sum("numwait", alias_name="numwait")))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    name_arr = _dense_lookup(sup["s_suppkey"].to_numpy(),
+                             sup["s_name"].to_pylist())
+
+    def add_name(batch: pa.Table, name_arr=name_arr) -> pa.Table:
+        names = name_arr[batch["s_suppkey"].to_numpy()]
+        return pa.table({"s_name": pa.array(names, pa.string()),
+                         "numwait": batch["numwait"]})
+
+    return (counts.map_batches(add_name, batch_format="pyarrow",
+                               fn_kwargs={"name_arr": name_arr})
+            .sort(["numwait", "s_name"], descending=[True, False])
+            .limit(k))
+
+
+Q21_SQL = """
+SELECT s.s_name, count(*) AS numwait FROM (
+  SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+  FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+) b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
+"""
+
+
+def q22_idle_rich_customers(sf_dir: str, price_threshold: float = 350000.0):
+    """Rich-but-idle customers (TPC-H Q22 shape, adapted: "idle" = no
+    single order above ``price_threshold``; country code = nationkey).
+    Two new gate shapes composed: a SCALAR-SUBQUERY threshold (the
+    corpus-wide average positive balance, computed as ONE integer-cents
+    aggregate and broadcast as two scalars) and a NOT-EXISTS anti join
+    against the big-order key set.
+
+    The average gate compares exactly by cross-multiplying integers —
+    cents * n_pos > sum_cents — mirrored term for term in the oracle,
+    so the float division never happens on either engine.  The anti
+    join is the hash-partitioned LEFT ANTI ``Dataset.join`` (per-block
+    key dedup shrinks the right side first); the final rollup is
+    nationkey-sized.
+    """
+    from ray.data.aggregate import Sum, Count
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    n_cust = cust.count()              # parquet metadata, no execution
+
+    def cents_pos(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["c_acctbal"], 0.0))
+        return pa.table({"cents": _cents(t["c_acctbal"])})
+
+    gate = cust.map_batches(cents_pos, batch_format="pyarrow") \
+        .aggregate(Sum("cents", alias_name="sum_cents"),
+                   Count(alias_name="n_pos"))
+    sum_cents = int(gate["sum_cents"] or 0)
+    n_pos = int(gate["n_pos"] or 0)
+
+    def rich(batch: pa.Table, sum_cents=sum_cents,
+             n_pos=n_pos) -> pa.Table:
+        cents = _cents(batch["c_acctbal"])
+        keep = pc.greater(pc.multiply(cents, pa.scalar(n_pos, pa.int64())),
+                          pa.scalar(sum_cents, pa.int64()))
+        t = batch.filter(keep)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"],
+                         "cents": _cents(t["c_acctbal"])})
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big_keys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["o_totalprice"],
+                                    float(price_threshold)))
+        return pa.table({"o_custkey": t["o_custkey"]}) \
+            .group_by(["o_custkey"]).aggregate([])
+
+    big = orders.map_batches(big_keys, batch_format="pyarrow") \
+        .materialize()
+    if big.count() == 0:
+        idle = rich_ds          # empty anti side breaks Acero; skip it
+    else:
+        idle = rich_ds.join(big, join_type="left_anti",
+                            num_partitions=_nparts_for(n_cust),
+                            on=("c_custkey",), right_on=("o_custkey",))
+
+    def nat_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"cntrycode": batch["c_nationkey"],
+                      "cents": batch["cents"]})
+        return _gb(t, ["cntrycode"],
+                   [("cents", "count_all"), ("cents", "sum")],
+                   ["numcust", "cents"])
+
+    agg = (idle.map_batches(nat_partial, batch_format="pyarrow")
+           .groupby("cntrycode")
+           .aggregate(Sum("numcust", alias_name="numcust"),
+                      Sum("cents", alias_name="cents")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cntrycode": batch["cntrycode"],
+            "numcust": batch["numcust"],
+            "totacctbal": round_half_up(pc.divide(pc.cast(
+                batch["cents"], pa.float64()), pa.scalar(100.0)), 2)})
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort("cntrycode"))
+
+
+Q22_SQL = """
+WITH pos AS (
+  SELECT sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS sum_cents,
+         count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
+       floor((sum(CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS totacctbal
+FROM customer c
+WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) * (SELECT n_pos FROM pos)
+        > (SELECT sum_cents FROM pos)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 350000.0)
+GROUP BY c.c_nationkey ORDER BY cntrycode
+"""
