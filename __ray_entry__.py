@@ -238,7 +238,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_order_revenue": rel.q3_top_order_revenue,
         "q5_supplier_region_revenue": rel.q5_supplier_region_revenue,
-        "q6_revenue_delta": rel.q6_revenue_delta,
+        # q6_revenue_delta rotated out (round-5 continuation): plain
+        # filter+sum, shape fully covered by q1/q14; oracle continues in
+        # tests/test_registry_extras.py.  Its slot holds the Q21
+        # double-existential self-join collapse — the heaviest
+        # correlated-subquery shape in TPC-H, verified against the
+        # NAIVE EXISTS/NOT-EXISTS oracle form:
+        "q21_blamed_suppliers": rel.q21_blamed_suppliers,
         # mktsegment_stats rotated out in round 4 (redundant simple
         # groupby; the shape stays covered by nation_customer_balance
         # and pytest) for the float grouped-quantile operator
@@ -263,7 +269,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": _event_funnel,
         "event_transitions": ev.event_transitions,
         "weekly_retention": ev.weekly_retention,
-        "top_users_by_value": ev.top_users_by_value,
+        # top_users_by_value rotated out (round-5 continuation): plain
+        # groupby+top-k, covered by q10/q18/top_orders_per_segment;
+        # oracle continues in tests/test_registry_extras.py.  Its slot
+        # holds the Q22 scalar-subquery gate + NOT-EXISTS anti join:
+        "q22_idle_rich_customers": rel.q22_idle_rich_customers,
         "sessionize": ev.sessionize,
         "props_k_stats": ev.props_k_stats,
         "user_activity_join": ev.user_activity_join,
@@ -291,7 +301,8 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": rel.Q1_SQL,
         "q3_top_order_revenue": rel.Q3_SQL,
         "q5_supplier_region_revenue": rel.Q5_SQL,
-        "q6_revenue_delta": rel.Q6_SQL,
+        "q21_blamed_suppliers": rel.Q21_SQL,
+        "q22_idle_rich_customers": rel.Q22_SQL,
         "priority_price_quantiles": cp.PRIORITY_PRICE_QUANTILES_SQL,
         "q13_customer_distribution": rel.Q13_SQL,
         "q18_large_volume_customers": rel.Q18_SQL,
@@ -305,7 +316,6 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": ev.event_funnel_sql(),
         "event_transitions": ev.EVENT_TRANSITIONS_SQL,
         "weekly_retention": ev.WEEKLY_RETENTION_SQL,
-        "top_users_by_value": ev.TOP_USERS_SQL,
         "sessionize": ev.SESSIONIZE_SQL,
         "props_k_stats": ev.PROPS_K_SQL,
         "user_activity_join": ev.USER_ACTIVITY_SQL,

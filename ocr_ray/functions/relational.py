@@ -1589,7 +1589,7 @@ WITH pos AS (
          count(*) AS n_pos
   FROM customer WHERE c_acctbal > 0.0
 )
-SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
+SELECT CAST(c.c_nationkey AS BIGINT) AS cntrycode, count(*) AS numcust,
        floor((sum(CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS totacctbal
 FROM customer c
 WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) * (SELECT n_pos FROM pos)

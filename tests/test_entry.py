@@ -15,7 +15,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # fast, shape-diverse subset for the per-commit gate
 CHECKED = [
-    "q1_pricing_summary", "q6_revenue_delta", "priority_price_quantiles",
+    "q1_pricing_summary", "q22_idle_rich_customers",
+    "priority_price_quantiles",
     "event_funnel", "sessionize", "doc_token_counts",
     "exact_dedup_groups", "knn_bruteforce",
 ]

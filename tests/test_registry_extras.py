@@ -38,6 +38,16 @@ def _check(ray_res, sql: str):
 
 
 class TestConsolidatedQueries:
+    def test_q6_revenue_delta(self, ray_session):
+        # rotated out for q21_blamed_suppliers (round-5 continuation)
+        from ocr_ray.functions import relational as rel
+        _check(rel.q6_revenue_delta(SF), rel.Q6_SQL)
+
+    def test_top_users_by_value(self, ray_session):
+        # rotated out for q22_idle_rich_customers (round-5 continuation)
+        from ocr_ray.functions import events as ev
+        _check(ev.top_users_by_value(SF), ev.TOP_USERS_SQL)
+
     def test_order_priority_counts(self, ray_session):
         from ocr_ray.functions import relational as rel
         _check(rel.order_priority_counts(SF), rel.ORDER_PRIORITY_SQL)
