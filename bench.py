@@ -297,6 +297,18 @@ def run_queries() -> dict:
         times["top_terms_rows"] = len(t)
     except Exception as e:  # pragma: no cover - defensive
         times["top_terms_per_lang"] = f"error: {type(e).__name__}"
+    # content-defined chunking + chunk-level dedup stats (round 5):
+    # map-only vectorized gear-hash chunker, one md5 groupby
+    try:
+        from ocr_ray.functions.cdc_chunk import cdc_dedup_stats
+
+        t0 = time.time()
+        st = cdc_dedup_stats(SF_DIR)
+        times["cdc_chunk"] = round(time.time() - t0, 2)
+        times["cdc_dedup_ratio"] = st["dedup_ratio"]
+        times["cdc_unique_chunks"] = st["n_unique_chunks"]
+    except Exception as e:  # pragma: no cover - defensive
+        times["cdc_chunk"] = f"error: {type(e).__name__}"
     # pairwise source overlap via grouped KMV sketches (round 5): ONE
     # streaming pass, n_sources x k x 8 B state, driver-side pair fold
     try:
