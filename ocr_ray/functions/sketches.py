@@ -650,3 +650,144 @@ def approx_distinct_hll(ds, column: str, p: int = 12):
     est = hll_estimate(reg)
     return pa.table({"approx_distinct":
                      pa.array([round(est, 1)], pa.float64())})
+
+
+def grouped_approx_distinct_hll(ds, group_col: str, value_col: str,
+                                p: int = 12) -> pa.Table:
+    """HLL distinct-count PER GROUP in one pass: state is a dict of
+    2^p-byte register arrays keyed by group value (n_groups x 4 KB at
+    p=12) — the low-cardinality-group sibling of ``approx_distinct_hll``
+    (lang, source, event_type...).  Register max is idempotent and
+    commutative, so the result is independent of block layout and
+    merge order.  High-cardinality grouping should go through a
+    groupby shuffle instead of this broadcast-state aggregate
+    (the grouped_approx_quantiles contract).
+
+    Returns pa.Table(<group_col>, approx_distinct) sorted by group.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(state: dict, blk: pa.Table) -> dict:
+        blk = blk.filter(pc.is_valid(blk[value_col]))
+        if blk.num_rows == 0:
+            return state
+        state = dict(state)
+        vals = np.asarray(blk[value_col].to_pylist(), dtype=object)
+        groups = np.asarray(blk[group_col].to_pylist(), dtype=object)
+        order = np.argsort(groups, kind="stable")
+        gs, starts = np.unique(groups[order], return_index=True)
+        bounds = list(starts) + [len(order)]
+        for gi, g in enumerate(gs):
+            idx = order[bounds[gi]:bounds[gi + 1]]
+            sk = hll_sketch(vals[idx], p)
+            prev = state.get(g)
+            state[g] = (hll_merge(np.frombuffer(prev, np.uint8), sk)
+                        if prev is not None else sk).tobytes()
+        return state
+
+    def merge(s1: dict, s2: dict) -> dict:
+        out = dict(s1)
+        for g, blob in s2.items():
+            prev = out.get(g)
+            out[g] = (hll_merge(np.frombuffer(prev, np.uint8),
+                                np.frombuffer(blob, np.uint8)).tobytes()
+                      if prev is not None else blob)
+        return out
+
+    agg = AggregateFn(init=lambda _: {}, merge=merge,
+                      accumulate_block=acc_block, name="ghll")
+    state: dict = ds.aggregate(agg)["ghll"]
+    gs = sorted(state)
+    return pa.table({
+        group_col: pa.array(gs),
+        "approx_distinct": pa.array(
+            [round(hll_estimate(np.frombuffer(state[g], np.uint8)), 1)
+             for g in gs], pa.float64())})
+
+
+def key_skew_report(ds, column: str, k: int = 16,
+                    hot_share: float = 0.05) -> dict:
+    """Pre-shuffle skew diagnostic for a key column: would a
+    groupby/join on this key hot-spot one partition?  ONE fused
+    aggregate carries (row count, Misra-Gries candidates, HLL
+    registers) — the count/heavy-hitter/distinct scans fused into a
+    single pass (the quality_suite IO-fusion discipline) — then one
+    exact filtered count verifies the MG candidates (the heavy_hitters
+    guarantee: every key with share > 1/(k+1) is surfaced; counts are
+    exact).
+
+    Returns {n_rows, approx_distinct, hot_keys: pa.Table(value, n,
+    share), max_share, recommended_salt} — recommended_salt is the
+    salt factor that spreads the hottest key across its share of a
+    data-sized partition count (ceil(max_share * nparts); 1 = no
+    salting needed), the input ``salted_join`` / salted-distinct
+    expect.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import AggregateFn, Sum
+
+    from ._part import nparts_for
+
+    def acc_block(state: tuple, blk: pa.Table) -> tuple:
+        n, mg, reg = state
+        vals = [str(v) for v in blk[column].to_pylist()]
+        return (n + len(vals), mg_merge(mg, mg_sketch(vals, k), k),
+                hll_merge(reg, hll_sketch(vals)))
+
+    def merge(a: tuple, b: tuple) -> tuple:
+        return (a[0] + b[0], mg_merge(a[1], b[1], k),
+                hll_merge(a[2], b[2]))
+
+    agg = AggregateFn(
+        init=lambda _: (0, {}, np.zeros(1 << 12, np.uint8)),
+        merge=merge, accumulate_block=acc_block, name="skew")
+    n_rows, mg, reg = ds.aggregate(agg)["skew"]
+    distinct = round(hll_estimate(reg), 1)
+    empty = pa.table({"value": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "share": pa.array([], pa.float64())})
+    if n_rows == 0 or not mg:
+        return {"n_rows": 0, "approx_distinct": distinct,
+                "hot_keys": empty, "max_share": 0.0,
+                "recommended_salt": 1}
+
+    cand = tuple(sorted(mg))
+
+    def count_candidates(batch: pa.Table, column=column,
+                         cand=cand) -> pa.Table:
+        vals = pa.array([str(v) for v in batch[column].to_pylist()],
+                        pa.string())
+        sel = pc.is_in(vals, value_set=pa.array(cand, pa.string()))
+        kept = pc.filter(vals, sel).to_pylist()
+        out: dict = {}
+        for v in kept:
+            out[v] = out.get(v, 0) + 1
+        return pa.table({"value": pa.array(list(out), pa.string()),
+                         "n": pa.array(list(out.values()), pa.int64())})
+
+    exact = (ds.map_batches(count_candidates, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("value").aggregate(Sum("n", alias_name="n"))
+             .take_all())
+    hot = sorted(((r["value"], int(r["n"])) for r in exact
+                  if r["n"] / n_rows >= hot_share),
+                 key=lambda r: (-r[1], r[0]))
+    max_share = (hot[0][1] / n_rows) if hot else 0.0
+    nparts = nparts_for(n_rows)
+    salt = max(1, math.ceil(max_share * nparts)) if hot else 1
+    return {
+        "n_rows": int(n_rows),
+        "approx_distinct": distinct,
+        "hot_keys": pa.table({
+            "value": pa.array([v for v, _ in hot], pa.string()),
+            "n": pa.array([c for _, c in hot], pa.int64()),
+            "share": pa.array([round(c / n_rows, 4) for _, c in hot],
+                              pa.float64())}),
+        "max_share": round(max_share, 4),
+        "recommended_salt": int(salt),
+    }
