@@ -1222,12 +1222,20 @@ GROUP BY ROLLUP(o_orderpriority, year(o_orderdate))
 """
 
 
-def merge_changeset(sf_dir: str):
+def merge_changeset(sf_dir: str, as_of_seq: int | None = None):
     """MERGE INTO / CDC upsert: apply a changeset of inserts, updates
     and deletes (each stamped with a commit sequence) to a base
     snapshot with LAST-WRITER-WINS per key — the Delta/Hudi-style
     "apply CDC feed" operator; no prior operator covered versioned
     upsert resolution.
+
+    ``as_of_seq`` is the TIME-TRAVEL read (Delta's VERSION AS OF):
+    only commits with seq <= as_of_seq participate, so as_of_seq=0 is
+    the base snapshot and as_of_seq=None (default) the latest.  The
+    filter runs BEFORE the shuffle — time travel reads less, never
+    more; resolution is unchanged, so every snapshot is exactly the
+    last-writer-wins state at that commit (the delete-then-reinsert
+    key is absent at seq 2-3 and back at 4 — pinned in tests).
 
     The changeset is derived deterministically from ``orders`` (no
     external data; both engines derive the identical feed):
@@ -1341,9 +1349,22 @@ def merge_changeset(sf_dir: str):
                 batch["cents"], pa.float64()), pa.scalar(100.0)), 2),
         })
 
-    return (ds.map_batches(expand, batch_format="pyarrow")
+    versions = ds.map_batches(expand, batch_format="pyarrow")
+    if as_of_seq is not None:
+        versions = versions.filter(expr=f"seq <= {int(as_of_seq)}")
+    return (versions
             .groupby("part").map_groups(resolve, batch_format="pyarrow")
             .map_batches(finalize, batch_format="pyarrow"))
+
+
+def merge_changeset_as_of_sql(as_of_seq: int) -> str:
+    """The MERGE_CHANGESET_SQL oracle restricted to seq <= as_of_seq
+    (DuckDB mirror of the time-travel read)."""
+    return MERGE_CHANGESET_SQL.replace(
+        "SELECT * FROM base UNION ALL SELECT * FROM changes",
+        "SELECT * FROM (SELECT * FROM base UNION ALL "
+        "SELECT * FROM changes) v"
+        f" WHERE v.seq <= {int(as_of_seq)}")
 
 
 MERGE_CHANGESET_SQL = """

@@ -177,3 +177,57 @@ class TestMergeChangeset:
         want = con.execute(MERGE_CHANGESET_SQL).df()
         pd.testing.assert_frame_equal(
             _canon(got, ()), _canon(want, ()), check_dtype=False)
+
+
+class TestMergeTimeTravel:
+    def test_every_snapshot_matches_oracle(self, ray_session):
+        from ocr_ray.functions.relational import merge_changeset_as_of_sql
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                    f"'{sf}/orders.parquet'")
+        for seq in range(5):
+            got = merge_changeset(sf, as_of_seq=seq).to_pandas()
+            want = con.execute(merge_changeset_as_of_sql(seq)).df()
+            pd.testing.assert_frame_equal(
+                _canon(got, ()), _canon(want, ()), check_dtype=False,
+                obj=f"as_of={seq}")
+
+    def test_as_of_latest_equals_default(self, ray_session):
+        sf = "/root/testdata/sf0.001"
+        a = _canon(merge_changeset(sf).to_pandas(), ())
+        b = _canon(merge_changeset(sf, as_of_seq=4).to_pandas(), ())
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_as_of_zero_is_base_snapshot(self, ray_session):
+        sf = "/root/testdata/sf0.001"
+        got = _canon(merge_changeset(sf, as_of_seq=0).to_pandas(), ())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                    f"'{sf}/orders.parquet'")
+        want = _canon(con.execute("""
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   floor((CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                          / 100.0) * 100.0 + 0.5) / 100.0 AS o_totalprice
+            FROM orders""").df(), ())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_resurrection_timeline(self, ray_session, tmp_path):
+        """Key 26 (%13 delete at seq 2, %26 reinsert at seq 4): present
+        at 0-1, absent at 2-3, back with status Z at 4."""
+        rows = [{"o_orderkey": 26, "o_custkey": 260,
+                 "o_orderstatus": "O", "o_totalprice": 100.0,
+                 "o_orderdate": 0, "o_orderpriority": "5-LOW"}]
+        _write_orders(tmp_path, rows)
+        present = {}
+        for seq in range(5):
+            df = merge_changeset(str(tmp_path), as_of_seq=seq).to_pandas()
+            by_key = {int(r["o_orderkey"]): r
+                      for r in df.to_dict("records")}
+            present[seq] = by_key.get(26)
+        assert present[0]["o_orderstatus"] == "O"
+        assert present[1]["o_orderstatus"] == "O"   # 26 % 7 != 0
+        assert present[2] is None and present[3] is None
+        assert present[4]["o_orderstatus"] == "Z"
+        assert present[4]["o_totalprice"] == 1.0
