@@ -1532,3 +1532,37 @@ SELECT user_id,
             {PIVOT_TYPES!r}) AS BIGINT) AS n_other
 FROM m GROUP BY user_id
 """
+
+
+def events_unpivot(sf_dir: str, types: tuple = PIVOT_TYPES):
+    """UNPIVOT of events_type_pivot: the wide per-user matrix melts
+    back to one row per (user, event_type) with n_events/sum_value —
+    and because empty cells (n == 0) are dropped, the round trip
+    equals the plain long-form groupby restricted to the pivot's type
+    set, which is exactly what the oracle asserts (melt(pivot(x)) ==
+    groupby(x) — the reshape family's inverse law, SQL-checked).
+
+    Scale: the melt is map-only over the already-aggregated wide rows
+    (|users| x |types| output), so the only shuffle remains the
+    pivot's partial-aggregate groupby."""
+    from .relational import melt
+
+    wide = events_type_pivot(sf_dir, types)
+    groups = {t: {"n_events": f"n_{t}", "sum_value": f"v_{t}"}
+              for t in types}
+    long = melt(wide, ["user_id"], groups, var_name="event_type")
+    return long.select_columns(
+        ["user_id", "event_type", "n_events", "sum_value"]) \
+        .filter(expr="n_events > 0")
+
+
+EVENTS_UNPIVOT_SQL = f"""
+WITH m AS (
+  SELECT user_id, event_type,
+         COALESCE(CAST(floor(value * 1000.0 + 0.5) AS BIGINT), 0) AS v
+  FROM events WHERE event_type IN {PIVOT_TYPES!r}
+)
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+       floor(sum(v) / 1000.0 * 1000.0 + 0.5) / 1000.0 AS sum_value
+FROM m GROUP BY user_id, event_type
+"""

@@ -1620,3 +1620,29 @@ WHERE CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) * (SELECT n_pos FROM pos)
                     AND o.o_totalprice > 350000.0)
 GROUP BY c.c_nationkey ORDER BY cntrycode
 """
+
+
+def melt(ds, id_cols: list, column_groups: dict, var_name: str = "variable"):
+    """UNPIVOT / melt: wide -> long reshape (the inverse of the PIVOT
+    family).  ``column_groups`` maps each output ``var_name`` label to
+    a {out_col: in_col} projection, so parallel column families
+    (n_<t> / v_<t>) melt together into one row per (id, label).
+
+    Map-only: every batch emits |column_groups| stacked slices of
+    itself — no shuffle, schema declared up front (the pivot's
+    fixed-type-set contract, mirrored).
+    """
+    labels = list(column_groups)
+
+    def stack(batch: pa.Table) -> pa.Table:
+        parts = []
+        for label in labels:
+            cols = {c: batch[c] for c in id_cols}
+            cols[var_name] = pa.array([label] * batch.num_rows,
+                                      pa.string())
+            for out_col, in_col in column_groups[label].items():
+                cols[out_col] = batch[in_col]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(stack, batch_format="pyarrow")

@@ -231,3 +231,40 @@ class TestMergeTimeTravel:
         assert present[2] is None and present[3] is None
         assert present[4]["o_orderstatus"] == "Z"
         assert present[4]["o_totalprice"] == 1.0
+
+
+class TestUnpivot:
+    def test_roundtrip_equals_long_groupby(self, ray_session):
+        """melt(pivot(events)) == the long-form groupby (the reshape
+        inverse law), via the SQL oracle at sf0.001."""
+        from ocr_ray.functions.events import (
+            EVENTS_UNPIVOT_SQL,
+            events_unpivot,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = events_unpivot(sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf}/events.parquet'")
+        want = con.execute(EVENTS_UNPIVOT_SQL).df()
+        pd.testing.assert_frame_equal(
+            _canon(got), _canon(want), check_dtype=False)
+        assert len(got) > 0
+
+    def test_melt_generic(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import melt
+
+        t = pa.table({"id": [1, 2], "a_x": [10, 20], "a_y": [1.5, 2.5],
+                      "b_x": [30, 40], "b_y": [3.5, 4.5]})
+        out = melt(rd.from_arrow(t), ["id"],
+                   {"a": {"x": "a_x", "y": "a_y"},
+                    "b": {"x": "b_x", "y": "b_y"}},
+                   var_name="grp").to_pandas() \
+            .sort_values(["id", "grp"]).reset_index(drop=True)
+        assert list(out.columns) == ["id", "grp", "x", "y"]
+        assert out.values.tolist() == [
+            [1, "a", 10, 1.5], [1, "b", 30, 3.5],
+            [2, "a", 20, 2.5], [2, "b", 40, 4.5]]
