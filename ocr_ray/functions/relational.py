@@ -1646,3 +1646,75 @@ def melt(ds, id_cols: list, column_groups: dict, var_name: str = "variable"):
         return pa.concat_tables(parts)
 
     return ds.map_batches(stack, batch_format="pyarrow")
+
+
+def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
+              broadcast_rows: int = 100_000, skew_share: float = 0.2,
+              skew_check: bool = True, explain: bool = False):
+    """Strategy-picking inner join (optimizer-lite): measure, then
+    join — the decision a query planner makes from statistics, made
+    here from the engine's own sketches.
+
+    1. right side <= ``broadcast_rows``  -> BROADCAST: the small table
+       ships once via ``ray.put`` and every batch joins against it
+       in-task with Arrow's hash join — zero shuffle of the large side
+       (the ray-guide "small side -> broadcast" rule, generalized to
+       arbitrary payload columns).
+    2. else, if ``skew_check`` and key_skew_report finds a key holding
+       >= ``skew_share`` of large-side rows -> SALTED hash join with
+       the report's recommended salt factor (a hot key in a plain hash
+       join serializes on one partition).
+    3. else -> plain hash-partitioned ``Dataset.join``.
+
+    The diagnostic pass costs one extra scan of the large side's key
+    column — worth it exactly when the join is shuffle-sized; pass
+    skew_check=False when the key is known uniform.  All three legs
+    return the same multiset of rows (tested).  ``explain=True``
+    returns (dataset, {"strategy", ...}).
+    """
+    import ray
+    import ray.data as rd
+
+    from .sketches import key_skew_report
+
+    right_on = right_on or on
+    n_right = small_ds.count()
+
+    if n_right == 0:
+        raise ValueError(
+            "auto_join: empty right side — an inner join would be "
+            "empty; filter upstream or handle the empty case at the "
+            "call site (Ray's hash shuffle breaks on schema-less "
+            "empty partitions, the repo-wide empty-anti-side rule)")
+
+    if n_right <= broadcast_rows:
+        right_tbl = pa.concat_tables(
+            [ray.get(r) for r in small_ds.to_arrow_refs()])
+        if right_on != on:
+            right_tbl = right_tbl.rename_columns(
+                [on if c == right_on else c
+                 for c in right_tbl.column_names])
+        ref = ray.put(right_tbl)   # ships once, read per task
+
+        def bcast(batch: pa.Table, ref=ref) -> pa.Table:
+            return batch.join(ray.get(ref), keys=on, join_type="inner")
+
+        out = large_ds.map_batches(bcast, batch_format="pyarrow")
+        info = {"strategy": "broadcast", "right_rows": int(n_right)}
+        return (out, info) if explain else out
+
+    info = {"strategy": "hash", "right_rows": int(n_right)}
+    if skew_check:
+        rep = key_skew_report(large_ds.select_columns([on]), on)
+        info.update(max_share=rep["max_share"],
+                    recommended_salt=rep["recommended_salt"])
+        if rep["max_share"] >= skew_share:
+            out = salted_join(large_ds, small_ds, on, right_on,
+                              n_salts=max(2, rep["recommended_salt"]))
+            info["strategy"] = "salted"
+            return (out, info) if explain else out
+
+    out = large_ds.join(small_ds, join_type="inner",
+                        num_partitions=_nparts_for(large_ds.count()),
+                        on=(on,), right_on=(right_on,))
+    return (out, info) if explain else out

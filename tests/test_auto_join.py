@@ -1,0 +1,107 @@
+"""auto_join: strategy selection (broadcast / salted / hash) and the
+all-legs-equal contract."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _plain_join(large, small, on, right_on):
+    l = large.to_pandas()
+    r = small.to_pandas().rename(columns={right_on: on})
+    return l.merge(r, on=on, how="inner")
+
+
+class TestAutoJoin:
+    def test_broadcast_leg(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import auto_join
+
+        rng = np.random.default_rng(0)
+        large = rd.from_arrow(pa.table({
+            "k": rng.integers(0, 50, 10_000).astype(np.int64),
+            "x": np.arange(10_000, dtype=np.int64)})).repartition(6)
+        small = rd.from_arrow(pa.table({
+            "kk": np.arange(50, dtype=np.int64),
+            "name": [f"dim{i}" for i in range(50)]}))
+        out, info = auto_join(large, small, "k", right_on="kk",
+                              explain=True)
+        assert info["strategy"] == "broadcast"
+        got = _canon(out.to_pandas())
+        want = _canon(_plain_join(large, small, "k", "kk"))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_salted_leg_on_planted_skew(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import auto_join
+
+        n = 40_000
+        keys = np.where(np.arange(n) % 10 < 9, 7,
+                        np.arange(n) % 2000).astype(np.int64)
+        large = rd.from_arrow(pa.table({
+            "k": keys, "x": np.arange(n, dtype=np.int64)})).repartition(8)
+        small = rd.from_arrow(pa.table({
+            "k": np.arange(2000, dtype=np.int64),
+            "name": [f"d{i}" for i in range(2000)]}))
+        out, info = auto_join(large, small, "k", broadcast_rows=100,
+                              explain=True)
+        assert info["strategy"] == "salted"
+        assert info["max_share"] > 0.8
+        got = _canon(out.to_pandas())
+        want = _canon(_plain_join(large, small, "k", "k"))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_hash_leg_on_uniform_keys(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import auto_join
+
+        n = 30_000
+        large = rd.from_arrow(pa.table({
+            "k": (np.arange(n) % 3000).astype(np.int64),
+            "x": np.arange(n, dtype=np.int64)})).repartition(6)
+        small = rd.from_arrow(pa.table({
+            "k": np.arange(3000, dtype=np.int64),
+            "name": [f"d{i}" for i in range(3000)]}))
+        out, info = auto_join(large, small, "k", broadcast_rows=100,
+                              explain=True)
+        assert info["strategy"] == "hash"
+        got = _canon(out.to_pandas())
+        want = _canon(_plain_join(large, small, "k", "k"))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_skew_check_off_skips_diagnostic(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import auto_join
+
+        n = 5_000
+        keys = np.full(n, 3, np.int64)     # total skew, but check off
+        large = rd.from_arrow(pa.table({
+            "k": keys, "x": np.arange(n, dtype=np.int64)}))
+        small = rd.from_arrow(pa.table({
+            "k": np.arange(10, dtype=np.int64),
+            "name": [f"d{i}" for i in range(10)]}))
+        out, info = auto_join(large, small, "k", broadcast_rows=5,
+                              skew_check=False, explain=True)
+        assert info["strategy"] == "hash"
+        assert "max_share" not in info
+        assert out.count() == n            # key 3 matches every row
+
+    def test_empty_right_refused(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import auto_join
+
+        large = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+        small = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+        with pytest.raises(ValueError, match="empty right side"):
+            auto_join(large, small, "k")
