@@ -62,8 +62,14 @@ def global_row_index(ds, key_col: str, tie_cols: tuple = (),
                             np.empty(0, np.float64))),
         merge=lambda a, b: (a[0] + b[0],
                             bk_merge(a[1], b[1], k_sample)),
-        accumulate_block=acc1, name="rix")
-    n_rows, (_, sample) = ds.aggregate(agg1)["rix"]
+        accumulate_block=acc1,
+        # bytes-pack: only the sampled values reach the driver, and a
+        # (int, bytes) pair converts to an Arrow block cleanly where
+        # the nested array tuple cannot
+        finalize=lambda s: (s[0], s[1][1].tobytes()),
+        name="rix")
+    n_rows, sample_b = ds.aggregate(agg1)["rix"]
+    sample = np.frombuffer(sample_b, np.float64)
     if n_rows == 0:
         # map fns never run on an empty dataset; build the schema'd
         # empty result directly
