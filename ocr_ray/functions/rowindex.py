@@ -147,3 +147,90 @@ SELECT doc_id, n_chars,
        CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_idx
 FROM documents
 """
+
+
+def order_price_percent_rank(sf_dir: str):
+    """PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) — the
+    rank-normalization window over the whole table, derived from the
+    global row index (idx / (n-1); the unique tie column makes SQL's
+    rank-based percent_rank coincide with the row index).  Cost = the
+    row-index passes; the division is map-only."""
+    import pyarrow.compute as pc
+
+    from ._io import clean_read
+    from ._num import round_half_up
+
+    ds = clean_read(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_totalprice"])
+    n = ds.count()
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(
+            batch["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "cents": c})
+
+    idx = global_row_index(ds.map_batches(cents, batch_format="pyarrow"),
+                           "cents", tie_cols=("o_orderkey",))
+
+    def finalize(batch: pa.Table, n=n) -> pa.Table:
+        pr = pc.divide(pc.cast(batch["row_idx"], pa.float64()),
+                       pa.scalar(float(max(1, n - 1))))
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "pct_rank": round_half_up(pr, 6)})
+
+    return idx.map_batches(finalize, batch_format="pyarrow")
+
+
+ORDER_PRICE_PERCENT_RANK_SQL = """
+SELECT o_orderkey,
+       floor(percent_rank() OVER (
+           ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),
+                    o_orderkey) * 1000000.0 + 0.5) / 1000000.0
+       AS pct_rank
+FROM orders
+"""
+
+
+def orders_ntile(sf_dir: str, n_tiles: int = 10):
+    """NTILE(n) OVER (ORDER BY o_totalprice, o_orderkey): equi-depth
+    bucket assignment (the feature-binning operator), derived from the
+    global row index by the exact NTILE formula
+    bucket = idx * n // total + 1 — the first (total % n) buckets get
+    the extra row, matching SQL."""
+    import pyarrow.compute as pc
+
+    from ._io import clean_read
+
+    ds = clean_read(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_totalprice"])
+    n = ds.count()
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(
+            batch["o_totalprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "cents": c})
+
+    idx = global_row_index(ds.map_batches(cents, batch_format="pyarrow"),
+                           "cents", tie_cols=("o_orderkey",))
+
+    def finalize(batch: pa.Table, n=n, k=n_tiles) -> pa.Table:
+        t = pc.add(pc.divide(pc.multiply(
+            batch["row_idx"], pa.scalar(int(k), pa.int64())),
+            pa.scalar(int(max(1, n)), pa.int64())), pa.scalar(1, pa.int64()))
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "tile": pc.cast(t, pa.int64())})
+
+    return idx.map_batches(finalize, batch_format="pyarrow")
+
+
+ORDERS_NTILE_SQL = """
+SELECT o_orderkey,
+       CAST(ntile(10) OVER (
+           ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),
+                    o_orderkey) AS BIGINT) AS tile
+FROM orders
+"""

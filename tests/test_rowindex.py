@@ -101,3 +101,42 @@ class TestGlobalRowIndex:
         # (to_pandas on an empty Dataset drops columns — a Ray quirk —
         # so assert the contract on the Dataset schema)
         assert out.schema().names == ["k", "row_idx"]
+
+
+class TestRankDerivatives:
+    def test_percent_rank_matches_sql(self, ray_session):
+        from ocr_ray.functions.rowindex import (
+            ORDER_PRICE_PERCENT_RANK_SQL,
+            order_price_percent_rank,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = order_price_percent_rank(sf).to_pandas() \
+            .sort_values("o_orderkey").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                    f"'{sf}/orders.parquet'")
+        want = con.execute(ORDER_PRICE_PERCENT_RANK_SQL +
+                           " ORDER BY o_orderkey").fetchdf()
+        assert list(got["o_orderkey"]) == list(want["o_orderkey"])
+        assert list(got["pct_rank"]) == list(want["pct_rank"])
+
+    def test_ntile_matches_sql(self, ray_session):
+        from ocr_ray.functions.rowindex import (
+            ORDERS_NTILE_SQL,
+            orders_ntile,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = orders_ntile(sf).to_pandas() \
+            .sort_values("o_orderkey").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                    f"'{sf}/orders.parquet'")
+        want = con.execute(ORDERS_NTILE_SQL + " ORDER BY o_orderkey") \
+            .fetchdf()
+        assert list(got["o_orderkey"]) == list(want["o_orderkey"])
+        assert list(got["tile"]) == list(want["tile"])
+        # equi-depth: tile sizes differ by at most 1
+        sizes = got.groupby("tile").size()
+        assert sizes.max() - sizes.min() <= 1
