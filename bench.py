@@ -309,6 +309,55 @@ def run_queries() -> dict:
         times["cdc_unique_chunks"] = st["n_unique_chunks"]
     except Exception as e:  # pragma: no cover - defensive
         times["cdc_chunk"] = f"error: {type(e).__name__}"
+    # inverted token index build (round 5): one bucket shuffle, then
+    # lookups read a single bucket dir
+    try:
+        from ocr_ray.functions.token_index import (
+            build_token_index,
+            lookup_token,
+        )
+
+        import shutil
+
+        idx_dir = "/tmp/ocr_ray_bench_tokidx"
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.time()
+        man = build_token_index(SF_DIR, idx_dir, max_df_frac=1.0)
+        times["token_index_build"] = round(time.time() - t0, 2)
+        times["token_index_postings"] = int(
+            man["n_postings"].to_pandas().sum())
+        t0 = time.time()
+        lookup_token(idx_dir, "data").count()
+        times["token_index_lookup"] = round(time.time() - t0, 3)
+    except Exception as e:  # pragma: no cover - defensive
+        times["token_index_build"] = f"error: {type(e).__name__}"
+    # Z-order clustered write (round 5): sampled splits + morton sort
+    try:
+        import ray.data as rd
+
+        import shutil
+
+        from ocr_ray.functions.zorder import pruned_fraction, zorder_write
+
+        zdir = "/tmp/ocr_ray_bench_zorder"
+        shutil.rmtree(zdir, ignore_errors=True)
+        ds = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                             columns=["l_orderkey", "l_partkey",
+                                      "l_suppkey"])
+        t0 = time.time()
+        zorder_write(ds, zdir, ("l_partkey", "l_suppkey"),
+                     rows_per_file=20_000)
+        times["zorder_write"] = round(time.time() - t0, 2)
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(f"{SF_DIR}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey"])
+        box = {c: (0, int(t[c].to_numpy().max()) // 10)
+               for c in ("l_partkey", "l_suppkey")}
+        times["zorder_box_fraction"] = round(
+            pruned_fraction(zdir, box), 3)
+    except Exception as e:  # pragma: no cover - defensive
+        times["zorder_write"] = f"error: {type(e).__name__}"
     # pairwise source overlap via grouped KMV sketches (round 5): ONE
     # streaming pass, n_sources x k x 8 B state, driver-side pair fold
     try:

@@ -114,7 +114,13 @@ def build_token_index(sf_dir: str, out_dir: str, n_buckets: int = 32,
                 .to_arrow_refs())
     import ray
 
-    tbl = pa.concat_tables([ray.get(r) for r in manifest])
+    cols = ["bucket", "n_tokens", "n_postings", "n_stop_dropped"]
+    # normalize: groupby emits occasional empty/column-reordered
+    # blocks that break a naive concat (repo-wide empty-block rule)
+    tbls = [t.select(cols) for t in
+            (ray.get(r) for r in manifest)
+            if t.num_rows > 0 and set(cols) <= set(t.column_names)]
+    tbl = pa.concat_tables(tbls)
     pq.write_table(tbl, os.path.join(out_dir, "_manifest.parquet"))
     return tbl
 
