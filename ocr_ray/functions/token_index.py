@@ -177,3 +177,55 @@ WITH toks AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
 FROM toks WHERE token = '{esc}' GROUP BY doc_id
 """
+
+
+def search_ranked(index_dir: str, tokens: list, k: int = 10,
+                  n_docs: int | None = None, n_buckets: int = 32):
+    """Ranked OR query over the index: per-doc TF-IDF score
+    sum_t tf(t, d) * ln(n_docs / df(t)) over the query tokens, top-k
+    by (score desc, doc_id asc).
+
+    Reads only the query tokens' buckets; df comes from the postings
+    themselves (a token's postings are co-located, so ONE small
+    groupby(token) inside the read computes every df); n_docs defaults
+    to the manifest's posting-bearing doc count upper bound — pass the
+    corpus size for textbook IDF.  Scores are quantized to micro-units
+    so the ranking is a pure function of (tf, df, n_docs) — no float
+    merge-order dependence (the repo determinism discipline)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import math
+
+    want = sorted(set(tokens))
+    files = sorted({f"{index_dir}/bucket={token_bucket(t, n_buckets)}"
+                    f"/postings.parquet" for t in want})
+    ds = rd.read_parquet(files)
+    tok_set = pa.array(want, pa.string())
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["token"], value_set=tok_set)
+        return t.filter(m)
+
+    hits = ds.map_batches(pick, batch_format="pyarrow").materialize()
+    # df per query token: the postings ARE the df
+    g = (hits.groupby("token").count().take_all())
+    df = {r["token"]: int(r["count()"]) for r in g}
+    if n_docs is None:
+        n_docs = max(df.values(), default=1)
+    idf_micro = {t: int(round(math.log(n_docs / d) * 1_000_000))
+                 for t, d in df.items() if d > 0}
+
+    def score(t: pa.Table, idf=idf_micro) -> pa.Table:
+        toks = t["token"].to_pylist()
+        w = np.array([idf.get(x, 0) for x in toks], np.int64)
+        s = t["tf"].to_numpy(zero_copy_only=False) * w
+        return pa.table({"doc_id": t["doc_id"],
+                         "score_micro": pa.array(s, pa.int64())})
+
+    ranked = (hits.map_batches(score, batch_format="pyarrow")
+              .groupby("doc_id")
+              .aggregate(Sum("score_micro", alias_name="score_micro")))
+    return ranked.sort(["score_micro", "doc_id"],
+                       descending=[True, False]).limit(k)

@@ -134,3 +134,74 @@ class TestTokenIndex:
         for f in glob.glob(f"{out}/bucket=*/postings.parquet"):
             total += pq.ParquetFile(f).metadata.num_rows
         assert total == int(manifest["n_postings"].to_pandas().sum())
+
+
+class TestRankedSearch:
+    def test_matches_bruteforce_tfidf(self, ray_session, tmp_path):
+        import math
+        from collections import Counter
+
+        from ocr_ray.functions.corpus_prep import _tokens
+        from ocr_ray.functions.token_index import (
+            build_token_index,
+            search_ranked,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        rng = np.random.default_rng(6)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [(i, " ".join(rng.choice(vocab, 40))) for i in range(25)]
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string())}),
+            d / "documents.parquet")
+        out = str(tmp_path / "idx")
+        build_token_index(str(d), out, max_df_frac=1.0)
+
+        query = ["w1", "w2", "w3"]
+        got = search_ranked(out, query, k=5, n_docs=25).to_pandas()
+
+        # brute-force oracle with the same micro-quantized idf
+        df = Counter()
+        tfs = {}
+        for doc_id, text in rows:
+            c = Counter(_tokens(text))
+            tfs[doc_id] = c
+            for t in set(c) & set(query):
+                df[t] += 1
+        idf = {t: int(round(math.log(25 / df[t]) * 1_000_000))
+               for t in query if df[t]}
+        scores = {doc: sum(tfs[doc].get(t, 0) * idf.get(t, 0)
+                           for t in query) for doc, _ in rows}
+        want = sorted(((s, doc) for doc, s in scores.items() if s > 0),
+                      key=lambda p: (-p[0], p[1]))[:5]
+        assert list(got["doc_id"]) == [doc for _, doc in want]
+        assert list(got["score_micro"]) == [s for s, _ in want]
+
+    def test_reads_only_query_buckets(self, ray_session, tmp_path):
+        import unittest.mock as mock
+
+        import ray.data as rd
+
+        from ocr_ray.functions import token_index as m
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["alpha beta", "beta gamma"], pa.string())}),
+            d / "documents.parquet")
+        out = str(tmp_path / "idx")
+        m.build_token_index(str(d), out, max_df_frac=1.0)
+        calls = []
+        real = rd.read_parquet
+
+        def spy(path, **kw):
+            calls.append(path)
+            return real(path, **kw)
+
+        with mock.patch.object(rd, "read_parquet", side_effect=spy):
+            m.search_ranked(out, ["alpha"], k=3).to_pandas()
+        assert len(calls) == 1
+        assert all("bucket=" in str(p) for p in calls[0])
