@@ -337,3 +337,237 @@ def dedup_new_against_index(new_docs: pa.Table, index_dir: str,
             rows.append({"new_doc": new_id, "indexed_doc": old_id,
                          "jaccard": np.floor(j * 1e4 + 0.5) / 1e4})
     return pa.Table.from_pylist(rows, schema=out_schema)
+
+
+# ------------------------------------------- incremental sessionization
+
+_SESS_STATE_SCHEMA = pa.schema([
+    ("user_id", pa.int64()), ("uid_null", pa.int64()),
+    ("last_ts_us", pa.int64()), ("n_events", pa.int64()),
+    ("n_sessions", pa.int64())])
+
+
+def init_session_state(state_dir: str) -> str:
+    """Create an empty sessionization state store.
+
+    Layout: versioned state DIRECTORIES (``v<k>/`` parquet datasets,
+    written distributed — per-user state never gathers on the driver)
+    plus a ``meta.json`` pointer {watermark_us, version} whose atomic
+    rename is the commit: a crash after writing ``v<k+1>/`` but before
+    the meta swap leaves the old version live and the orphan ignored
+    (the band-index recovery discipline, without needing a repair leg).
+    """
+    import json
+
+    import pyarrow.parquet as pq
+
+    v0 = os.path.join(state_dir, "v0")
+    os.makedirs(v0, exist_ok=True)
+    pq.write_table(_SESS_STATE_SCHEMA.empty_table(),
+                   os.path.join(v0, "part-empty.parquet"))
+    with open(os.path.join(state_dir, "meta.json"), "w") as f:
+        json.dump({"watermark_us": -(1 << 62), "version": 0}, f)
+    return state_dir
+
+
+def _session_meta(state_dir: str) -> dict:
+    import json
+
+    with open(os.path.join(state_dir, "meta.json")) as f:
+        return json.load(f)
+
+
+def sessionize_increment(events_ds, state_dir: str,
+                         gap_minutes: int = 30,
+                         n_parts: int | None = None) -> dict:
+    """Apply one increment of events to the sessionization state —
+    the streaming continuation batch ``sessionize`` cannot express:
+    a session OPEN at the previous increment's end continues into this
+    one iff the first new event lands within the gap (the
+    append_to_band_index philosophy applied to per-user stream state).
+
+    State = per-user (last_ts, n_events, n_sessions) as parquet under
+    ``state_dir`` — a Dataset end to end, never a driver table.  The
+    kernel is the batch sessionize partition kernel with the state
+    rows riding as sort-first pseudo-events at their last_ts: the
+    first real event's gap test against the pseudo-event IS the
+    continuation decision, so totals equal a fresh batch run over the
+    union of all increments (pinned on random streams).
+
+    Late events (ts < committed watermark) are REFUSED — the
+    checkpoint-fingerprint discipline: silently folding them in would
+    silently disagree with the batch oracle.  Equal-to-watermark
+    events are fine (same-ts ties are the same session regardless of
+    order, gap >= 0).
+
+    Returns {"watermark_us", "n_users", "state_dir"}.
+    """
+    import json
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    from ._part import nparts_for
+
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+    meta_path = os.path.join(state_dir, "meta.json")
+    meta = _session_meta(state_dir)
+    watermark, ver = int(meta["watermark_us"]), int(meta["version"])
+    live_dir = os.path.join(state_dir, f"v{ver}")
+
+    n_state = rd.read_parquet(live_dir).count()
+    n_new = events_ds.count()
+    if n_new == 0:
+        return {"watermark_us": watermark, "n_users": n_state,
+                "state_dir": state_dir}
+
+    def ts_us_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"ts_us": pc.cast(batch["ts"], pa.int64())})
+
+    bounds = events_ds.map_batches(
+        ts_us_only, batch_format="pyarrow").aggregate(
+        Min("ts_us"), Max("ts_us"))
+    lo_us, hi_us = int(bounds["min(ts_us)"]), int(bounds["max(ts_us)"])
+    if lo_us < watermark:
+        raise ValueError(
+            f"late events: increment min ts {lo_us} < committed "
+            f"watermark {watermark}; sessionize_increment requires "
+            f"time-ordered increments (route late data through a "
+            f"fresh batch sessionize instead)")
+
+    if n_parts is None:
+        n_parts = nparts_for(n_new + n_state,
+                             rows_per_part=500_000, floor=4)
+
+    def tag_events(batch: pa.Table, n_parts=n_parts) -> pa.Table:
+        ua = batch["user_id"]
+        unull = pc.is_null(ua).to_numpy(zero_copy_only=False)
+        users = pc.fill_null(ua, 0).to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        mix = (users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               + unull.astype(np.uint64))
+        part = ((mix >> np.uint64(33)) % np.uint64(n_parts)).astype(
+            np.int64)
+        n = len(users)
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "uid_null": pa.array(unull.astype(np.int64), pa.int64()),
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "is_state": pa.array(np.zeros(n, np.int64)),
+            "prev_events": pa.array(np.zeros(n, np.int64)),
+            "prev_sessions": pa.array(np.zeros(n, np.int64)),
+            "part": pa.array(part, pa.int64())})
+
+    def tag_state(batch: pa.Table, n_parts=n_parts) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        unull = batch["uid_null"].to_numpy(zero_copy_only=False)
+        mix = (users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               + unull.astype(np.uint64))
+        part = ((mix >> np.uint64(33)) % np.uint64(n_parts)).astype(
+            np.int64)
+        n = len(users)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "uid_null": batch["uid_null"],
+            "ts_us": batch["last_ts_us"],
+            "is_state": pa.array(np.ones(n, np.int64)),
+            "prev_events": batch["n_events"],
+            "prev_sessions": batch["n_sessions"],
+            "part": pa.array(part, pa.int64())})
+
+    ev = events_ds.map_batches(tag_events, batch_format="pyarrow")
+    st = rd.read_parquet(live_dir).map_batches(
+        tag_state, batch_format="pyarrow")
+    both = ev.union(st) if n_state else ev
+
+    def per_part(part: pa.Table) -> pa.Table:
+        users = part["user_id"].to_numpy(zero_copy_only=False)
+        unull = part["uid_null"].to_numpy(zero_copy_only=False)
+        ts = part["ts_us"].to_numpy(zero_copy_only=False)
+        is_state = part["is_state"].to_numpy(zero_copy_only=False)
+        pe = part["prev_events"].to_numpy(zero_copy_only=False)
+        ps = part["prev_sessions"].to_numpy(zero_copy_only=False)
+        # state rows sort FIRST among same-ts ties (1 - is_state asc)
+        order = np.lexsort((1 - is_state, ts, users, unull))
+        users, unull, ts = users[order], unull[order], ts[order]
+        is_state, pe, ps = is_state[order], pe[order], ps[order]
+        n = len(users)
+        first = np.ones(n, bool)
+        if n > 1:
+            first[1:] = ~((users[1:] == users[:-1])
+                          & (unull[1:] == unull[:-1]))
+        new_sess = np.where(
+            (is_state == 0)
+            & (first | np.concatenate(
+                ([True], ts[1:] - ts[:-1] > gap_us))),
+            1, 0).astype(np.int64)
+        real = (is_state == 0).astype(np.int64)
+        t = pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "uid_null": pa.array(unull, pa.int64()),
+            "new_sess": pa.array(new_sess, pa.int64()),
+            "real": pa.array(real, pa.int64()),
+            "pe": pa.array(pe, pa.int64()),
+            "ps": pa.array(ps, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64())})
+        g = t.group_by(["user_id", "uid_null"]).aggregate(
+            [("new_sess", "sum"), ("real", "sum"), ("pe", "sum"),
+             ("ps", "sum"), ("ts_us", "max")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "uid_null": g["uid_null"],
+            "last_ts_us": g["ts_us_max"],
+            "n_events": pc.add(g["real_sum"], g["pe_sum"]).cast(
+                pa.int64()),
+            "n_sessions": pc.add(g["new_sess_sum"], g["ps_sum"]).cast(
+                pa.int64())})
+
+    new_state = (both.groupby("part")
+                 .map_groups(per_part, batch_format="pyarrow")
+                 .select_columns([f.name for f in _SESS_STATE_SCHEMA]))
+
+    # distributed write of the NEW version dir; the atomic meta rename
+    # is the commit point (an orphaned v<k+1> from a crash is ignored)
+    new_dir = os.path.join(state_dir, f"v{ver + 1}")
+    import shutil
+
+    shutil.rmtree(new_dir, ignore_errors=True)
+    new_state = new_state.materialize()
+    n_users = new_state.count()
+    if n_users == 0:
+        os.makedirs(new_dir, exist_ok=True)
+        pq.write_table(_SESS_STATE_SCHEMA.empty_table(),
+                       os.path.join(new_dir, "part-empty.parquet"))
+    else:
+        new_state.write_parquet(new_dir)
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump({"watermark_us": max(watermark, hi_us),
+                   "version": ver + 1}, f)
+    os.replace(meta_path + ".tmp", meta_path)
+    shutil.rmtree(os.path.join(state_dir, f"v{ver}"),
+                  ignore_errors=True)    # GC the superseded version
+    return {"watermark_us": max(watermark, hi_us),
+            "n_users": n_users, "state_dir": state_dir}
+
+
+def session_state_result(state_dir: str) -> pa.Table:
+    """The per-user sessionize view of the state: (user_id nullable,
+    n_events, n_sessions) — comparable 1:1 with events.sessionize over
+    the union of every increment applied so far.  Driver-side gather
+    (test/report path); read the live v<k> dir as a Dataset for the
+    distributed continuation."""
+    import pyarrow.parquet as pq
+
+    meta = _session_meta(state_dir)
+    t = pq.read_table(os.path.join(state_dir, f"v{meta['version']}"))
+    unull = t["uid_null"].to_numpy(zero_copy_only=False) == 1
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "user_id": pa.array(
+            [None if b else int(u) for u, b in zip(uid, unull)],
+            pa.int64()),
+        "n_events": t["n_events"],
+        "n_sessions": t["n_sessions"]})
