@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _SCALE = 100.0          # cents-style fixed point, shared with _cents
 
@@ -388,3 +389,134 @@ def ols_multi(sf_dir: str, table: str = "lineitem",
     rows.append({"term": "r2", "coef": r6(float(r2))})
     return pa.Table.from_pylist(rows, schema=pa.schema([
         ("term", pa.string()), ("coef", pa.float64())]))
+
+
+# --------------------------------------------- z-score anomaly detection
+
+def value_anomalies(sf_dir: str, z: float = 3.0) -> pa.Table:
+    """Events whose value deviates more than ``z`` population standard
+    deviations from their event_type's mean — the per-stream outlier
+    gate a quality pipeline runs before aggregation.
+
+    Exactness discipline: per-type moments (n, S=sum v, Q=sum v^2 in
+    exact milli ints) accumulate as PYTHON ints (overflow-free,
+    merge-order-exact — n*Q overflows int64 already at sf0.1);
+    the float bounds mu +- z*sigma are then derived ONCE per type with
+    a fixed expression shape, quantized to micro-units, and every row
+    is compared in INTEGER space (v_milli * 1000 vs the quantized
+    bound) — so the anomaly set is a pure function of the exact
+    moments, and the SQL mirror computes literally the same
+    expression tree (ulp-identical IEEE ops on both engines).
+
+    Returns pa.Table(event_id, event_type, value) of anomalies,
+    sorted by event_id.
+    """
+    import json
+    import math
+
+    from ray.data.aggregate import AggregateFn
+
+    from ._io import clean_read
+
+    ds = clean_read(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "event_type", "value"])
+
+    def acc_block(state: dict, blk: pa.Table) -> dict:
+        state = dict(state)
+        ok = pc.is_valid(blk["value"])
+        t = blk.filter(ok)
+        if t.num_rows == 0:
+            return state
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 1000.0 + 0.5).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        order = np.argsort(et, kind="stable")
+        gs, starts = np.unique(et[order], return_index=True)
+        bounds = list(starts) + [len(order)]
+        for gi, g in enumerate(gs):
+            vv = v[order[bounds[gi]:bounds[gi + 1]]]
+            n, s, q = state.get(g, (0, 0, 0))
+            state[g] = (n + len(vv), s + int(vv.sum(dtype=np.int64)),
+                        q + int((vv.astype(object) * vv.astype(object))
+                                .sum()))
+        return state
+
+    agg = AggregateFn(
+        init=lambda _: {},
+        merge=lambda a, b: {g: tuple(
+            x + y for x, y in zip(a.get(g, (0, 0, 0)),
+                                  b.get(g, (0, 0, 0))))
+            for g in set(a) | set(b)},
+        accumulate_block=acc_block,
+        finalize=lambda st: json.dumps(
+            {g: list(v) for g, v in st.items()}),
+        name="mom")
+    moments = json.loads(ds.aggregate(agg)["mom"])
+
+    lo_micro, hi_micro = {}, {}
+    for g, (n, s, q) in moments.items():
+        if n == 0:
+            continue
+        # FIXED expression shape, mirrored in SQL term for term
+        # (cast-to-double FIRST, then divide — like the SQL's
+        # CAST(s AS DOUBLE)/n — so both engines round identically)
+        mu = float(s) / float(n)
+        var = float(q) / float(n) - mu * mu
+        sigma = math.sqrt(max(var, 0.0))
+        lo_micro[g] = math.floor((mu - z * sigma) * 1000.0)
+        hi_micro[g] = math.ceil((mu + z * sigma) * 1000.0)
+
+    def flag(batch: pa.Table, lo=lo_micro, hi=hi_micro) -> pa.Table:
+        ok = pc.is_valid(batch["value"])
+        t = batch.filter(ok)
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 1000.0 + 0.5).astype(np.int64) * 1000
+        et = t["event_type"].to_pylist()
+        l = np.array([lo.get(x, 0) for x in et], np.int64)
+        h = np.array([hi.get(x, 0) for x in et], np.int64)
+        keep = (v < l) | (v > h)
+        t = t.filter(pa.array(keep))
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "value": t["value"]})
+
+    import ray
+
+    out = ds.map_batches(flag, batch_format="pyarrow").sort("event_id")
+    return out
+
+
+VALUE_ANOMALIES_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v,
+         event_id, value
+  FROM events WHERE value IS NOT NULL
+),
+mom AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(v AS HUGEINT)) AS s,
+         sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
+  FROM m GROUP BY event_type
+),
+bounds AS (
+  SELECT event_type,
+         floor((CAST(s AS DOUBLE) / n
+                - 3.0 * sqrt(greatest(CAST(q AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                    0.0))) * 1000.0) AS lo_micro,
+         ceil((CAST(s AS DOUBLE) / n
+               + 3.0 * sqrt(greatest(CAST(q AS DOUBLE) / n
+                   - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                   0.0))) * 1000.0) AS hi_micro
+  FROM mom
+)
+SELECT m.event_id, m.event_type, m.value
+FROM m JOIN bounds b ON m.event_type = b.event_type
+WHERE m.v * 1000 < b.lo_micro OR m.v * 1000 > b.hi_micro
+ORDER BY m.event_id
+"""

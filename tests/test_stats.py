@@ -196,3 +196,71 @@ class TestOlsMulti:
             outs.append(ols_multi(sf, table="t", x_cols=("a", "b"),
                                   y_col="y").to_pylist())
         assert outs[0] == outs[1]
+
+
+class TestValueAnomalies:
+    def test_matches_sql_on_corpus(self, ray_session):
+        import duckdb
+
+        from ocr_ray.functions.stats import (
+            VALUE_ANOMALIES_SQL,
+            value_anomalies,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = value_anomalies(sf).to_pandas().reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf}/events.parquet'")
+        want = con.execute(VALUE_ANOMALIES_SQL).fetchdf()
+        assert len(got) == len(want)
+        assert list(got["event_id"]) == list(want["event_id"])
+        assert list(got["event_type"]) == list(want["event_type"])
+
+    def test_planted_outlier_detected(self, ray_session, tmp_path):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions.stats import value_anomalies
+
+        rng = np.random.default_rng(2)
+        n = 2000
+        vals = rng.normal(100.0, 5.0, n).tolist() + [500.0, -300.0]
+        t = pa.table({
+            "event_id": pa.array(range(n + 2), pa.int64()),
+            "event_type": pa.array(["view"] * (n + 2), pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "user_id": pa.array([1] * (n + 2), pa.int64()),
+            "ts": pa.array([0] * (n + 2), pa.int64()),
+            "props": pa.array(["{}"] * (n + 2), pa.string())})
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         pc.cast(t["ts"], pa.timestamp("us")))
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+        got = value_anomalies(str(d)).to_pandas()
+        ids = set(got["event_id"])
+        assert n in ids and (n + 1) in ids      # both planted outliers
+        # gaussian tail: ~0.3% false positives at z=3 on 2000 draws
+        assert len(got) <= 2 + 25
+
+    def test_null_values_ignored(self, ray_session, tmp_path):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions.stats import value_anomalies
+
+        t = pa.table({
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "event_type": pa.array(["a"] * 3, pa.string()),
+            "value": pa.array([1.0, None, 1.0], pa.float64()),
+            "user_id": pa.array([1] * 3, pa.int64()),
+            "ts": pa.array([0] * 3, pa.int64()),
+            "props": pa.array(["{}"] * 3, pa.string())})
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         pc.cast(t["ts"], pa.timestamp("us")))
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+        got = value_anomalies(str(d)).to_pandas()
+        assert len(got) == 0                    # zero variance, no nulls
