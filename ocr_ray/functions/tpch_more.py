@@ -1,0 +1,847 @@
+"""The ten TPC-H query shapes not yet in ``relational.py`` (Q2, Q8, Q9,
+Q11, Q12, Q15, Q16, Q17, Q19, Q20), adapted to the synthetic schema the
+same way Q21/Q22 were: the testdata has no ``partsupp`` table and no
+shipmode/commitdate columns, so each query keeps its ORIGINAL relational
+shape (the part the engine must prove it can execute) over the columns
+that exist — the supply relation becomes the distinct (l_partkey,
+l_suppkey) pairs actually shipped, supply cost becomes ``s_acctbal`` /
+``p_retailprice``, and shipmode becomes ``l_returnflag``.
+
+Shapes exercised (completing all 22 TPC-H patterns in the engine):
+
+* Q2  — correlated MIN subquery: per-group min + equality join-back,
+        ties kept (the argmin-with-ties pattern);
+* Q8  — market share: conditional-numerator / total-denominator ratio
+        per group, exact integer cents on both legs;
+* Q9  — multi-dimension profit expression with a subtraction of two
+        independently quantized money terms;
+* Q11 — ratio-of-total HAVING: a global scalar gates the per-group
+        aggregate via an exact integer cross-multiply;
+* Q12 — large-large hash join feeding CASE-conditional counts;
+* Q15 — argmax over an aggregated view (max revenue supplier, ties
+        kept) — aggregate → global max scalar → equality filter;
+* Q16 — COUNT(DISTINCT) over a deduped pair relation with a NOT-IN
+        anti-join exclusion list;
+* Q17 — per-key average join-back with an EXACT integer comparison
+        (5·qty·cnt < sum ⇔ qty < 0.2·avg, no float boundary);
+* Q19 — disjunction of conjunctive predicate bands evaluated in one
+        vectorized mask over a broadcast dimension;
+* Q20 — nested aggregate gate: per-(part,supplier) quantity vs the
+        per-part total (2·q > total ⇔ q > 0.5·total), then a semi-join.
+
+Every money comparison goes through the shared ``_cents`` quantization
+and every oracle mirrors the arithmetic term for term, so the DuckDB
+parity is hash-exact, not approximate.  All quantities in the corpus
+are whole numbers stored as DOUBLE; ``CAST(l_quantity AS BIGINT)`` is
+exact on both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ._num import round_half_up
+from .relational import _cents, _dense_lookup, _gb, _nparts_for, _read
+
+_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def _dense_bool(keys) -> np.ndarray:
+    """Dense boolean membership array indexed by non-negative int key —
+    the typed counterpart of ``_dense_lookup`` for filter masks (no
+    object-dtype round trip on the per-batch hot path)."""
+    keys = np.asarray(keys, dtype=np.int64)
+    arr = np.zeros(int(keys.max()) + 1 if len(keys) else 1, bool)
+    arr[keys] = True
+    return arr
+
+
+def _dense_i64(keys, values, fill: int = -1) -> np.ndarray:
+    keys = np.asarray(keys, dtype=np.int64)
+    arr = np.full(int(keys.max()) + 1 if len(keys) else 1, fill,
+                  np.int64)
+    arr[keys] = np.asarray(values, dtype=np.int64)
+    return arr
+
+
+def _member_mask(pk: np.ndarray, keep: np.ndarray) -> np.ndarray:
+    """keep[pk] with out-of-range keys False (clamp + bounds AND)."""
+    return (pk < len(keep)) & keep[np.minimum(pk, len(keep) - 1)]
+
+
+def _distinct_pairs(sf_dir: str):
+    """Distinct (l_partkey, l_suppkey) shipped pairs — the stand-in for
+    the missing ``partsupp`` relation.  Per-block dedup partial, then a
+    distributed groupby to finish: no driver key set at any scale."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        return g.select(["l_partkey", "l_suppkey"])
+
+    return (li.map_batches(dedup, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["l_partkey", "l_suppkey"])
+            .count()
+            .drop_columns(["count()"]))
+
+
+# ------------------------------------------------------------------ Q2
+def q2_min_balance_supplier(sf_dir: str, type_kw: str = "STANDARD"):
+    """TPC-H Q2 shape: for each part of one type, the supplier(s) with
+    the MINIMUM account balance among suppliers that shipped it —
+    correlated-min subquery as per-group min + equality join-back,
+    preserving ties exactly as the EXISTS form does.  The min is taken
+    over the raw float64 balances (order statistics involve no
+    arithmetic, so float equality is exact)."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_type"])
+    part = part.filter(pc.equal(part["p_type"], type_kw))
+    keep_parts = _dense_bool(part["p_partkey"].to_numpy())
+    p_name = dict(zip(part["p_partkey"].to_pylist(),
+                      part["p_name"].to_pylist()))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name", "s_nationkey",
+                                 "s_acctbal"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    n2name = dict(zip(nat["n_nationkey"].to_pylist(),
+                      nat["n_name"].to_pylist()))
+    s_bal = _dense_lookup(sup["s_suppkey"].to_numpy(),
+                          sup["s_acctbal"].to_pylist())
+    s_name = _dense_lookup(sup["s_suppkey"].to_numpy(),
+                           sup["s_name"].to_pylist())
+    s_nation = _dense_lookup(
+        sup["s_suppkey"].to_numpy(),
+        [n2name.get(nk) for nk in sup["s_nationkey"].to_pylist()])
+
+    def attach(batch: pa.Table, keep=None, bal=None) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy()
+        sel = batch.filter(pa.array(_member_mask(pk, keep)))
+        return pa.table({
+            "l_partkey": sel["l_partkey"],
+            "l_suppkey": sel["l_suppkey"],
+            "s_acctbal": pa.array(
+                bal[sel["l_suppkey"].to_numpy()].astype(np.float64)
+                if len(sel) else np.array([], np.float64),
+                pa.float64()),
+        })
+
+    pairs = _distinct_pairs(sf_dir).map_batches(
+        attach, batch_format="pyarrow",
+        fn_kwargs={"keep": keep_parts, "bal": s_bal}).materialize()
+
+    from ray.data.aggregate import Min
+
+    mins = pairs.groupby("l_partkey").aggregate(
+        Min("s_acctbal", alias_name="min_bal"))
+    joined = pairs.join(mins, join_type="inner",
+                        num_partitions=_nparts_for(pairs.count()),
+                        on=("l_partkey",), right_on=("l_partkey",))
+
+    def keep_min(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["s_acctbal"],
+                                     batch["min_bal"]))
+
+    rows = pa.Table.from_pylist(
+        joined.map_batches(keep_min, batch_format="pyarrow").take_all(),
+        schema=pa.schema([("l_partkey", pa.int64()),
+                          ("l_suppkey", pa.int64()),
+                          ("s_acctbal", pa.float64()),
+                          ("min_bal", pa.float64())]))
+    pk = rows["l_partkey"].to_pylist()
+    sk = rows["l_suppkey"].to_numpy()
+    out = pa.table({
+        "p_partkey": rows["l_partkey"],
+        "p_name": pa.array([p_name[k] for k in pk], pa.string()),
+        "s_name": pa.array(s_name[sk].astype(object).tolist()
+                           if len(sk) else [], pa.string()),
+        "s_acctbal": rows["s_acctbal"],
+        "n_name": pa.array(s_nation[sk].astype(object).tolist()
+                           if len(sk) else [], pa.string()),
+    })
+    return out.sort_by([("p_partkey", "ascending"),
+                        ("s_name", "ascending")])
+
+
+Q2_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, n.n_name
+FROM part p, supplier s, nation n, ps
+WHERE p.p_partkey = ps.l_partkey AND s.s_suppkey = ps.l_suppkey
+  AND s.s_nationkey = n.n_nationkey AND p.p_type = 'STANDARD'
+  AND s.s_acctbal = (SELECT min(s2.s_acctbal)
+                     FROM supplier s2, ps ps2
+                     WHERE ps2.l_partkey = p.p_partkey
+                       AND s2.s_suppkey = ps2.l_suppkey)
+ORDER BY p.p_partkey, s.s_name
+"""
+
+
+# ------------------------------------------------------------------ Q8
+def q8_market_share(sf_dir: str, nation: str | None = None):
+    """TPC-H Q8 shape: one nation's share of total supplier revenue per
+    ship year.  Numerator and denominator are both exact integer cents
+    (one conditional, one total), so the ratio is a pure function of
+    two exact ints on both engines.  ``nation=None`` picks the
+    lexicographically-first nation name (deterministic)."""
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    names = sorted(nat["n_name"].to_pylist())
+    target = nation if nation is not None else names[0]
+    n2name = dict(zip(nat["n_nationkey"].to_pylist(),
+                      nat["n_name"].to_pylist()))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    tgt_keys = [k for k, nk in zip(sup["s_suppkey"].to_pylist(),
+                                   sup["s_nationkey"].to_pylist())
+                if n2name.get(nk) == target]
+    # all lineitem suppkeys exist in the supplier dim, but size the
+    # array to the full key range so the mask lookup never goes OOB
+    is_target = np.zeros(
+        int(max(sup["s_suppkey"].to_numpy().max(), 0)) + 1
+        if len(sup) else 1, bool)
+    is_target[np.asarray(tgt_keys, np.int64)] = True
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def partial(batch: pa.Table, tgt=None) -> pa.Table:
+        rev = _cents(pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"])))
+        hit = _member_mask(batch["l_suppkey"].to_numpy(), tgt)
+        t = pa.table({
+            "l_year": pc.cast(pc.year(batch["l_shipdate"]), pa.int64()),
+            "num": pc.if_else(pa.array(hit), rev, pa.scalar(0,
+                                                            pa.int64())),
+            "den": rev})
+        return _gb(t, ["l_year"], [("num", "sum"), ("den", "sum")],
+                   ["num", "den"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (li.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536, fn_kwargs={"tgt": is_target})
+           .groupby("l_year")
+           .aggregate(Sum("num", alias_name="num"),
+                      Sum("den", alias_name="den")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        share = pc.divide(pc.cast(batch["num"], pa.float64()),
+                          pc.cast(batch["den"], pa.float64()))
+        return pa.table({
+            "l_year": batch["l_year"],
+            "share_num": batch["num"],
+            "share_den": batch["den"],
+            "mkt_share": round_half_up(share, 6)})
+
+    out = pa.Table.from_pylist(
+        agg.map_batches(finalize, batch_format="pyarrow").take_all(),
+        schema=pa.schema([("l_year", pa.int64()),
+                          ("share_num", pa.int64()),
+                          ("share_den", pa.int64()),
+                          ("mkt_share", pa.float64())]))
+    return out.sort_by([("l_year", "ascending")])
+
+
+def q8_sql(nation: str) -> str:
+    return f"""
+SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       sum(CASE WHEN n.n_name = '{nation}'
+            THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)
+            ELSE 0 END) AS share_num,
+       sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS share_den,
+       floor(CAST(sum(CASE WHEN n.n_name = '{nation}'
+                   THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY year(l.l_shipdate)
+ORDER BY l_year
+"""
+
+
+# ------------------------------------------------------------------ Q9
+def q9_profit_by_nation_year(sf_dir: str, name_kw: str = "bolt"):
+    """TPC-H Q9 shape: profit per (supplier nation, ship year) for parts
+    whose name contains ``name_kw``.  Supply cost (no partsupp table)
+    is adapted to 1% of retail price per unit: profit =
+    extendedprice·(1−discount) − 0.01·p_retailprice·l_quantity.  The
+    two money terms are quantized to cents INDEPENDENTLY and subtracted
+    as ints — same expression mirrored in the oracle, so negative
+    profits round identically."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_retailprice"])
+    part = part.filter(pc.match_substring(part["p_name"], name_kw))
+    in_kw = _dense_bool(part["p_partkey"].to_numpy())
+    retail = np.zeros(len(in_kw), np.float64)
+    retail[part["p_partkey"].to_numpy()] = \
+        part["p_retailprice"].to_numpy()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    n2name = dict(zip(nat["n_nationkey"].to_pylist(),
+                      nat["n_name"].to_pylist()))
+    supp2nat = _dense_lookup(
+        sup["s_suppkey"].to_numpy(),
+        [n2name.get(nk) for nk in sup["s_nationkey"].to_pylist()])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(batch: pa.Table, keep=None, retail=None,
+                s2n=None) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy()
+        sel = batch.filter(pa.array(_member_mask(pk, keep)))
+        if len(sel) == 0:
+            return pa.table({"nation": pa.array([], pa.string()),
+                             "l_year": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        rv = retail[sel["l_partkey"].to_numpy()]
+        rev = _cents(pc.multiply(
+            sel["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), sel["l_discount"])))
+        cost = np.floor(
+            rv * sel["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        t = pa.table({
+            "nation": pa.array(
+                s2n[sel["l_suppkey"].to_numpy()].astype(object).tolist(),
+                pa.string()),
+            "l_year": pc.cast(pc.year(sel["l_shipdate"]), pa.int64()),
+            "c": pc.subtract(rev, pa.array(cost, pa.int64()))})
+        return _gb(t, ["nation", "l_year"], [("c", "sum")], ["c"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (li.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536,
+                          fn_kwargs={"keep": in_kw, "retail": retail,
+                                     "s2n": supp2nat})
+           .groupby(["nation", "l_year"])
+           .aggregate(Sum("c", alias_name="c")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": batch["nation"],
+            "l_year": batch["l_year"],
+            "profit": round_half_up(pc.divide(pc.cast(
+                batch["c"], pa.float64()), pa.scalar(100.0)), 2)})
+
+    out = pa.Table.from_pylist(
+        agg.map_batches(finalize, batch_format="pyarrow").take_all(),
+        schema=pa.schema([("nation", pa.string()),
+                          ("l_year", pa.int64()),
+                          ("profit", pa.float64())]))
+    return out.sort_by([("nation", "ascending"), ("l_year", "ascending")])
+
+
+Q9_SQL = """
+SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       floor((sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)
+                  - CAST(floor(p.p_retailprice * l.l_quantity + 0.5) AS BIGINT))
+              / 100.0) * 100.0 + 0.5) / 100.0 AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n.n_name, year(l.l_shipdate)
+ORDER BY nation, l_year
+"""
+
+
+# ----------------------------------------------------------------- Q11
+def q11_important_brands(sf_dir: str, frac_num: int = 1,
+                         frac_den: int = 30):
+    """TPC-H Q11 shape: brands whose lineitem value exceeds
+    ``frac_num/frac_den`` of the GLOBAL total — a scalar subquery gating
+    a grouped aggregate.  The gate is the exact integer cross-multiply
+    ``frac_den·brand_sum > frac_num·total`` (the Q22 discipline), never
+    a float threshold.  The per-brand aggregate is bounded by brand
+    cardinality, so the driver fold is O(|brands|)."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brand_of = _dense_lookup(part["p_partkey"].to_numpy(),
+                             part["p_brand"].to_pylist())
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def partial(batch: pa.Table, b=None) -> pa.Table:
+        t = pa.table({
+            "p_brand": pa.array(
+                b[batch["l_partkey"].to_numpy()].astype(object).tolist(),
+                pa.string()),
+            "c": _cents(batch["l_extendedprice"])})
+        return _gb(t, ["p_brand"], [("c", "sum")], ["c"])
+
+    from ray.data.aggregate import Sum
+
+    agg = pa.Table.from_pylist(
+        li.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536, fn_kwargs={"b": brand_of})
+        .groupby("p_brand").aggregate(Sum("c", alias_name="c"))
+        .take_all(),
+        schema=pa.schema([("p_brand", pa.string()), ("c", pa.int64())]))
+    total = int(pc.sum(agg["c"]).as_py() or 0)
+    keep = pc.greater(pc.multiply(agg["c"], pa.scalar(frac_den,
+                                                      pa.int64())),
+                      pa.scalar(frac_num * total, pa.int64()))
+    out = agg.filter(keep)
+    out = pa.table({
+        "p_brand": out["p_brand"],
+        "value": round_half_up(pc.divide(pc.cast(out["c"], pa.float64()),
+                                         pa.scalar(100.0)), 2)})
+    return out.sort_by([("value", "descending"), ("p_brand", "ascending")])
+
+
+Q11_SQL = """
+SELECT p.p_brand,
+       floor((sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0) * 100.0 + 0.5) / 100.0 AS value
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+HAVING 30 * sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) >
+       1 * (SELECT sum(CAST(floor(l2.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            FROM lineitem l2)
+ORDER BY value DESC, p_brand
+"""
+
+
+# ----------------------------------------------------------------- Q12
+def q12_priority_counts(sf_dir: str, year_lo: int = 1996,
+                        year_hi: int = 1997):
+    """TPC-H Q12 shape: large-large hash join (lineitem ⋈ orders)
+    feeding CASE-conditional counts — high- vs low-priority line counts
+    per returnflag (the corpus has no shipmode column) for ship years
+    in [year_lo, year_hi]."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch["l_shipdate"])
+        sel = batch.filter(pc.and_(pc.greater_equal(y, year_lo),
+                                   pc.less_equal(y, year_hi)))
+        return sel.select(["l_orderkey", "l_returnflag"])
+
+    fact = li.map_batches(prune, batch_format="pyarrow",
+                          batch_size=65536)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = fact.join(orders, join_type="inner",
+                       num_partitions=_nparts_for(orders.count()),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def conditional(batch: pa.Table) -> pa.Table:
+        hi = pc.is_in(batch["o_orderpriority"],
+                      value_set=pa.array(_HIGH_PRIORITIES))
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "high_line_count": pc.cast(hi, pa.int64()),
+            "low_line_count": pc.cast(pc.invert(hi), pa.int64())})
+        return _gb(t, ["l_returnflag"],
+                   [("high_line_count", "sum"), ("low_line_count", "sum")],
+                   ["high_line_count", "low_line_count"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (joined.map_batches(conditional, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                      Sum("low_line_count", alias_name="low_line_count")))
+    out = pa.Table.from_pylist(
+        agg.take_all(),
+        schema=pa.schema([("l_returnflag", pa.string()),
+                          ("high_line_count", pa.int64()),
+                          ("low_line_count", pa.int64())]))
+    return out.sort_by([("l_returnflag", "ascending")])
+
+
+Q12_SQL = """
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE year(l.l_shipdate) BETWEEN 1996 AND 1997
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+# ----------------------------------------------------------------- Q15
+def q15_top_suppliers(sf_dir: str, year: int = 1996):
+    """TPC-H Q15 shape: argmax over an aggregated view — the supplier(s)
+    with maximum revenue in one ship year, TIES KEPT (the original's
+    ``total_revenue = (SELECT max(...))`` keeps every maximal row).
+    Revenue is exact integer cents, so max-equality is exact."""
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(pc.year(batch["l_shipdate"]), year))
+        rev = _cents(pc.multiply(
+            sel["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), sel["l_discount"])))
+        t = pa.table({"l_suppkey": sel["l_suppkey"], "c": rev})
+        return _gb(t, ["l_suppkey"], [("c", "sum")], ["c"])
+
+    from ray.data.aggregate import Max, Sum
+
+    per_supp = (li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+                .groupby("l_suppkey").aggregate(Sum("c", alias_name="c"))
+                .materialize())
+    mx = per_supp.aggregate(Max("c"))["max(c)"]
+    winners = pa.Table.from_pylist(
+        per_supp.map_batches(
+            lambda t, m=mx: t.filter(pc.equal(t["c"], m)),
+            batch_format="pyarrow").take_all(),
+        schema=pa.schema([("l_suppkey", pa.int64()), ("c", pa.int64())]))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    name_of = dict(zip(sup["s_suppkey"].to_pylist(),
+                       sup["s_name"].to_pylist()))
+    out = pa.table({
+        "s_suppkey": winners["l_suppkey"],
+        "s_name": pa.array([name_of[k] for k in
+                            winners["l_suppkey"].to_pylist()],
+                           pa.string()),
+        "total_revenue": round_half_up(
+            pc.divide(pc.cast(winners["c"], pa.float64()),
+                      pa.scalar(100.0)), 2)})
+    return out.sort_by([("s_suppkey", "ascending")])
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS c
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name,
+       floor((r.c / 100.0) * 100.0 + 0.5) / 100.0 AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.c = (SELECT max(c) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+# ----------------------------------------------------------------- Q16
+def q16_supplier_counts(sf_dir: str, excl_brand: str = "Brand#21",
+                        max_size: int = 25,
+                        excl_name_suffix: str = "0"):
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per (brand, size) over
+    the deduped shipped-pair relation, excluding one brand, sizes above
+    a cap, and a NOT-IN supplier exclusion list (suppliers whose name
+    ends with ``excl_name_suffix`` — the complaints-list analog)."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    mask = pc.and_(pc.not_equal(part["p_brand"], excl_brand),
+                   pc.less_equal(part["p_size"], max_size))
+    part = part.filter(mask)
+    keep_part = _dense_bool(part["p_partkey"].to_numpy())
+    brand_of = _dense_lookup(part["p_partkey"].to_numpy(),
+                             part["p_brand"].to_pylist())
+    size_of = _dense_i64(part["p_partkey"].to_numpy(),
+                         part["p_size"].to_numpy())
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    bad = {k for k, n in zip(sup["s_suppkey"].to_pylist(),
+                             sup["s_name"].to_pylist())
+           if n.endswith(excl_name_suffix)}
+    bad_arr = pa.array(sorted(bad), pa.int64())
+
+    pairs = _distinct_pairs(sf_dir)
+
+    def attach(batch: pa.Table, keep=None, b=None, s=None,
+               bad=None) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy()
+        m = _member_mask(pk, keep)
+        if len(bad):
+            m &= ~pc.is_in(batch["l_suppkey"],
+                           value_set=bad).to_numpy(
+                               zero_copy_only=False)
+        sel = batch.filter(pa.array(m))
+        spk = sel["l_partkey"].to_numpy()
+        return pa.table({
+            "p_brand": pa.array(
+                b[spk].astype(object).tolist() if len(sel) else [],
+                pa.string()),
+            "p_size": pa.array(s[spk], pa.int64()),
+            "l_suppkey": sel["l_suppkey"]})
+
+    tagged = pairs.map_batches(
+        attach, batch_format="pyarrow",
+        fn_kwargs={"keep": keep_part, "b": brand_of, "s": size_of,
+                   "bad": bad_arr})
+
+    # distinct (brand, size, suppkey) then count per (brand, size):
+    # the distinct state is disjoint across suppkey hash partitions, so
+    # a plain groupby-count over the deduped triples is exact.
+    distinct = (tagged.groupby(["p_brand", "p_size", "l_suppkey"])
+                .count())
+    from ray.data.aggregate import Count
+
+    agg = distinct.groupby(["p_brand", "p_size"]).aggregate(
+        Count(alias_name="supplier_cnt"))
+    out = pa.Table.from_pylist(
+        agg.take_all(),
+        schema=pa.schema([("p_brand", pa.string()),
+                          ("p_size", pa.int64()),
+                          ("supplier_cnt", pa.int64())]))
+    return out.sort_by([("supplier_cnt", "descending"),
+                        ("p_brand", "ascending"),
+                        ("p_size", "ascending")])
+
+
+Q16_SQL = """
+SELECT p.p_brand, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#21' AND p.p_size <= 25
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_name LIKE '%0')
+GROUP BY p.p_brand, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+"""
+
+
+# ----------------------------------------------------------------- Q17
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13"):
+    """TPC-H Q17 shape: per-part average join-back — revenue from
+    lineitems of one brand whose quantity is below 20% of that part's
+    average quantity; avg_yearly = sum(extendedprice)/7.  The
+    comparison is EXACT integers: qty < 0.2·(sum/cnt) ⇔
+    5·qty·cnt < sum (quantities are whole numbers), so no float
+    boundary can diverge from the oracle."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    part = part.filter(pc.equal(part["p_brand"], brand))
+    in_brand = _dense_bool(part["p_partkey"].to_numpy())
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table, keep=None) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy()
+        sel = batch.filter(pa.array(_member_mask(pk, keep)))
+        qty = pc.cast(sel["l_quantity"], pa.int64())
+        t = pa.table({"l_partkey": sel["l_partkey"], "qty": qty,
+                      "n": pa.array(np.ones(len(sel), np.int64))})
+        return _gb(t, ["l_partkey"], [("qty", "sum"), ("n", "sum")],
+                   ["sum_qty", "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    stats = pa.Table.from_pylist(
+        li.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536, fn_kwargs={"keep": in_brand})
+        .groupby("l_partkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("cnt", alias_name="cnt"))
+        .take_all(),
+        schema=pa.schema([("l_partkey", pa.int64()),
+                          ("sum_qty", pa.int64()), ("cnt", pa.int64())]))
+    # per-part stats are bounded by the brand's part count (dimension-
+    # sized); broadcast them back into a second pruned scan.
+    sq = _dense_i64(stats["l_partkey"].to_numpy(),
+                    stats["sum_qty"].to_numpy(), fill=-1)
+    ct = _dense_i64(stats["l_partkey"].to_numpy(),
+                    stats["cnt"].to_numpy(), fill=0)
+
+    def pick(batch: pa.Table, keep=None, sq=None, ct=None) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy()
+        sel = batch.filter(pa.array(_member_mask(pk, keep)))
+        spk = sel["l_partkey"].to_numpy()
+        qty = sel["l_quantity"].to_numpy().astype(np.int64)
+        small = 5 * qty * ct[spk] < sq[spk]
+        picked = sel.filter(pa.array(small))
+        return pa.table({
+            "c": _cents(picked["l_extendedprice"]),
+            "n": pa.array(np.ones(len(picked), np.int64))})
+
+    total = (li.map_batches(pick, batch_format="pyarrow",
+                            batch_size=65536,
+                            fn_kwargs={"keep": in_brand, "sq": sq,
+                                       "ct": ct})
+             .aggregate(Sum("c"), Sum("n")))
+    cents = int(total["sum(c)"] or 0)
+    n = int(total["sum(n)"] or 0)
+    avg_yearly = np.floor(cents / 700.0 * 100.0 + 0.5) / 100.0
+    return pa.table({"avg_yearly": pa.array([avg_yearly], pa.float64()),
+                     "total_cents": pa.array([cents], pa.int64()),
+                     "n_lines": pa.array([n], pa.int64())})
+
+
+Q17_SQL = """
+SELECT floor(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 700.0 * 100.0 + 0.5) / 100.0 AS avg_yearly,
+       sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS total_cents,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND 5 * CAST(l.l_quantity AS BIGINT) *
+      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+      < (SELECT CAST(sum(l2.l_quantity) AS BIGINT) FROM lineitem l2
+         WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+# ----------------------------------------------------------------- Q19
+_Q19_BANDS = (("Brand#12", 1, 25, 1, 25),
+              ("Brand#23", 5, 30, 10, 35),
+              ("Brand#34", 10, 40, 20, 45))
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of three
+    (brand, size-band, quantity-band) conjunctions, evaluated as one
+    vectorized OR-of-ANDs mask over broadcast part attributes."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    # brand → band index (or -1): turns the string compare into an
+    # int compare on the per-batch hot path
+    band_ix = {band[0]: i for i, band in enumerate(_Q19_BANDS)}
+    band_of = _dense_i64(
+        part["p_partkey"].to_numpy(),
+        [band_ix.get(b, -1) for b in part["p_brand"].to_pylist()])
+    size_of = _dense_i64(part["p_partkey"].to_numpy(),
+                         part["p_size"].to_numpy())
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def partial(batch: pa.Table, b=None, s=None) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy()
+        band = b[pk]
+        sz = s[pk]
+        qty = batch["l_quantity"].to_numpy()
+        mask = np.zeros(len(batch), bool)
+        for i, (_, s_lo, s_hi, q_lo, q_hi) in enumerate(_Q19_BANDS):
+            mask |= ((band == i) & (sz >= s_lo) & (sz <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        sel = batch.filter(pa.array(mask))
+        rev = _cents(pc.multiply(
+            sel["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), sel["l_discount"])))
+        return pa.table({
+            "c": pa.array([int(pc.sum(rev).as_py() or 0)], pa.int64()),
+            "n": pa.array([len(sel)], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    total = (li.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536,
+                            fn_kwargs={"b": band_of, "s": size_of})
+             .aggregate(Sum("c"), Sum("n")))
+    cents = int(total["sum(c)"] or 0)
+    return pa.table({
+        "revenue": pa.array(
+            [np.floor(cents / 100.0 * 100.0 + 0.5) / 100.0],
+            pa.float64()),
+        "n_lines": pa.array([int(total["sum(n)"] or 0)], pa.int64())})
+
+
+Q19_SQL = """
+SELECT floor(COALESCE(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)), 0) / 100.0 * 100.0 + 0.5) / 100.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 1 AND 25)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 5 AND 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 10 AND 40
+       AND l.l_quantity BETWEEN 20 AND 45)
+"""
+
+
+# ----------------------------------------------------------------- Q20
+def q20_dominant_suppliers(sf_dir: str, name_kw: str = "widget",
+                           year: int = 1997):
+    """TPC-H Q20 shape: nested aggregate gate + semi-join — suppliers
+    who, for SOME part whose name contains ``name_kw``, shipped MORE
+    than half of that part's total quantity in ``year``.  The gate is
+    the exact integer comparison 2·supp_qty > part_total (quantities
+    whole), the Q17 discipline applied to the original's
+    ``ps_availqty > 0.5·sum(l_quantity)``."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    part = part.filter(pc.match_substring(part["p_name"], name_kw))
+    in_kw = _dense_bool(part["p_partkey"].to_numpy())
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def partial(batch: pa.Table, keep=None) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy()
+        mask = _member_mask(pk, keep)
+        mask &= pc.equal(pc.year(batch["l_shipdate"]),
+                         year).to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(mask))
+        t = pa.table({"l_partkey": sel["l_partkey"],
+                      "l_suppkey": sel["l_suppkey"],
+                      "q": pc.cast(sel["l_quantity"], pa.int64())})
+        return _gb(t, ["l_partkey", "l_suppkey"], [("q", "sum")], ["q"])
+
+    from ray.data.aggregate import Sum
+
+    pair_qty = (li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536,
+                               fn_kwargs={"keep": in_kw})
+                .groupby(["l_partkey", "l_suppkey"])
+                .aggregate(Sum("q", alias_name="q"))
+                .materialize())
+    totals = pair_qty.groupby("l_partkey").aggregate(
+        Sum("q", alias_name="tot"))
+    joined = pair_qty.join(totals, join_type="inner",
+                           num_partitions=_nparts_for(pair_qty.count()),
+                           on=("l_partkey",), right_on=("l_partkey",))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.greater(
+            pc.multiply(batch["q"], pa.scalar(2, pa.int64())),
+            batch["tot"]))
+        return pa.table({"l_suppkey": sel["l_suppkey"]})
+
+    winners = sorted({r["l_suppkey"] for r in
+                      joined.map_batches(gate, batch_format="pyarrow")
+                      .take_all()})
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    name_of = dict(zip(sup["s_suppkey"].to_pylist(),
+                       sup["s_name"].to_pylist()))
+    return pa.table({
+        "s_suppkey": pa.array(winners, pa.int64()),
+        "s_name": pa.array([name_of[k] for k in winners], pa.string())})
+
+
+Q20_SQL = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM part p
+  WHERE p.p_name LIKE '%widget%'
+    AND 2 * (SELECT COALESCE(CAST(sum(l.l_quantity) AS BIGINT), 0)
+             FROM lineitem l
+             WHERE l.l_partkey = p.p_partkey
+               AND l.l_suppkey = s.s_suppkey
+               AND year(l.l_shipdate) = 1997)
+        > (SELECT COALESCE(CAST(sum(l2.l_quantity) AS BIGINT), 0)
+           FROM lineitem l2
+           WHERE l2.l_partkey = p.p_partkey
+             AND year(l2.l_shipdate) = 1997))
+ORDER BY s.s_suppkey
+"""
