@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.functions import relational as rel
     from ocr_ray.functions import similarity as sim
     from ocr_ray.functions import textops as tx
+    from ocr_ray.functions import tpch_more as tpc
 
     # EXACTLY 50 entries: the round-1 driver recorded CORRECTNESS rows for
     # exactly the FIRST 50 of 53 registered queries (the last three dict
@@ -212,9 +213,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the shape driver-checked; oracle continues in
         # tests/test_registry_extras.py)
         "passage_removal": _passage_removal,
-        "doc_token_counts": tx.doc_token_counts,
+        # doc_token_counts / doc_char_quality rotated out (round-5, late):
+        # map-only per-doc shapes kept driver-checked by
+        # doc_bpe_token_counts / doc_quality_scores; oracles continue in
+        # tests/test_registry_extras.py.  Their slots hold the Q2
+        # correlated-min join-back (ties kept) and the Q17 exact-integer
+        # avg join-back — see functions/tpch_more.py:
+        "q2_min_balance_supplier": tpc.q2_min_balance_supplier,
+        "q17_small_quantity_revenue": tpc.q17_small_quantity_revenue,
         "doc_bpe_token_counts": tx.doc_bpe_token_counts,
-        "doc_char_quality": tx.doc_char_quality,
         "doc_line_stats": tx.doc_line_stats,
         "keyword_doc_freq": tx.keyword_doc_freq,
         "doc_quality_scores": tx.doc_quality_scores,
@@ -275,7 +282,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # holds the Q22 scalar-subquery gate + NOT-EXISTS anti join:
         "q22_idle_rich_customers": rel.q22_idle_rich_customers,
         "sessionize": ev.sessionize,
-        "props_k_stats": ev.props_k_stats,
+        # props_k_stats rotated out (round-5, late): props-extraction
+        # groupby, shape kept driver-checked by props_redaction; oracle
+        # continues in tests/test_registry_extras.py.  Its slot holds
+        # the Q20 nested-aggregate dominance gate + semi join:
+        "q20_dominant_suppliers": tpc.q20_dominant_suppliers,
         "user_activity_join": ev.user_activity_join,
         "events_daily_moving_avg": ev.events_daily_moving_avg,
         "error_click_asof": ev.error_click_asof,
@@ -296,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.functions import relational as rel
     from ocr_ray.functions import similarity as sim
     from ocr_ray.functions import textops as tx
+    from ocr_ray.functions import tpch_more as tpc
 
     return {
         "q1_pricing_summary": rel.Q1_SQL,
@@ -317,7 +329,6 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": ev.EVENT_TRANSITIONS_SQL,
         "weekly_retention": ev.WEEKLY_RETENTION_SQL,
         "sessionize": ev.SESSIONIZE_SQL,
-        "props_k_stats": ev.PROPS_K_SQL,
         "user_activity_join": ev.USER_ACTIVITY_SQL,
         "events_daily_moving_avg": ev.EVENTS_MOVING_AVG_SQL,
         "error_click_asof": ev.ERROR_CLICK_ASOF_SQL,
@@ -329,9 +340,10 @@ def oracle_sql() -> dict[str, str]:
         "running_user_totals": _RUNNING_USER_TOTALS_SQL,
         "props_redaction": _rd.PROPS_REDACTION_SQL,
         "repeated_ngrams": cp.REPEATED_NGRAMS_SQL,
-        "doc_token_counts": tx.DOC_TOKEN_COUNTS_SQL,
+        "q2_min_balance_supplier": tpc.Q2_SQL,
+        "q17_small_quantity_revenue": tpc.Q17_SQL,
+        "q20_dominant_suppliers": tpc.Q20_SQL,
         "doc_bpe_token_counts": tx.DOC_BPE_TOKEN_SQL,
-        "doc_char_quality": tx.DOC_CHAR_QUALITY_SQL,
         "doc_line_stats": tx.DOC_LINE_STATS_SQL,
         "keyword_doc_freq": tx.KEYWORD_DOC_FREQ_SQL,
         "doc_quality_scores": tx.DOC_QUALITY_SQL,

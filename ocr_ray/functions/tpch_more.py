@@ -253,10 +253,10 @@ def q8_market_share(sf_dir: str, nation: str | None = None):
 def q8_sql(nation: str) -> str:
     return f"""
 SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-       sum(CASE WHEN n.n_name = '{nation}'
+       CAST(sum(CASE WHEN n.n_name = '{nation}'
             THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)
-            ELSE 0 END) AS share_num,
-       sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS share_den,
+            ELSE 0 END) AS BIGINT) AS share_num,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS share_den,
        floor(CAST(sum(CASE WHEN n.n_name = '{nation}'
                    THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)
                    ELSE 0 END) AS DOUBLE)
@@ -467,10 +467,10 @@ def q12_priority_counts(sf_dir: str, year_lo: int = 1996,
 
 Q12_SQL = """
 SELECT l.l_returnflag,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-            THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-            THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE year(l.l_shipdate) BETWEEN 1996 AND 1997
 GROUP BY l.l_returnflag
@@ -687,8 +687,8 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13"):
 
 
 Q17_SQL = """
-SELECT floor(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 700.0 * 100.0 + 0.5) / 100.0 AS avg_yearly,
-       sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS total_cents,
+SELECT floor(COALESCE(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)), 0) / 700.0 * 100.0 + 0.5) / 100.0 AS avg_yearly,
+       CAST(COALESCE(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS total_cents,
        count(*) AS n_lines
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_brand = 'Brand#13'

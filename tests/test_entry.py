@@ -17,7 +17,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 CHECKED = [
     "q1_pricing_summary", "q22_idle_rich_customers",
     "priority_price_quantiles",
-    "event_funnel", "sessionize", "doc_token_counts",
+    "event_funnel", "sessionize", "q2_min_balance_supplier",
     "exact_dedup_groups", "knn_bruteforce",
 ]
 

@@ -198,3 +198,20 @@ class TestConsolidatedQueries:
             0, 256, len(loop), dtype=np.uint8))
         rat = lambda b: len(zlib.compress(b, 6)) / len(b)
         assert rat(loop) < rat(prose) < rat(noise)
+
+
+class TestRoundFiveLateRotations:
+    """Rotated out of the driver registry for the Q2/Q17/Q20 shapes
+    (round-5 late continuation); oracle coverage continues here."""
+
+    def test_doc_token_counts(self, ray_session):
+        from ocr_ray.functions import textops as tx
+        _check(tx.doc_token_counts(SF), tx.DOC_TOKEN_COUNTS_SQL)
+
+    def test_doc_char_quality(self, ray_session):
+        from ocr_ray.functions import textops as tx
+        _check(tx.doc_char_quality(SF), tx.DOC_CHAR_QUALITY_SQL)
+
+    def test_props_k_stats(self, ray_session):
+        from ocr_ray.functions import events as ev
+        _check(ev.props_k_stats(SF), ev.PROPS_K_SQL)
