@@ -218,7 +218,13 @@ def activity_incident_overlap(sf_dir: str, window_minutes: int = 30):
 
     incs = ev.map_batches(windows, batch_format="pyarrow",
                           batch_size=65536)
-    out = interval_overlap_agg(acts, incs, bucket_us=_US_PER_DAY)
+    # partition count from the SOURCE row count (parquet metadata —
+    # free), not from counting the replicated union (which executes
+    # the whole pipeline once just to size it: 11.2 -> ~6 s at
+    # sf0.1/32).  Replication only multiplies rows by a small bounded
+    # factor, so the source count is the right sizing signal.
+    out = interval_overlap_agg(acts, incs, bucket_us=_US_PER_DAY,
+                               n_parts=nparts_for(ev.count()))
     tbl = pa.Table.from_pylist(
         out.take_all(),
         schema=pa.schema([("user_id", pa.int64()),

@@ -72,23 +72,6 @@ def _member_mask(pk: np.ndarray, keep: np.ndarray) -> np.ndarray:
     return (pk < len(keep)) & keep[np.minimum(pk, len(keep) - 1)]
 
 
-def _distinct_pairs(sf_dir: str):
-    """Distinct (l_partkey, l_suppkey) shipped pairs — the stand-in for
-    the missing ``partsupp`` relation.  Per-block dedup partial, then a
-    distributed groupby to finish: no driver key set at any scale."""
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-
-    def dedup(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["l_partkey", "l_suppkey"]).aggregate([])
-        return g.select(["l_partkey", "l_suppkey"])
-
-    return (li.map_batches(dedup, batch_format="pyarrow",
-                           batch_size=65536)
-            .groupby(["l_partkey", "l_suppkey"])
-            .count()
-            .drop_columns(["count()"]))
-
-
 # ------------------------------------------------------------------ Q2
 def q2_min_balance_supplier(sf_dir: str, type_kw: str = "STANDARD"):
     """TPC-H Q2 shape: for each part of one type, the supplier(s) with
@@ -119,9 +102,21 @@ def q2_min_balance_supplier(sf_dir: str, type_kw: str = "STANDARD"):
         sup["s_suppkey"].to_numpy(),
         [n2name.get(nk) for nk in sup["s_nationkey"].to_pylist()])
 
+    # Prune to matching parts BEFORE any shuffle (the type filter keeps
+    # ~1/|types| of the rows), dedup per block, and attach balances.
+    # NO global distinct over the pair relation: shipped pairs are
+    # nearly unique (sf0.1: 600k lineitems -> 591k distinct pairs), so
+    # a corpus-wide distinct is a full all-to-all that removes ~1.5%
+    # of rows — the first version paid 13.6 s of its 15.0 s there.
+    # Correctness without it: the Min aggregate is duplicate-blind, and
+    # the winner set (pairs at the min) is OUTPUT-bounded, so ITS dedup
+    # is a driver-side group_by of the final rows.
     def attach(batch: pa.Table, keep=None, bal=None) -> pa.Table:
         pk = batch["l_partkey"].to_numpy()
         sel = batch.filter(pa.array(_member_mask(pk, keep)))
+        sel = (sel.select(["l_partkey", "l_suppkey"])
+               .group_by(["l_partkey", "l_suppkey"]).aggregate([])
+               .select(["l_partkey", "l_suppkey"]))
         return pa.table({
             "l_partkey": sel["l_partkey"],
             "l_suppkey": sel["l_suppkey"],
@@ -131,28 +126,41 @@ def q2_min_balance_supplier(sf_dir: str, type_kw: str = "STANDARD"):
                 pa.float64()),
         })
 
-    pairs = _distinct_pairs(sf_dir).map_batches(
-        attach, batch_format="pyarrow",
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    pairs = li.map_batches(
+        attach, batch_format="pyarrow", batch_size=65536,
         fn_kwargs={"keep": keep_parts, "bal": s_bal}).materialize()
 
     from ray.data.aggregate import Min
 
-    mins = pairs.groupby("l_partkey").aggregate(
-        Min("s_acctbal", alias_name="min_bal"))
-    joined = pairs.join(mins, join_type="inner",
-                        num_partitions=_nparts_for(pairs.count()),
-                        on=("l_partkey",), right_on=("l_partkey",))
+    # the per-part min table is bounded by the PART DIMENSION (one row
+    # per matching part), so it broadcasts back into a filter pass —
+    # no hash join shuffle
+    mins = pa.Table.from_pylist(
+        pairs.groupby("l_partkey").aggregate(
+            Min("s_acctbal", alias_name="min_bal")).take_all(),
+        schema=pa.schema([("l_partkey", pa.int64()),
+                          ("min_bal", pa.float64())]))
+    min_bal = np.full(len(keep_parts), np.inf)
+    min_bal[mins["l_partkey"].to_numpy()] = mins["min_bal"].to_numpy()
 
-    def keep_min(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch["s_acctbal"],
-                                     batch["min_bal"]))
+    def keep_min(batch: pa.Table, mb=None) -> pa.Table:
+        bal = batch["s_acctbal"].to_numpy()
+        return batch.filter(
+            pa.array(bal == mb[batch["l_partkey"].to_numpy()]))
 
-    rows = pa.Table.from_pylist(
-        joined.map_batches(keep_min, batch_format="pyarrow").take_all(),
+    winners = pa.Table.from_pylist(
+        pairs.map_batches(keep_min, batch_format="pyarrow",
+                          fn_kwargs={"mb": min_bal}).take_all(),
         schema=pa.schema([("l_partkey", pa.int64()),
                           ("l_suppkey", pa.int64()),
-                          ("s_acctbal", pa.float64()),
-                          ("min_bal", pa.float64())]))
+                          ("s_acctbal", pa.float64())]))
+    # winner-set dedup (block-level dedup is not global)
+    rows = (winners.group_by(["l_partkey", "l_suppkey"])
+            .aggregate([("s_acctbal", "min")]))
+    rows = pa.table({"l_partkey": rows["l_partkey"],
+                     "l_suppkey": rows["l_suppkey"],
+                     "s_acctbal": rows["s_acctbal_min"]})
     pk = rows["l_partkey"].to_pylist()
     sk = rows["l_suppkey"].to_numpy()
     out = pa.table({
@@ -563,7 +571,18 @@ def q16_supplier_counts(sf_dir: str, excl_brand: str = "Brand#21",
            if n.endswith(excl_name_suffix)}
     bad_arr = pa.array(sorted(bad), pa.int64())
 
-    pairs = _distinct_pairs(sf_dir)
+    li16 = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def block_dedup(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        return g.select(["l_partkey", "l_suppkey"])
+
+    # per-block dedup only: the (brand, size, suppkey) groupby below is
+    # the global dedup — a corpus-wide pair distinct here would be a
+    # redundant all-to-all over a nearly-unique relation (q2 measured
+    # it at 13.6 s of a 15 s query at sf0.1)
+    pairs = li16.map_batches(block_dedup, batch_format="pyarrow",
+                             batch_size=65536)
 
     def attach(batch: pa.Table, keep=None, b=None, s=None,
                bad=None) -> pa.Table:
