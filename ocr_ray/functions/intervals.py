@@ -52,7 +52,7 @@ def _pairs_in_partition(t: pa.Table, bucket_us: int) -> pa.Table:
     ``t`` carries side (0=activity, 1=incident), key, bucket, start/end
     in int64 microseconds."""
     empty = pa.table({
-        "user_id": pa.array([], pa.int64()),
+        "key": pa.array([], pa.int64()),
         "n_pairs": pa.array([], pa.int64()),
         "overlap_us": pa.array([], pa.int64()),
     })
@@ -103,13 +103,13 @@ def _pairs_in_partition(t: pa.Table, bucket_us: int) -> pa.Table:
     if not ok.any():
         return empty
     out = pa.table({
-        "user_id": pa.array(key[a_idx][ok], pa.int64()),
+        "key": pa.array(key[a_idx][ok], pa.int64()),
         "one": pa.array(np.ones(int(ok.sum()), np.int64)),
         "ov": pa.array((hi - lo)[ok], pa.int64()),
     })
-    g = out.group_by(["user_id"]).aggregate(
+    g = out.group_by(["key"]).aggregate(
         [("one", "sum"), ("ov", "sum")])
-    return pa.table({"user_id": g["user_id"],
+    return pa.table({"key": g["key"],
                      "n_pairs": g["one_sum"],
                      "overlap_us": g["ov_sum"]})
 
@@ -168,7 +168,7 @@ def interval_overlap_agg(acts, incs, bucket_us: int,
              .groupby("part")
              .map_groups(lambda g: _pairs_in_partition(g, bucket_us),
                          batch_format="pyarrow"))
-    return (pairs.groupby("user_id")
+    return (pairs.groupby("key")
             .aggregate(Sum("n_pairs", alias_name="n_pairs"),
                        Sum("overlap_us", alias_name="overlap_us")))
 
@@ -186,9 +186,13 @@ def activity_incident_overlap(sf_dir: str, window_minutes: int = 30):
     def day_partial(batch: pa.Table) -> pa.Table:
         sel = batch.filter(pc.is_valid(batch["user_id"]))
         ts = pc.cast(sel["ts"], pa.int64())
+        # numpy floor division: matches DuckDB's // and replicate()'s
+        # bucketing for pre-epoch (negative-us) timestamps, where Arrow
+        # pc.divide would truncate toward zero instead
+        day = ts.to_numpy(zero_copy_only=False) // _US_PER_DAY
         t = pa.table({
             "key": sel["user_id"],
-            "day": pc.divide(ts, pa.scalar(_US_PER_DAY, pa.int64())),
+            "day": pa.array(day, pa.int64()),
             "s": ts, "e": ts})
         g = t.group_by(["key", "day"]).aggregate(
             [("s", "min"), ("e", "max")])
@@ -227,9 +231,10 @@ def activity_incident_overlap(sf_dir: str, window_minutes: int = 30):
                                n_parts=nparts_for(ev.count()))
     tbl = pa.Table.from_pylist(
         out.take_all(),
-        schema=pa.schema([("user_id", pa.int64()),
+        schema=pa.schema([("key", pa.int64()),
                           ("n_pairs", pa.int64()),
                           ("overlap_us", pa.int64())]))
+    tbl = tbl.rename_columns(["user_id", "n_pairs", "overlap_us"])
     return tbl.sort_by([("user_id", "ascending")])
 
 

@@ -68,8 +68,9 @@ def _dense_i64(keys, values, fill: int = -1) -> np.ndarray:
 
 
 def _member_mask(pk: np.ndarray, keep: np.ndarray) -> np.ndarray:
-    """keep[pk] with out-of-range keys False (clamp + bounds AND)."""
-    return (pk < len(keep)) & keep[np.minimum(pk, len(keep) - 1)]
+    """keep[pk] with out-of-range keys (either side) False."""
+    return ((pk >= 0) & (pk < len(keep))
+            & keep[np.minimum(np.maximum(pk, 0), len(keep) - 1)])
 
 
 # ------------------------------------------------------------------ Q2
@@ -208,12 +209,7 @@ def q8_market_share(sf_dir: str, nation: str | None = None):
     tgt_keys = [k for k, nk in zip(sup["s_suppkey"].to_pylist(),
                                    sup["s_nationkey"].to_pylist())
                 if n2name.get(nk) == target]
-    # all lineitem suppkeys exist in the supplier dim, but size the
-    # array to the full key range so the mask lookup never goes OOB
-    is_target = np.zeros(
-        int(max(sup["s_suppkey"].to_numpy().max(), 0)) + 1
-        if len(sup) else 1, bool)
-    is_target[np.asarray(tgt_keys, np.int64)] = True
+    is_target = _dense_bool(tgt_keys)
 
     li = _read(sf_dir, "lineitem",
                ["l_suppkey", "l_extendedprice", "l_discount",

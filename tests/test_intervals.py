@@ -142,8 +142,8 @@ class TestActivityIncidentOverlap:
         for bucket in (100, 800, 5000):
             out = interval_overlap_agg(acts, incs, bucket_us=bucket,
                                        n_parts=3)
-            got = {int(r["user_id"]): (int(r["n_pairs"]),
-                                       int(r["overlap_us"]))
+            got = {int(r["key"]): (int(r["n_pairs"]),
+                                   int(r["overlap_us"]))
                    for r in out.take_all()}
             assert got == {k: (v[0], v[1]) for k, v in want.items()}, \
                 f"bucket={bucket}"
