@@ -148,6 +148,12 @@ def _media_features(sf_dir: str):
     return media_features(media)
 
 
+def _interval_overlap(sf_dir: str):
+    from ocr_ray.functions.intervals import activity_incident_overlap
+
+    return activity_incident_overlap(sf_dir)
+
+
 def _event_funnel(sf_dir: str):
     """First-touch view->click->purchase funnel (inclusive 24 h step
     windows); see ocr_ray/functions/events.py event_funnel."""
@@ -287,7 +293,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # continues in tests/test_registry_extras.py.  Its slot holds
         # the Q20 nested-aggregate dominance gate + semi join:
         "q20_dominant_suppliers": tpc.q20_dominant_suppliers,
-        "user_activity_join": ev.user_activity_join,
+        # user_activity_join rotated out (round-5, late): broadcast dim
+        # join, shape kept driver-checked by q5; oracle continues in
+        # tests/test_registry_extras.py.  Its slot holds the interval-
+        # overlap join (ranges x ranges — a NEW join flavor):
+        "interval_overlap": _interval_overlap,
         "events_daily_moving_avg": ev.events_daily_moving_avg,
         "error_click_asof": ev.error_click_asof,
         "running_user_totals": _running_user_totals,
@@ -300,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_ray.functions import intervals as _iv
     from ocr_ray.functions import corpus_prep as cp
     from ocr_ray.functions import dedup as dd
     from ocr_ray.functions import redact as _rd
@@ -329,7 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": ev.EVENT_TRANSITIONS_SQL,
         "weekly_retention": ev.WEEKLY_RETENTION_SQL,
         "sessionize": ev.SESSIONIZE_SQL,
-        "user_activity_join": ev.USER_ACTIVITY_SQL,
+        "interval_overlap": _iv.ACTIVITY_INCIDENT_SQL,
         "events_daily_moving_avg": ev.EVENTS_MOVING_AVG_SQL,
         "error_click_asof": ev.ERROR_CLICK_ASOF_SQL,
         "error_click_range_join": ev.ERROR_CLICK_RANGE_US_SQL,

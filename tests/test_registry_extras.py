@@ -215,3 +215,8 @@ class TestRoundFiveLateRotations:
     def test_props_k_stats(self, ray_session):
         from ocr_ray.functions import events as ev
         _check(ev.props_k_stats(SF), ev.PROPS_K_SQL)
+
+    def test_user_activity_join(self, ray_session):
+        # rotated out for interval_overlap (round-5 late continuation)
+        from ocr_ray.functions import events as ev
+        _check(ev.user_activity_join(SF), ev.USER_ACTIVITY_SQL)
