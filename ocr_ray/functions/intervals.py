@@ -46,11 +46,23 @@ from ._part import nparts_for
 _US_PER_DAY = 86_400_000_000
 
 
-def _pairs_in_partition(t: pa.Table, bucket_us: int) -> pa.Table:
+_MAX_CANDIDATES_PER_PARTITION = 50_000_000  # ~1.2 GB of pair indices
+
+
+def _pairs_in_partition(t: pa.Table, bucket_us: int,
+                        max_candidates: int) -> pa.Table:
     """Vectorized per-partition pairing: one lexsort, per-group cross
     products via the repeat/offset trick, one overlap+canonical mask.
     ``t`` carries side (0=activity, 1=incident), key, bucket, start/end
-    in int64 microseconds."""
+    in int64 microseconds.
+
+    Candidate count per partition is Σ|A_g|·|B_g| — bounded by interval
+    DENSITY per (key, bucket), not by a key's total history.  If one
+    key stacks pathologically many intervals into one bucket (the
+    interval analog of a hot groupby key), the kernel refuses above
+    ``_MAX_CANDIDATES_PER_PARTITION`` with the remedy instead of
+    OOMing: narrow ``bucket_us`` (splits long-interval stacks) or
+    pre-aggregate the denser side."""
     empty = pa.table({
         "key": pa.array([], pa.int64()),
         "n_pairs": pa.array([], pa.int64()),
@@ -88,6 +100,12 @@ def _pairs_in_partition(t: pa.Table, bucket_us: int) -> pa.Table:
     total = int(ni_per_act.sum())
     if total == 0:
         return empty
+    if total > max_candidates:
+        raise ValueError(
+            f"interval join candidate blow-up: {total:,} candidate "
+            f"pairs in one partition (cap {max_candidates:,}). One "
+            f"key stacks too many intervals into one bucket — narrow "
+            f"bucket_us or pre-aggregate the denser side.")
     a_idx = np.repeat(act_rows, ni_per_act)
     base = np.repeat(inc_start[gid[act_rows]], ni_per_act)
     csum = np.cumsum(ni_per_act) - ni_per_act
@@ -115,7 +133,9 @@ def _pairs_in_partition(t: pa.Table, bucket_us: int) -> pa.Table:
 
 
 def interval_overlap_agg(acts, incs, bucket_us: int,
-                         n_parts: int | None = None):
+                         n_parts: int | None = None,
+                         max_candidates: int =
+                         _MAX_CANDIDATES_PER_PARTITION):
     """Generic keyed interval-overlap join, aggregated per key.
 
     ``acts`` / ``incs``: Datasets with int64 columns (key, s, e) in the
@@ -166,8 +186,9 @@ def interval_overlap_agg(acts, incs, bucket_us: int,
 
     pairs = (both.map_batches(tag, batch_format="pyarrow")
              .groupby("part")
-             .map_groups(lambda g: _pairs_in_partition(g, bucket_us),
-                         batch_format="pyarrow"))
+             .map_groups(lambda g: _pairs_in_partition(
+                 g, bucket_us, max_candidates),
+                 batch_format="pyarrow"))
     return (pairs.groupby("key")
             .aggregate(Sum("n_pairs", alias_name="n_pairs"),
                        Sum("overlap_us", alias_name="overlap_us")))

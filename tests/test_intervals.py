@@ -147,3 +147,71 @@ class TestActivityIncidentOverlap:
                    for r in out.take_all()}
             assert got == {k: (v[0], v[1]) for k, v in want.items()}, \
                 f"bucket={bucket}"
+
+
+def test_layout_independence_and_random_fuzz(ray_session):
+    """The kernel's result must not depend on block layout (from_arrow
+    single block vs repartitioned), and random seeds with pre-epoch
+    (negative) coordinates must still match brute force."""
+    import ray.data as rd
+
+    from ocr_ray.functions.intervals import interval_overlap_agg
+
+    for seed in (11, 12, 13):
+        rng = np.random.default_rng(seed)
+        n_a, n_i = 150, 120
+        keys_a = rng.integers(0, 8, n_a)
+        s_a = rng.integers(-5_000, 5_000, n_a)   # pre-epoch included
+        e_a = s_a + rng.integers(0, 600, n_a)
+        keys_i = rng.integers(0, 8, n_i)
+        s_i = rng.integers(-5_000, 5_000, n_i)
+        e_i = s_i + rng.integers(0, 600, n_i)
+
+        from collections import defaultdict
+        want = defaultdict(lambda: [0, 0])
+        for k, sa, ea in zip(keys_a, s_a, e_a):
+            for k2, si, ei in zip(keys_i, s_i, e_i):
+                if k == k2 and sa <= ei and si <= ea:
+                    want[int(k)][0] += 1
+                    want[int(k)][1] += min(ea, ei) - max(sa, si)
+
+        at = pa.table({"key": pa.array(keys_a, pa.int64()),
+                       "s": pa.array(s_a, pa.int64()),
+                       "e": pa.array(e_a, pa.int64())})
+        it = pa.table({"key": pa.array(keys_i, pa.int64()),
+                       "s": pa.array(s_i, pa.int64()),
+                       "e": pa.array(e_i, pa.int64())})
+        results = []
+        for nblocks in (1, 5):
+            acts = rd.from_arrow(at).repartition(nblocks)
+            incs = rd.from_arrow(it).repartition(nblocks)
+            out = interval_overlap_agg(acts, incs, bucket_us=500,
+                                       n_parts=4)
+            results.append({int(r["key"]): (int(r["n_pairs"]),
+                                            int(r["overlap_us"]))
+                            for r in out.take_all()})
+        assert results[0] == results[1], f"layout-dependent seed={seed}"
+        assert results[0] == {k: tuple(v) for k, v in want.items()}, \
+            f"seed={seed}"
+
+
+def test_candidate_cap_refusal(ray_session):
+    """A pathological single-(key,bucket) stack above the candidate cap
+    refuses with the remedy instead of materializing the cross product
+    (the cap rides into the worker as an explicit parameter — a
+    monkeypatched module global would not survive Ray's process
+    boundary)."""
+    import ray.data as rd
+
+    from ocr_ray.functions import intervals as iv
+
+    n = 40  # 40x40 = 1600 candidates > 1000
+    at = pa.table({"key": pa.array([1] * n, pa.int64()),
+                   "s": pa.array([10] * n, pa.int64()),
+                   "e": pa.array([20] * n, pa.int64())})
+    acts = rd.from_arrow(at)
+    incs = rd.from_arrow(at)
+    out = iv.interval_overlap_agg(acts, incs, bucket_us=100, n_parts=2,
+                                  max_candidates=1000)
+    with pytest.raises(Exception, match="candidate blow-up"):
+        out.take_all()
