@@ -215,3 +215,57 @@ def test_candidate_cap_refusal(ray_session):
                                   max_candidates=1000)
     with pytest.raises(Exception, match="candidate blow-up"):
         out.take_all()
+
+
+def test_partition_kernel_direct_fuzz():
+    """The pure pairing kernel (no Ray): adversarial shapes — duplicate
+    intervals, zero-length points, heavy same-(key,bucket) stacking,
+    single-side groups — against a per-row reference.  The kernel sees
+    rows ALREADY replicated+bucketed, so the reference pairs rows of
+    opposite side in the same (key, bucket) and applies the same
+    overlap + canonical-bucket rule."""
+    from collections import defaultdict
+
+    from ocr_ray.functions.intervals import _pairs_in_partition
+
+    B = 50
+    for seed in range(8):
+        rng = np.random.default_rng(300 + seed)
+        n = int(rng.integers(2, 120))
+        key = rng.integers(0, 3, n)
+        side = rng.integers(0, 2, n)
+        s = rng.integers(-200, 200, n)
+        ln = rng.integers(0, 4, n) * rng.integers(0, 40, n)  # many 0s
+        e = s + ln
+        bucket = np.stack([s // B, e // B], 1)
+        # replicate each row to its covered buckets (like replicate())
+        rows = []
+        for i in range(n):
+            for b in range(bucket[i, 0], bucket[i, 1] + 1):
+                rows.append((key[i], b, side[i], s[i], e[i], i))
+        t = pa.table({
+            "key": pa.array([r[0] for r in rows], pa.int64()),
+            "bucket": pa.array([r[1] for r in rows], pa.int64()),
+            "side": pa.array([r[2] for r in rows], pa.int64()),
+            "s": pa.array([r[3] for r in rows], pa.int64()),
+            "e": pa.array([r[4] for r in rows], pa.int64()),
+        })
+        got_t = _pairs_in_partition(t, B, 10**9)
+        got = {int(k): (int(p), int(o)) for k, p, o in
+               zip(got_t["key"].to_pylist(),
+                   got_t["n_pairs"].to_pylist(),
+                   got_t["overlap_us"].to_pylist())}
+        # reference: original (unreplicated) rows, all cross pairs
+        want = defaultdict(lambda: [0, 0])
+        for i in range(n):
+            if side[i] != 0:
+                continue
+            for j in range(n):
+                if side[j] != 1 or key[i] != key[j]:
+                    continue
+                lo, hi = max(s[i], s[j]), min(e[i], e[j])
+                if lo <= hi:
+                    want[int(key[i])][0] += 1
+                    want[int(key[i])][1] += hi - lo
+        assert got == {k: tuple(v) for k, v in want.items()}, \
+            f"seed={seed}"
