@@ -49,8 +49,17 @@ _US_PER_DAY = 86_400_000_000
 _MAX_CANDIDATES_PER_PARTITION = 50_000_000  # ~1.2 GB of pair indices
 
 
+_EMPTY_PAIRS = pa.table({
+    "key": pa.array([], pa.int64()),
+    "a_id": pa.array([], pa.int64()),
+    "b_id": pa.array([], pa.int64()),
+    "overlap_us": pa.array([], pa.int64()),
+})
+
+
 def _pairs_in_partition(t: pa.Table, bucket_us: int,
-                        max_candidates: int) -> pa.Table:
+                        max_candidates: int,
+                        emit: str = "agg") -> pa.Table:
     """Vectorized per-partition pairing: one lexsort, per-group cross
     products via the repeat/offset trick, one overlap+canonical mask.
     ``t`` carries side (0=activity, 1=incident), key, bucket, start/end
@@ -69,7 +78,7 @@ def _pairs_in_partition(t: pa.Table, bucket_us: int,
         "overlap_us": pa.array([], pa.int64()),
     })
     if t.num_rows == 0:
-        return empty
+        return _EMPTY_PAIRS if emit == "pairs" else empty
     key = t["key"].to_numpy(zero_copy_only=False)
     bucket = t["bucket"].to_numpy(zero_copy_only=False)
     side = t["side"].to_numpy(zero_copy_only=False)
@@ -94,12 +103,12 @@ def _pairs_in_partition(t: pa.Table, bucket_us: int,
 
     act_rows = np.flatnonzero(side == 0)
     if len(act_rows) == 0:
-        return empty
+        return _EMPTY_PAIRS if emit == "pairs" else empty
     # each activity row pairs with every incident of its group
     ni_per_act = n_inc[gid[act_rows]]
     total = int(ni_per_act.sum())
     if total == 0:
-        return empty
+        return _EMPTY_PAIRS if emit == "pairs" else empty
     if total > max_candidates:
         raise ValueError(
             f"interval join candidate blow-up: {total:,} candidate "
@@ -119,7 +128,17 @@ def _pairs_in_partition(t: pa.Table, bucket_us: int,
     hi = np.minimum(a_e, i_e)
     ok = (lo <= hi) & (lo // bucket_us == bucket[a_idx])  # canonical
     if not ok.any():
+        if emit == "pairs":
+            return _EMPTY_PAIRS
         return empty
+    if emit == "pairs":
+        rid = t["rid"].to_numpy(zero_copy_only=False)[order]
+        return pa.table({
+            "key": pa.array(key[a_idx][ok], pa.int64()),
+            "a_id": pa.array(rid[a_idx][ok], pa.int64()),
+            "b_id": pa.array(rid[i_idx][ok], pa.int64()),
+            "overlap_us": pa.array((hi - lo)[ok], pa.int64()),
+        })
     out = pa.table({
         "key": pa.array(key[a_idx][ok], pa.int64()),
         "one": pa.array(np.ones(int(ok.sum()), np.int64)),
@@ -130,6 +149,55 @@ def _pairs_in_partition(t: pa.Table, bucket_us: int,
     return pa.table({"key": g["key"],
                      "n_pairs": g["one_sum"],
                      "overlap_us": g["ov_sum"]})
+
+
+def _replicator(bucket_us: int):
+    """Batch fn: replicate each interval row to every bucket it covers
+    (carrying the optional int64 ``id`` column as ``rid``)."""
+
+    def replicate(batch: pa.Table, side: int) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        e = batch["e"].to_numpy(zero_copy_only=False)
+        b_lo = s // bucket_us
+        b_hi = e // bucket_us
+        reps = (b_hi - b_lo + 1).astype(np.int64)
+        total = int(reps.sum())
+        row = np.repeat(np.arange(len(k), dtype=np.int64), reps)
+        csum = np.cumsum(reps) - reps
+        off = np.arange(total, dtype=np.int64) - np.repeat(csum, reps)
+        cols = {
+            "key": pa.array(k[row], pa.int64()),
+            "bucket": pa.array(b_lo[row] + off, pa.int64()),
+            "side": pa.array(np.full(total, side, np.int64)),
+            "s": pa.array(s[row], pa.int64()),
+            "e": pa.array(e[row], pa.int64()),
+        }
+        if "id" in batch.column_names:
+            ids = batch["id"].to_numpy(zero_copy_only=False)
+            cols["rid"] = pa.array(ids[row], pa.int64())
+        return pa.table(cols)
+
+    return replicate
+
+
+def _tagger(P: int):
+    """Batch fn: mix (key, bucket) into a stable partition id
+    (splitmix-ish) so co-candidates land together without tiny
+    per-(key,bucket) groups."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return batch.append_column(
+            "part", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    return tag
 
 
 def interval_overlap_agg(acts, incs, bucket_us: int,
@@ -145,46 +213,15 @@ def interval_overlap_agg(acts, incs, bucket_us: int,
     (n_pairs, overlap_us) totals as a Dataset."""
     import ray.data  # noqa: F401  (Dataset ops below)
 
-    def replicate(batch: pa.Table, side: int) -> pa.Table:
-        k = batch["key"].to_numpy(zero_copy_only=False)
-        s = batch["s"].to_numpy(zero_copy_only=False)
-        e = batch["e"].to_numpy(zero_copy_only=False)
-        b_lo = s // bucket_us
-        b_hi = e // bucket_us
-        reps = (b_hi - b_lo + 1).astype(np.int64)
-        total = int(reps.sum())
-        row = np.repeat(np.arange(len(k), dtype=np.int64), reps)
-        csum = np.cumsum(reps) - reps
-        off = np.arange(total, dtype=np.int64) - np.repeat(csum, reps)
-        return pa.table({
-            "key": pa.array(k[row], pa.int64()),
-            "bucket": pa.array(b_lo[row] + off, pa.int64()),
-            "side": pa.array(np.full(total, side, np.int64)),
-            "s": pa.array(s[row], pa.int64()),
-            "e": pa.array(e[row], pa.int64()),
-        })
-
-    both = (acts.map_batches(lambda b: replicate(b, 0),
-                             batch_format="pyarrow")
-            .union(incs.map_batches(lambda b: replicate(b, 1),
-                                    batch_format="pyarrow")))
-    P = n_parts or nparts_for(both.count())
-
-    def tag(batch: pa.Table) -> pa.Table:
-        k = batch["key"].to_numpy(zero_copy_only=False)
-        b = batch["bucket"].to_numpy(zero_copy_only=False)
-        # mix key and bucket into a stable partition id (splitmix-ish)
-        h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-             + b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
-        h ^= h >> np.uint64(33)
-        h *= np.uint64(0xFF51AFD7ED558CCD)
-        h ^= h >> np.uint64(33)
-        return batch.append_column(
-            "part", pa.array((h % np.uint64(P)).astype(np.int64)))
-
     from ray.data.aggregate import Sum
 
-    pairs = (both.map_batches(tag, batch_format="pyarrow")
+    rep = _replicator(bucket_us)
+    both = (acts.map_batches(lambda b: rep(b, 0),
+                             batch_format="pyarrow")
+            .union(incs.map_batches(lambda b: rep(b, 1),
+                                    batch_format="pyarrow")))
+    P = n_parts or nparts_for(both.count())
+    pairs = (both.map_batches(_tagger(P), batch_format="pyarrow")
              .groupby("part")
              .map_groups(lambda g: _pairs_in_partition(
                  g, bucket_us, max_candidates),
@@ -192,6 +229,31 @@ def interval_overlap_agg(acts, incs, bucket_us: int,
     return (pairs.groupby("key")
             .aggregate(Sum("n_pairs", alias_name="n_pairs"),
                        Sum("overlap_us", alias_name="overlap_us")))
+
+
+def interval_overlap_pairs(acts, incs, bucket_us: int,
+                           n_parts: int | None = None,
+                           max_candidates: int =
+                           _MAX_CANDIDATES_PER_PARTITION):
+    """Pair-emitting variant of :func:`interval_overlap_agg`: returns a
+    Dataset of (key, a_id, b_id, overlap_us) — one row per overlapping
+    (left, right) interval pair, exactly once (canonical-bucket dedup).
+    Both inputs must carry an int64 ``id`` column alongside
+    (key, s, e).  Output size is the true join cardinality; the
+    ``max_candidates`` guard bounds any one partition's blow-up."""
+    import ray.data  # noqa: F401
+
+    rep = _replicator(bucket_us)
+    both = (acts.map_batches(lambda b: rep(b, 0),
+                             batch_format="pyarrow")
+            .union(incs.map_batches(lambda b: rep(b, 1),
+                                    batch_format="pyarrow")))
+    P = n_parts or nparts_for(both.count())
+    return (both.map_batches(_tagger(P), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda g: _pairs_in_partition(
+                g, bucket_us, max_candidates, emit="pairs"),
+                batch_format="pyarrow"))
 
 
 def activity_incident_overlap(sf_dir: str, window_minutes: int = 30):

@@ -269,3 +269,45 @@ def test_partition_kernel_direct_fuzz():
                     want[int(key[i])][1] += hi - lo
         assert got == {k: tuple(v) for k, v in want.items()}, \
             f"seed={seed}"
+
+
+def test_pairs_mode_vs_bruteforce(ray_session):
+    """interval_overlap_pairs emits each overlapping (a_id, b_id)
+    exactly once with the exact overlap, across bucket widths."""
+    import ray.data as rd
+
+    from ocr_ray.functions.intervals import interval_overlap_pairs
+
+    rng = np.random.default_rng(42)
+    n_a, n_i = 120, 90
+    keys_a = rng.integers(0, 6, n_a)
+    s_a = rng.integers(0, 3_000, n_a)
+    e_a = s_a + rng.integers(0, 500, n_a)
+    keys_i = rng.integers(0, 6, n_i)
+    s_i = rng.integers(0, 3_000, n_i)
+    e_i = s_i + rng.integers(0, 500, n_i)
+
+    want = set()
+    for ai, (k, sa, ea) in enumerate(zip(keys_a, s_a, e_a)):
+        for bi, (k2, si, ei) in enumerate(zip(keys_i, s_i, e_i)):
+            if k == k2 and sa <= ei and si <= ea:
+                want.add((int(k), ai, bi,
+                          int(min(ea, ei) - max(sa, si))))
+
+    acts = rd.from_arrow(pa.table({
+        "key": pa.array(keys_a, pa.int64()),
+        "s": pa.array(s_a, pa.int64()),
+        "e": pa.array(e_a, pa.int64()),
+        "id": pa.array(np.arange(n_a), pa.int64())})).repartition(3)
+    incs = rd.from_arrow(pa.table({
+        "key": pa.array(keys_i, pa.int64()),
+        "s": pa.array(s_i, pa.int64()),
+        "e": pa.array(e_i, pa.int64()),
+        "id": pa.array(np.arange(n_i), pa.int64())})).repartition(3)
+    for bucket in (250, 1000):
+        rows = interval_overlap_pairs(acts, incs, bucket_us=bucket,
+                                      n_parts=4).take_all()
+        got = {(int(r["key"]), int(r["a_id"]), int(r["b_id"]),
+                int(r["overlap_us"])) for r in rows}
+        assert len(rows) == len(got), "duplicate pair emitted"
+        assert got == want, f"bucket={bucket}"
