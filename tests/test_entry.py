@@ -18,7 +18,7 @@ CHECKED = [
     "q1_pricing_summary", "q22_idle_rich_customers",
     "priority_price_quantiles",
     "event_funnel", "sessionize", "q2_min_balance_supplier",
-    "exact_dedup_groups", "knn_bruteforce",
+    "exact_dedup_groups", "knn_bruteforce", "interval_overlap",
 ]
 
 
