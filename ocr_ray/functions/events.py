@@ -1566,3 +1566,80 @@ SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
        floor(sum(v) / 1000.0 * 1000.0 + 0.5) / 1000.0 AS sum_value
 FROM m GROUP BY user_id, event_type
 """
+
+
+def assign_sessions(ds, gap: int, n_parts: int | None = None):
+    """Generic PER-ROW session assignment over any keyed event stream —
+    the sessionize kernel as a reusable Dataset API (the asof_pairs /
+    interval_overlap_pairs pattern): input columns (key:int64,
+    ts:int64, id:int64), output one row per input row with
+    (key, id, ts, session_seq, session_start_ts) where ``session_seq``
+    is the key's 0-based session ordinal by time and
+    ``session_start_ts`` the session's first timestamp — both pure
+    functions of the data (ties at equal ts order by id), independent
+    of block layout.
+
+    One hash(key) % P shuffle; each partition is answered in one numpy
+    pass: lexsort (key, ts, id), ``new session = key boundary OR gap >
+    threshold``, per-key ordinal via a cumsum re-based at key starts,
+    and session start timestamps via a monotone maximum.accumulate of
+    the new-session row indices — no per-key Python."""
+    import ray.data  # noqa: F401
+
+    from ._part import nparts_for
+
+    P = n_parts or nparts_for(ds.count(), rows_per_part=500_000,
+                              floor=8)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        part = ((h >> np.uint64(33)) % np.uint64(P)).astype(np.int64)
+        return pa.table({
+            "key": pa.array(k, pa.int64()),
+            "ts": batch["ts"],
+            "id": batch["id"],
+            "part": pa.array(part, pa.int64()),
+        })
+
+    _OUT = pa.schema([("key", pa.int64()), ("id", pa.int64()),
+                      ("ts", pa.int64()),
+                      ("session_seq", pa.int64()),
+                      ("session_start_ts", pa.int64())])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=_OUT)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        rid = t["id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rid, ts, key))
+        key, ts, rid = key[order], ts[order], rid[order]
+        n = len(key)
+        newk = np.empty(n, bool)
+        newk[0] = True
+        newk[1:] = key[1:] != key[:-1]
+        gap_br = np.empty(n, bool)
+        gap_br[0] = True
+        gap_br[1:] = (ts[1:] - ts[:-1]) > gap
+        new = newk | gap_br
+        sid = np.cumsum(new) - 1                 # global session id
+        pos = np.arange(n, dtype=np.int64)
+        # per-key re-base: session ordinal = sid - sid[key start]
+        key_start_sid = np.maximum.accumulate(
+            np.where(newk, sid, -1))
+        seq = sid - key_start_sid
+        start_idx = np.maximum.accumulate(np.where(new, pos, -1))
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "id": pa.array(rid, pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+            "session_seq": pa.array(seq, pa.int64()),
+            "session_start_ts": pa.array(ts[start_idx], pa.int64()),
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_part, batch_format="pyarrow")
+            .select_columns(["key", "id", "ts", "session_seq",
+                             "session_start_ts"]))
