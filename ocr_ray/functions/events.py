@@ -1643,3 +1643,78 @@ def assign_sessions(ds, gap: int, n_parts: int | None = None):
             .map_groups(per_part, batch_format="pyarrow")
             .select_columns(["key", "id", "ts", "session_seq",
                              "session_start_ts"]))
+
+
+def grouped_top_k(ds, k: int, n_parts: int | None = None):
+    """Generic per-key top-k over (key:int64, val:int64, id:int64) —
+    rows ranked by (val DESC, id ASC) within their key, rank < k kept,
+    emitted with their 0-based ``rank``.
+
+    The shuffle ships at most k rows per (key, block): each input block
+    pre-prunes to its local per-key top-k (the combiner pattern — a
+    block can only contribute k survivors per key, so the exchange is
+    bounded by k x keys-per-block, not by row count).  The final pass
+    is the usual hash(key) % P partition answered in one lexsort +
+    segmented-rank numpy pass."""
+    import ray.data  # noqa: F401
+
+    from ._part import nparts_for
+
+    def _local_ranks(key, val, rid):
+        order = np.lexsort((rid, -val, key))
+        k_s = key[order]
+        n = len(k_s)
+        newk = np.empty(n, bool)
+        newk[0] = True
+        newk[1:] = k_s[1:] != k_s[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(newk, pos, -1))
+        return order, pos - start            # rank within key
+
+    def prune(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        val = batch["val"].to_numpy(zero_copy_only=False)
+        rid = batch["id"].to_numpy(zero_copy_only=False)
+        if len(key) == 0:
+            return batch.select(["key", "val", "id"])
+        order, rank = _local_ranks(key, val, rid)
+        keep = order[rank < k]
+        return pa.table({
+            "key": pa.array(key[keep], pa.int64()),
+            "val": pa.array(val[keep], pa.int64()),
+            "id": pa.array(rid[keep], pa.int64()),
+        })
+
+    P = n_parts or nparts_for(ds.count(), rows_per_part=500_000,
+                              floor=8)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        kk = batch["key"].to_numpy(zero_copy_only=False)
+        h = kk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column("part", pa.array(
+            ((h >> np.uint64(33)) % np.uint64(P)).astype(np.int64)))
+
+    _OUT = pa.schema([("key", pa.int64()), ("val", pa.int64()),
+                      ("id", pa.int64()), ("rank", pa.int64())])
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=_OUT)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        rid = t["id"].to_numpy(zero_copy_only=False)
+        order, rank = _local_ranks(key, val, rid)
+        keep = rank < k
+        sel = order[keep]
+        return pa.table({
+            "key": pa.array(key[sel], pa.int64()),
+            "val": pa.array(val[sel], pa.int64()),
+            "id": pa.array(rid[sel], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+        })
+
+    return (ds.map_batches(prune, batch_format="pyarrow")
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_part, batch_format="pyarrow")
+            .select_columns(["key", "val", "id", "rank"]))

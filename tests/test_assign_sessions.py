@@ -79,3 +79,51 @@ def test_exact_gap_and_ties(ray_session):
                 "id": np.array([0, 1], np.int64)}
     got2 = _run(streams2, gap=20)
     assert [r[3] for r in got2] == [0, 0]
+
+
+class TestGroupedTopK:
+    def test_duckdb_parity_and_prune_safety(self, ray_session):
+        """Random corpora vs row_number() OVER; val ties break by id
+        ASC on both engines.  Multi-block inputs exercise the per-block
+        prune (a block's local top-k can only EVER contain the global
+        top-k — pruning is lossless)."""
+        import ray.data as rd
+
+        from ocr_ray.functions.events import grouped_top_k
+
+        con = duckdb.connect()
+        for seed in (21, 22):
+            rng = np.random.default_rng(seed)
+            n = 400
+            t = {
+                "key": rng.integers(0, 7, n).astype(np.int64),
+                "val": rng.integers(0, 50, n).astype(np.int64),  # ties
+                "id": np.arange(n, dtype=np.int64),
+            }
+            ds = rd.from_arrow(pa.table(t)).repartition(5)
+            got = sorted(
+                ((r["key"], r["val"], r["id"], r["rank"]) for r in
+                 grouped_top_k(ds, k=3, n_parts=4).take_all()))
+            con.register("t", pa.table(t))
+            want = sorted(tuple(r) for r in con.execute("""
+                SELECT key, val, id,
+                       row_number() OVER (PARTITION BY key
+                                          ORDER BY val DESC, id) - 1
+                         AS rank
+                FROM t QUALIFY rank < 3
+            """).fetchall())
+            assert got == want, seed
+
+    def test_k_larger_than_group(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.events import grouped_top_k
+
+        t = pa.table({"key": pa.array([1, 1], pa.int64()),
+                      "val": pa.array([5, 9], pa.int64()),
+                      "id": pa.array([0, 1], pa.int64())})
+        got = sorted(
+            ((r["key"], r["val"], r["id"], r["rank"]) for r in
+             grouped_top_k(rd.from_arrow(t), k=10,
+                           n_parts=2).take_all()))
+        assert got == [(1, 5, 0, 1), (1, 9, 1, 0)]
