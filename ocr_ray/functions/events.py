@@ -1718,3 +1718,34 @@ def grouped_top_k(ds, k: int, n_parts: int | None = None):
             .groupby("part")
             .map_groups(per_part, batch_format="pyarrow")
             .select_columns(["key", "val", "id", "rank"]))
+
+
+def grouped_count_distinct(ds, n_parts: int | None = None):
+    """Generic EXACT per-key COUNT(DISTINCT val) over (key:int64,
+    val:int64): per-block pre-dedup, ONE distributed groupby on the
+    (key, val) PAIR (the pair key spreads a hot key's values across
+    partitions by val hash — no per-key distinct set ever assembles in
+    one task, which is the same guarantee the concrete
+    distinct_users_by_type gets from explicit value-salting inside an
+    AggregateFn), then a per-block count rollup summed per key."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (batch.select(["key", "val"])
+                .group_by(["key", "val"]).aggregate([])
+                .select(["key", "val"]))
+
+    distinct = (ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+                .groupby(["key", "val"]).count()
+                .drop_columns(["count()"]))
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        t = pa.table({"key": batch["key"],
+                      "n": pa.array(np.ones(batch.num_rows, np.int64))})
+        return _gb(t, ["key"], [("n", "sum")], ["n_distinct"])
+
+    return (distinct.map_batches(count_rows, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(Sum("n_distinct", alias_name="n_distinct")))

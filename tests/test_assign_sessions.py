@@ -127,3 +127,27 @@ class TestGroupedTopK:
              grouped_top_k(rd.from_arrow(t), k=10,
                            n_parts=2).take_all()))
         assert got == [(1, 5, 0, 1), (1, 9, 1, 0)]
+
+
+class TestGroupedCountDistinct:
+    def test_duckdb_parity_across_layouts(self, ray_session):
+        """Exact per-key COUNT(DISTINCT) matches DuckDB on random data
+        with heavy duplication, independent of block layout."""
+        import ray.data as rd
+
+        from ocr_ray.functions.events import grouped_count_distinct
+
+        rng = np.random.default_rng(33)
+        n = 600
+        t = {"key": rng.integers(0, 5, n).astype(np.int64),
+             "val": rng.integers(0, 40, n).astype(np.int64)}
+        con = duckdb.connect()
+        con.register("t", pa.table(t))
+        want = dict(con.execute(
+            "SELECT key, count(DISTINCT val) FROM t GROUP BY key"
+        ).fetchall())
+        for nblocks in (1, 4, 9):
+            ds = rd.from_arrow(pa.table(t)).repartition(nblocks)
+            got = {r["key"]: r["n_distinct"] for r in
+                   grouped_count_distinct(ds).take_all()}
+            assert got == want, nblocks
