@@ -220,3 +220,63 @@ def rolling_range_agg(ds, window: int, n_parts: int | None = None):
                            batch_format="pyarrow")
             .groupby("part")
             .map_groups(per_part, batch_format="pyarrow"))
+
+
+def rolling_rows_agg(ds, k: int, n_parts: int | None = None):
+    """For every row, the count and exact int64 sum of the up-to-``k``
+    most recent same-key rows ending at it, ordered by (ts, id) —
+    SQL ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` (deterministic
+    because id is the tiebreak).  Input: int64 (key, ts, id, val).
+    Returns (id, key, n_in_window, win_sum).
+
+    Same shuffle as keyed_lag — hash(key) %% P once, one lexsort + one
+    cumsum per partition, window sum as ``cs[i] - cs[j-1]`` with
+    ``j = max(segment_start, i-k+1)`` (the user_peak_window_spend
+    kernel, exposed generically and per-row instead of max-reduced)."""
+    import ray.data  # noqa: F401
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def prep(batch: pa.Table, P: int) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        h = key.astype(np.uint64) * _MIX_A
+        part = ((h >> np.uint64(33)) % np.uint64(P)).astype(np.int64)
+        return pa.table({
+            "key": batch["key"], "ts": batch["ts"],
+            "id": batch["id"], "val": batch["val"],
+            "part": pa.array(part, pa.int64()),
+        })
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _ROLL_SCHEMA.empty_table()
+        key = t["key"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        rid = t["id"].to_numpy(zero_copy_only=False)
+        val = t["val"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rid, ts, key))
+        key, rid, val = key[order], rid[order], val[order]
+        m = len(key)
+        new = np.empty(m, bool)
+        new[0] = True
+        new[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new)
+        seg_start = starts[np.cumsum(new) - 1]
+        cs = np.cumsum(val)
+        idx = np.arange(m, dtype=np.int64)
+        j = np.maximum(seg_start, idx - (k - 1))
+        total = cs - np.where(j > 0, cs[np.maximum(j - 1, 0)], 0)
+        return pa.table({
+            "id": pa.array(rid, pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "n_in_window": pa.array(idx - j + 1, pa.int64()),
+            "win_sum": pa.array(total, pa.int64()),
+        })
+
+    P = n_parts or nparts_for(ds.count(), rows_per_part=500_000,
+                              floor=8)
+    return (ds.map_batches(lambda b: prep(b, P),
+                           batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_part, batch_format="pyarrow"))

@@ -150,3 +150,34 @@ def test_bad_args(ray_session):
         keyed_lag(None, direction="sideways")
     with pytest.raises(ValueError):
         rolling_range_agg(None, window=0)
+
+
+def test_rolling_rows_duckdb_parity(ray_session, tmp_path):
+    import ray.data as rd
+
+    from ocr_ray.functions.window import rolling_rows_agg
+
+    t = _corpus(31, 3_500, n_keys=9)
+    p = _write(tmp_path, t, "rows_frame")
+    out = rolling_rows_agg(rd.read_parquet(p), k=4).to_pandas()
+    con = duckdb.connect()
+    oracle = con.execute(f"""
+        SELECT id, key,
+               count(*) OVER w AS n_in_window,
+               sum(val) OVER w AS win_sum
+        FROM read_parquet('{p}')
+        WINDOW w AS (PARTITION BY key ORDER BY ts, id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""").df()
+    cols = sorted(out.columns)
+    assert sorted(oracle.columns) == cols
+    a = out[cols].sort_values("id").reset_index(drop=True)
+    b = oracle[cols].sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert set(a.n_in_window) == {1, 2, 3, 4}
+
+
+def test_rolling_rows_bad_args(ray_session):
+    from ocr_ray.functions.window import rolling_rows_agg
+
+    with pytest.raises(ValueError):
+        rolling_rows_agg(None, k=0)
