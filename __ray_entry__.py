@@ -166,7 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.functions import corpus_prep as cp
     from ocr_ray.functions import dedup as dd
     from ocr_ray.functions import events as ev
+    from ocr_ray.functions import grouping as gp
     from ocr_ray.functions import relational as rel
+    from ocr_ray.functions import setops as so
     from ocr_ray.functions import similarity as sim
     from ocr_ray.functions import textops as tx
     from ocr_ray.functions import tpch_more as tpc
@@ -231,8 +233,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_stats": tx.doc_line_stats,
         "keyword_doc_freq": tx.keyword_doc_freq,
         "doc_quality_scores": tx.doc_quality_scores,
-        "lang_id": tx.lang_id,
-        "doc_fingerprints": tx.doc_fingerprints,
+        # lang_id / doc_fingerprints rotated out (round-5, seventh
+        # continuation): map-only per-doc shapes kept driver-checked by
+        # doc_quality_scores / doc_bpe_token_counts; oracles continue in
+        # tests/test_registry_extras.py.  Their slots hold two shapes
+        # the registry lacked entirely: multi-level aggregation (GROUP
+        # BY ROLLUP with GROUPING() ids, one-shuffle lattice) and a
+        # multiset set operation (EXCEPT ALL bag subtraction):
+        "orders_rollup": gp.orders_rollup,
+        "click_except_error_surplus": so.click_except_error_surplus,
         "doc_entity_counts": tx.doc_entity_counts,
         # doc_summaries / semantic_keyword_hits moved to exact golden
         # pytest oracles (tests/test_golden_textops.py — stronger than
@@ -313,9 +322,13 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.functions import intervals as _iv
     from ocr_ray.functions import corpus_prep as cp
     from ocr_ray.functions import dedup as dd
+    from ocr_ray.functions import grouping as _gp
     from ocr_ray.functions import redact as _rd
+    from ocr_ray.functions import setops as _so
     from ocr_ray.functions import events as ev
+    from ocr_ray.functions import grouping as gp
     from ocr_ray.functions import relational as rel
+    from ocr_ray.functions import setops as so
     from ocr_ray.functions import similarity as sim
     from ocr_ray.functions import textops as tx
     from ocr_ray.functions import tpch_more as tpc
@@ -358,15 +371,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_line_stats": tx.DOC_LINE_STATS_SQL,
         "keyword_doc_freq": tx.KEYWORD_DOC_FREQ_SQL,
         "doc_quality_scores": tx.DOC_QUALITY_SQL,
-        "lang_id": tx.LANG_ID_SQL,
-        "doc_fingerprints": tx.DOC_FINGERPRINTS_SQL,
+        "orders_rollup": _gp.ORDERS_ROLLUP_SQL,
+        "click_except_error_surplus": _so.CLICK_EXCEPT_ERROR_SQL,
         "doc_entity_counts": tx.DOC_ENTITY_COUNTS_SQL,
         "exact_dedup_groups": tx.EXACT_DEDUP_SQL,
         "events_windows_watermark": ev.EVENTS_WINDOWS_WATERMARK_SQL,
         "source_temperature_sample": cp.SOURCE_TEMPERATURE_SQL,
         "knn_bruteforce": sim.KNN_BRUTE_SQL,
         "embedding_label_centroids": sim.EMBEDDING_LABEL_SQL,
-        # rows-only (non-SQL-expressible): lang_id, doc_fingerprints,
-        # knn_ivf (approximate), span_extraction, keyword_hits_corpus,
-        # sessionize is SQL-expressible and included above.
+        # rows-only (non-SQL-expressible): knn_ivf (approximate),
+        # span_extraction, keyword_hits_corpus, media_features,
+        # embedding_label_centroids' rows-only siblings — see queries().
     }

@@ -220,3 +220,17 @@ class TestRoundFiveLateRotations:
         # rotated out for interval_overlap (round-5 late continuation)
         from ocr_ray.functions import events as ev
         _check(ev.user_activity_join(SF), ev.USER_ACTIVITY_SQL)
+
+
+class TestSeventhContinuationRotations:
+    """Rotated out of the driver registry for the ROLLUP and EXCEPT ALL
+    shapes (round-5 seventh continuation); oracle coverage continues
+    here."""
+
+    def test_lang_id(self, ray_session):
+        from ocr_ray.functions import textops as tx
+        _check(tx.lang_id(SF), tx.LANG_ID_SQL)
+
+    def test_doc_fingerprints(self, ray_session):
+        from ocr_ray.functions import textops as tx
+        _check(tx.doc_fingerprints(SF), tx.DOC_FINGERPRINTS_SQL)
