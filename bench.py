@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "props_redaction",
     # round-5 operators
     "passage_removal",
+    # round-5 seventh continuation: multi-level aggregation lattice
+    # (ROLLUP) and multiset EXCEPT ALL — bench follows the registry
+    "orders_rollup",
+    "click_except_error_surplus",
 ]
 
 
