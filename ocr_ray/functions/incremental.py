@@ -571,3 +571,147 @@ def session_state_result(state_dir: str) -> pa.Table:
             pa.int64()),
         "n_events": t["n_events"],
         "n_sessions": t["n_sessions"]})
+
+
+# --------------------------------------------- incremental aggregates
+
+def init_agg_state(state_dir: str, key_col: str,
+                   sum_cols: list[str]) -> str:
+    """Create an empty incremental-aggregate store: per-key running
+    (n_rows, sum_<col>...) totals updated one increment at a time —
+    the generic form of what sessionize_increment does for session
+    state (daily re-aggregation over 100 TB must not rescan history).
+
+    Same layout/commit discipline as the session store: versioned
+    ``v<k>/`` parquet datasets written DISTRIBUTED, ``meta.json``
+    atomic rename as the commit, superseded versions GC'd after
+    commit, orphan directories from a crash ignored.  Keys are int64
+    with a null sidecar (NULL keys aggregate as their own group, the
+    uid_null discipline); sums are exact int64 (quantize upstream).
+
+    Exactly-once is the CALLER's contract (apply each increment once
+    — the extraction manifest / lineage markers are the dedup layer);
+    ``n_increments`` in meta supports an external ledger."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [("key", pa.int64()), ("key_null", pa.int64()),
+         ("n_rows", pa.int64())]
+        + [(f"sum_{c}", pa.int64()) for c in sum_cols])
+    v0 = os.path.join(state_dir, "v0")
+    os.makedirs(v0, exist_ok=True)
+    pq.write_table(schema.empty_table(),
+                   os.path.join(v0, "part-empty.parquet"))
+    with open(os.path.join(state_dir, "meta.json"), "w") as f:
+        json.dump({"version": 0, "n_increments": 0,
+                   "key_col": key_col, "sum_cols": list(sum_cols)}, f)
+    return state_dir
+
+
+def agg_increment(ds, state_dir: str) -> dict:
+    """Fold one increment into the running per-key totals.
+
+    ``ds``: Dataset with the store's key_col (int64, nullable) and
+    sum_cols (int64).  One shuffle: per-block partials (Arrow
+    group_by) union the live state rows — state rides as pre-collapsed
+    partials, exactly the pseudo-event trick — then a single global
+    groupby(key, key_null) sums everything into v<k+1>.
+    """
+    import json
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    meta_path = os.path.join(state_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    ver = int(meta["version"])
+    key_col, sum_cols = meta["key_col"], meta["sum_cols"]
+    live_dir = os.path.join(state_dir, f"v{ver}")
+
+    state_schema = pa.schema(
+        [("key", pa.int64()), ("key_null", pa.int64()),
+         ("n_rows", pa.int64())]
+        + [(f"sum_{c}", pa.int64()) for c in sum_cols])
+
+    if ds.count() == 0:
+        return {"version": ver, "n_keys": rd.read_parquet(
+            live_dir).count(), "state_dir": state_dir}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return state_schema.empty_table()
+        key = batch[key_col]
+        t = pa.table(
+            {"key": pc.fill_null(key, 0),
+             "key_null": pc.cast(pc.is_null(key), pa.int64()),
+             **{c: batch[c] for c in sum_cols}})
+        g = t.group_by(["key", "key_null"]).aggregate(
+            [([], "count_all")] + [(c, "sum") for c in sum_cols])
+        return pa.table(
+            {"key": pc.cast(g["key"], pa.int64()),
+             "key_null": g["key_null"],
+             "n_rows": pc.cast(g["count_all"], pa.int64()),
+             **{f"sum_{c}": pc.cast(g[f"{c}_sum"], pa.int64())
+                for c in sum_cols}}).cast(state_schema)
+
+    def pin(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return state_schema.empty_table()
+        return batch.select(state_schema.names).cast(state_schema)
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .union(rd.read_parquet(live_dir)
+                     .map_batches(pin, batch_format="pyarrow"))
+              .groupby(["key", "key_null"])
+              .aggregate(Sum("n_rows", alias_name="n_rows"),
+                         *[Sum(f"sum_{c}", alias_name=f"sum_{c}")
+                           for c in sum_cols])
+              .map_batches(pin, batch_format="pyarrow"))
+
+    new_dir = os.path.join(state_dir, f"v{ver + 1}")
+    shutil.rmtree(new_dir, ignore_errors=True)  # crash orphan
+    n_keys = merged.count()
+    if n_keys == 0:
+        os.makedirs(new_dir, exist_ok=True)
+        import pyarrow.parquet as pq
+        pq.write_table(state_schema.empty_table(),
+                       os.path.join(new_dir, "part-empty.parquet"))
+    else:
+        merged.write_parquet(new_dir)
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump({**meta, "version": ver + 1,
+                   "n_increments": int(meta["n_increments"]) + 1}, f)
+    os.replace(meta_path + ".tmp", meta_path)
+    shutil.rmtree(os.path.join(state_dir, f"v{ver}"),
+                  ignore_errors=True)
+    return {"version": ver + 1, "n_keys": n_keys,
+            "state_dir": state_dir}
+
+
+def read_agg_state(state_dir: str):
+    """The live running totals as a Dataset (key NULLs restored)."""
+    import json
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    with open(os.path.join(state_dir, "meta.json")) as f:
+        meta = json.load(f)
+
+    def restore(batch: pa.Table) -> pa.Table:
+        null = pc.equal(batch["key_null"], pa.scalar(1))
+        cols = {meta["key_col"]: pc.if_else(
+            null, pa.scalar(None, pa.int64()), batch["key"]),
+            "n_rows": batch["n_rows"]}
+        for c in meta["sum_cols"]:
+            cols[f"sum_{c}"] = batch[f"sum_{c}"]
+        return pa.table(cols)
+
+    return (rd.read_parquet(os.path.join(state_dir,
+                                         f"v{meta['version']}"))
+            .map_batches(restore, batch_format="pyarrow"))
