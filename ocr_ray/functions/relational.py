@@ -1650,7 +1650,8 @@ def melt(ds, id_cols: list, column_groups: dict, var_name: str = "variable"):
 
 def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
               broadcast_rows: int = 100_000, skew_share: float = 0.2,
-              skew_check: bool = True, explain: bool = False):
+              skew_check: bool = True, bloom_prune: bool = False,
+              explain: bool = False):
     """Strategy-picking inner join (optimizer-lite): measure, then
     join — the decision a query planner makes from statistics, made
     here from the engine's own sketches.
@@ -1666,11 +1667,19 @@ def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
        join serializes on one partition).
     3. else -> plain hash-partitioned ``Dataset.join``.
 
+    ``bloom_prune=True`` additionally drops large-side rows whose key
+    cannot match BEFORE any shuffle leg (see ``bloom_pruned_join`` —
+    no false negatives, so every leg's answer is unchanged; tested).
+    Opt-in because it only pays when the join is selective: at
+    selectivity ~1 the probe is wasted (though cheap) work.  It runs
+    before the skew diagnostic, so the skew decision sees the keys
+    that will actually shuffle.
+
     The diagnostic pass costs one extra scan of the large side's key
     column — worth it exactly when the join is shuffle-sized; pass
-    skew_check=False when the key is known uniform.  All three legs
-    return the same multiset of rows (tested).  ``explain=True``
-    returns (dataset, {"strategy", ...}).
+    skew_check=False when the key is known uniform.  All legs return
+    the same multiset of rows (tested).  ``explain=True`` returns
+    (dataset, {"strategy", ...}).
     """
     import ray
     import ray.data as rd
@@ -1704,17 +1713,172 @@ def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
         return (out, info) if explain else out
 
     info = {"strategy": "hash", "right_rows": int(n_right)}
+    num_partitions = _nparts_for(large_ds.count())   # pre-prune bound
+
+    if bloom_prune:
+        log2m = int(np.ceil(np.log2(max(2, n_right * 8))))
+        log2m = min(max(log2m, 16), 30)
+        bm = _bloom4_build(small_ds.select_columns([right_on]),
+                           right_on, log2m)
+        ref = ray.put(bm)
+
+        def _prune(batch: pa.Table, ref=ref, log2m=log2m) -> pa.Table:
+            keep = _bloom4_probe(ray.get(ref), log2m, batch[on])
+            return batch if keep.all() else batch.filter(pa.array(keep))
+
+        large_ds = large_ds.map_batches(_prune, batch_format="pyarrow")
+        info["bloom_bits"] = 1 << log2m
+
     if skew_check:
         rep = key_skew_report(large_ds.select_columns([on]), on)
         info.update(max_share=rep["max_share"],
                     recommended_salt=rep["recommended_salt"])
         if rep["max_share"] >= skew_share:
             out = salted_join(large_ds, small_ds, on, right_on,
-                              n_salts=max(2, rep["recommended_salt"]))
+                              n_salts=max(2, rep["recommended_salt"]),
+                              num_partitions=num_partitions)
             info["strategy"] = "salted"
             return (out, info) if explain else out
 
     out = large_ds.join(small_ds, join_type="inner",
-                        num_partitions=_nparts_for(large_ds.count()),
+                        num_partitions=num_partitions,
                         on=(on,), right_on=(right_on,))
+    return (out, info) if explain else out
+
+
+# ------------------------------------------- bloom-pruned hash join
+
+_BLOOM4_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                 0x165667B19E3779F9, 0xD6E8FEB86659FD93)
+
+
+def _key_hash_u64(col) -> tuple[np.ndarray, np.ndarray]:
+    """(hash, valid) for a key column, vectorized and in-run
+    deterministic.  The path is chosen by the ARROW type, not the numpy
+    dtype — an int64 column with nulls converts to float64+NaN, which
+    would silently hash the same value differently on the two join
+    sides.  Integers take the splitmix64 finalizer (cross-process
+    deterministic); everything else pandas' fixed-key siphash
+    (deterministic for one pandas version — fine for a filter built and
+    probed within one run).  Null slots carry a hash of the fill
+    sentinel; callers must mask them with ``valid``."""
+    from .sketches import sample_hash
+
+    if isinstance(col, np.ndarray):
+        col = pa.array(col)
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    if pa.types.is_integer(col.type):
+        filled = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        h = sample_hash(filled.astype(np.int64))
+    else:
+        filled = pc.fill_null(col, "").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(
+            np.asarray(filled, dtype=object)).astype(np.uint64)
+    return h, valid
+
+
+def _bloom4_build(ds, col: str, log2m: int) -> np.ndarray:
+    """Distributed Bloom bitmap over a key column of any hashable type,
+    as ONE associative aggregate (bitwise-OR merge tree — no driver
+    drain, no pipeline barrier beyond the aggregate itself).  Size is
+    caller-chosen (``1 << log2m`` bits); 4 multiplicative hash probes.
+    Null keys are never inserted — SQL join semantics never match
+    them, so the probe side handles them separately."""
+    from ray.data.aggregate import AggregateFn
+
+    nwords = (1 << log2m) // 64
+    shift = np.uint64(64 - log2m)
+
+    def acc_block(state: np.ndarray, blk: pa.Table) -> np.ndarray:
+        h, valid = _key_hash_u64(blk[col])
+        h = h[valid]
+        with np.errstate(over="ignore"):
+            for seed in _BLOOM4_SEEDS:
+                b = (h * np.uint64(seed)) >> shift
+                np.bitwise_or.at(
+                    state, (b >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (b & np.uint64(63)))
+        return state
+
+    agg = AggregateFn(init=lambda _: np.zeros(nwords, np.uint64),
+                      merge=lambda a, b: a | b,
+                      accumulate_block=acc_block,
+                      finalize=lambda a: a.tobytes(), name="bloom4")
+    return np.frombuffer(ds.aggregate(agg)["bloom4"], np.uint64).copy()
+
+
+def _bloom4_probe(bm: np.ndarray, log2m: int, col) -> np.ndarray:
+    """keep-mask for a key column: True when the key MAY be in the
+    filter (false positives possible, false negatives impossible) or
+    the key is NULL (the exact join downstream owns null semantics —
+    pruning must never change the join's answer)."""
+    h, valid = _key_hash_u64(col)
+    shift = np.uint64(64 - log2m)
+    ok = np.ones(len(h), bool)
+    with np.errstate(over="ignore"):
+        for seed in _BLOOM4_SEEDS:
+            b = (h * np.uint64(seed)) >> shift
+            word = bm[(b >> np.uint64(6)).astype(np.int64)]
+            ok &= ((word >> (b & np.uint64(63))) & np.uint64(1)) \
+                .astype(bool)
+    return ok | ~valid
+
+
+def bloom_pruned_join(large_ds, small_ds, on: str,
+                      right_on: str | None = None,
+                      bits_per_key: int = 8,
+                      num_partitions: int | None = None,
+                      explain: bool = False):
+    """Selective inner hash join: drop large-side rows whose key cannot
+    match BEFORE the hash shuffle.  The all-to-all exchange is the cost
+    that dominates a 100-TB join; when the right side covers few of the
+    left side's keys, most shuffled bytes are discarded by the join
+    itself — one Bloom-filter scan of the SMALL side (an OR-merged
+    aggregate, driver memory = filter size) plus a vectorized per-batch
+    probe on the large side removes them pre-exchange, shrinking
+    shuffle volume by the miss rate.
+
+    Correctness is prune-proof by construction: the filter has no false
+    negatives (every right-side key probes True) and false positives
+    merely ride the shuffle into the exact join, which discards them —
+    so the result equals the plain ``Dataset.join`` row-for-row
+    (tested, including NULL keys on both sides: null rows are never
+    pruned; the exact join owns null semantics).
+
+    ``bits_per_key`` sizes the bitmap (8 bits/key with 4 probes ≈ 2.4%
+    FP); the bitmap ships once via ``ray.put`` and is read per task
+    from the object store — never re-serialized per batch.  At 10^12
+    rows the win case is a dimension of ~10^6-10^8 keys: too big for
+    an in-task broadcast join, far smaller than the fact table.
+    """
+    import ray
+
+    right_on = right_on or on
+    n_right = small_ds.count()
+    if n_right == 0:
+        raise ValueError(
+            "bloom_pruned_join: empty right side — an inner join would "
+            "be empty; filter upstream or handle the empty case at the "
+            "call site")
+
+    log2m = int(np.ceil(np.log2(max(2, n_right * bits_per_key))))
+    log2m = min(max(log2m, 16), 30)          # 8 KiB .. 128 MiB bitmap
+    bm = _bloom4_build(small_ds.select_columns([right_on]),
+                       right_on, log2m)
+    ref = ray.put(bm)
+
+    def prune(batch: pa.Table, ref=ref, log2m=log2m) -> pa.Table:
+        keep = _bloom4_probe(ray.get(ref), log2m, batch[on])
+        if keep.all():
+            return batch
+        return batch.filter(pa.array(keep))
+
+    pruned = large_ds.map_batches(prune, batch_format="pyarrow")
+    if num_partitions is None:
+        num_partitions = _nparts_for(large_ds.count())
+    out = pruned.join(small_ds, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=(on,), right_on=(right_on,))
+    info = {"strategy": "bloom+hash", "right_rows": int(n_right),
+            "bloom_bits": 1 << log2m}
     return (out, info) if explain else out
