@@ -240,7 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the registry lacked entirely: multi-level aggregation (GROUP
         # BY ROLLUP with GROUPING() ids, one-shuffle lattice) and a
         # multiset set operation (EXCEPT ALL bag subtraction):
-        "orders_rollup": gp.orders_rollup,
+        "orders_status_rollup": gp.orders_status_rollup,
         "click_except_error_surplus": so.click_except_error_surplus,
         "doc_entity_counts": tx.doc_entity_counts,
         # doc_summaries / semantic_keyword_hits moved to exact golden
@@ -326,9 +326,7 @@ def oracle_sql() -> dict[str, str]:
     from ocr_ray.functions import redact as _rd
     from ocr_ray.functions import setops as _so
     from ocr_ray.functions import events as ev
-    from ocr_ray.functions import grouping as gp
     from ocr_ray.functions import relational as rel
-    from ocr_ray.functions import setops as so
     from ocr_ray.functions import similarity as sim
     from ocr_ray.functions import textops as tx
     from ocr_ray.functions import tpch_more as tpc
@@ -371,7 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_line_stats": tx.DOC_LINE_STATS_SQL,
         "keyword_doc_freq": tx.KEYWORD_DOC_FREQ_SQL,
         "doc_quality_scores": tx.DOC_QUALITY_SQL,
-        "orders_rollup": _gp.ORDERS_ROLLUP_SQL,
+        "orders_status_rollup": _gp.ORDERS_STATUS_ROLLUP_SQL,
         "click_except_error_surplus": _so.CLICK_EXCEPT_ERROR_SQL,
         "doc_entity_counts": tx.DOC_ENTITY_COUNTS_SQL,
         "exact_dedup_groups": tx.EXACT_DEDUP_SQL,

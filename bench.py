@@ -60,7 +60,7 @@ BENCH_QUERIES = [
     "passage_removal",
     # round-5 seventh continuation: multi-level aggregation lattice
     # (ROLLUP) and multiset EXCEPT ALL — bench follows the registry
-    "orders_rollup",
+    "orders_status_rollup",
     "click_except_error_surplus",
 ]
 

@@ -144,6 +144,10 @@ def cross_source_dup_matrix(sf_dir: str):
     ds = _read(sf_dir, "documents", ["text", "source"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
+        # drop NULL texts BEFORE hashing (md5 of None would crash the
+        # task; the oracle's WHERE text IS NOT NULL does the same) —
+        # NULL sources are dropped downstream by tag_cooccurrence
+        batch = batch.filter(pc.is_valid(batch["text"]))
         return pa.table({
             "text_md5": pa.array(_md5_col(batch["text"].to_pandas()),
                                  pa.string()),

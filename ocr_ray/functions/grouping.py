@@ -174,10 +174,12 @@ def cube(ds, keys: list[str], sum_cols: list[str], **kw):
 # concrete, SQL-checkable renditions over the testdata
 
 
-def orders_rollup(sf_dir: str):
+def orders_status_rollup(sf_dir: str):
     """Order counts + exact total cents by ROLLUP(status, priority):
     per-(status, priority) cells, per-status subtotals, grand total.
-    Oracle: ORDERS_ROLLUP_SQL (GROUP BY ROLLUP + GROUPING())."""
+    Oracle: ORDERS_STATUS_ROLLUP_SQL (GROUP BY ROLLUP + GROUPING()).
+    Named orders_status_rollup to avoid colliding with the earlier
+    relational.orders_rollup (ROLLUP(priority, year) -- a DIFFERENT query)."""
     from .relational import _cents, _read
 
     ds = _read(sf_dir, "orders",
@@ -215,7 +217,7 @@ def orders_rollup(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
-ORDERS_ROLLUP_SQL = """
+ORDERS_STATUS_ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
        count(*) AS n_orders,

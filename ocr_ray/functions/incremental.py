@@ -675,6 +675,11 @@ def agg_increment(ds, state_dir: str) -> dict:
 
     new_dir = os.path.join(state_dir, f"v{ver + 1}")
     shutil.rmtree(new_dir, ignore_errors=True)  # crash orphan
+    # materialize ONCE: count() then write_parquet() on the lazy
+    # pipeline would each re-execute the union + global groupby
+    # shuffle from scratch; the state is per-key aggregates (bounded
+    # by key cardinality), so holding its blocks is the cheap side
+    merged = merged.materialize()
     n_keys = merged.count()
     if n_keys == 0:
         os.makedirs(new_dir, exist_ok=True)

@@ -1716,18 +1716,8 @@ def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
     num_partitions = _nparts_for(large_ds.count())   # pre-prune bound
 
     if bloom_prune:
-        log2m = int(np.ceil(np.log2(max(2, n_right * 8))))
-        log2m = min(max(log2m, 16), 30)
-        bm = _bloom4_build(small_ds.select_columns([right_on]),
-                           right_on, log2m)
-        ref = ray.put(bm)
-
-        def _prune(batch: pa.Table, ref=ref, log2m=log2m) -> pa.Table:
-            keep = _bloom4_probe(ray.get(ref), log2m, batch[on])
-            return batch if keep.all() else batch.filter(pa.array(keep))
-
-        large_ds = large_ds.map_batches(_prune, batch_format="pyarrow")
-        info["bloom_bits"] = 1 << log2m
+        large_ds, info["bloom_bits"] = _bloom_prune(
+            large_ds, small_ds, on, right_on, n_right)
 
     if skew_check:
         rep = key_skew_report(large_ds.select_columns([on]), on)
@@ -1771,9 +1761,13 @@ def _key_hash_u64(col) -> tuple[np.ndarray, np.ndarray]:
         filled = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
         h = sample_hash(filled.astype(np.int64))
     else:
-        filled = pc.fill_null(col, "").to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(
-            np.asarray(filled, dtype=object)).astype(np.uint64)
+        # strings, timestamps, dates, floats, binary, ... — hash the
+        # raw numpy conversion (siphash handles None/NaT/NaN slots;
+        # their hashes are masked out via ``valid`` anyway; pandas'
+        # non-string-object fallback goes through astype(str), which
+        # stays cross-process deterministic)
+        arr = col.to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(arr).astype(np.uint64)
     return h, valid
 
 
@@ -1824,6 +1818,28 @@ def _bloom4_probe(bm: np.ndarray, log2m: int, col) -> np.ndarray:
     return ok | ~valid
 
 
+def _bloom_prune(large_ds, small_ds, on: str, right_on: str,
+                 n_right: int, bits_per_key: int = 8):
+    """Shared prune step: size the bitmap to the right side's key
+    count, build it (one aggregate scan of the small side), ship it
+    once via ``ray.put``, and return (pruned_large_ds, bloom_bits).
+    Used by both ``bloom_pruned_join`` and ``auto_join``."""
+    import ray
+
+    log2m = int(np.ceil(np.log2(max(2, n_right * bits_per_key))))
+    log2m = min(max(log2m, 16), 30)          # 8 KiB .. 128 MiB bitmap
+    bm = _bloom4_build(small_ds.select_columns([right_on]),
+                       right_on, log2m)
+    ref = ray.put(bm)
+
+    def prune(batch: pa.Table, ref=ref, log2m=log2m) -> pa.Table:
+        keep = _bloom4_probe(ray.get(ref), log2m, batch[on])
+        return batch if keep.all() else batch.filter(pa.array(keep))
+
+    return (large_ds.map_batches(prune, batch_format="pyarrow"),
+            1 << log2m)
+
+
 def bloom_pruned_join(large_ds, small_ds, on: str,
                       right_on: str | None = None,
                       bits_per_key: int = 8,
@@ -1851,8 +1867,6 @@ def bloom_pruned_join(large_ds, small_ds, on: str,
     rows the win case is a dimension of ~10^6-10^8 keys: too big for
     an in-task broadcast join, far smaller than the fact table.
     """
-    import ray
-
     right_on = right_on or on
     n_right = small_ds.count()
     if n_right == 0:
@@ -1861,24 +1875,13 @@ def bloom_pruned_join(large_ds, small_ds, on: str,
             "be empty; filter upstream or handle the empty case at the "
             "call site")
 
-    log2m = int(np.ceil(np.log2(max(2, n_right * bits_per_key))))
-    log2m = min(max(log2m, 16), 30)          # 8 KiB .. 128 MiB bitmap
-    bm = _bloom4_build(small_ds.select_columns([right_on]),
-                       right_on, log2m)
-    ref = ray.put(bm)
-
-    def prune(batch: pa.Table, ref=ref, log2m=log2m) -> pa.Table:
-        keep = _bloom4_probe(ray.get(ref), log2m, batch[on])
-        if keep.all():
-            return batch
-        return batch.filter(pa.array(keep))
-
-    pruned = large_ds.map_batches(prune, batch_format="pyarrow")
     if num_partitions is None:
         num_partitions = _nparts_for(large_ds.count())
+    pruned, bloom_bits = _bloom_prune(large_ds, small_ds, on, right_on,
+                                      n_right, bits_per_key)
     out = pruned.join(small_ds, join_type="inner",
                       num_partitions=num_partitions,
                       on=(on,), right_on=(right_on,))
     info = {"strategy": "bloom+hash", "right_rows": int(n_right),
-            "bloom_bits": 1 << log2m}
+            "bloom_bits": bloom_bits}
     return (out, info) if explain else out

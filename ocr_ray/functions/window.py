@@ -193,7 +193,18 @@ def rolling_range_agg(ds, window: int, n_parts: int | None = None):
         new[1:] = (key[1:] != key[:-1]) | (bucket[1:] != bucket[:-1])
         gid = np.cumsum(new) - 1
         # disjoint per-(key,bucket) band: candidates span [0, 2w) of
-        # the band, queries probe [enc-w, enc] and never leave it
+        # the band, queries probe [enc-w, enc] and never leave it.
+        # The encoding must fit int64: n_groups * 4w < 2^63, or the
+        # multiply wraps SILENTLY and scrambles the searchsorted bands
+        # — refuse with the remedy instead (real risk at, e.g., a
+        # 1-day window in epoch-microseconds over >~10^9 rows/part).
+        n_groups = int(gid[-1]) + 1
+        if n_groups > (2 ** 62) // (2 * w):
+            raise ValueError(
+                f"rolling_range_agg: band encoding would overflow "
+                f"int64 ({n_groups} (key,bucket) groups x window "
+                f"{w}); raise num_partitions so each partition holds "
+                f"fewer groups, or coarsen ts units / the window")
         enc = gid * (4 * w) + (ts - bucket * w) + w
         c = is_cand == 1
         enc_c, val_c = enc[c], val[c]

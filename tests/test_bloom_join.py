@@ -187,3 +187,34 @@ class TestAutoJoinBloomLeg:
         got = _canon(out.to_pandas())
         want = _canon(large.to_pandas().merge(small.to_pandas(), on="k"))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestNonStringIntKeyTypes:
+    def test_timestamp_and_float_keys(self, ray_session):
+        """Bloom pruning must handle any key type the plain join
+        handles — timestamps and floats crashed the first version's
+        string-sentinel fill (review-fix regression)."""
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import bloom_pruned_join
+
+        for typ, mk in [
+            (pa.timestamp("us"), lambda v: v),
+            (pa.float64(), lambda v: v * 0.5),
+        ]:
+            lv = [mk(int(i)) for i in np.arange(0, 4_000)]
+            rv = [mk(int(i)) for i in range(0, 4_000, 100)]
+            large = rd.from_arrow(pa.table({
+                "k": pa.array(lv, typ),
+                "x": pa.array(np.arange(4_000), pa.int64())})) \
+                .repartition(3)
+            small = rd.from_arrow(pa.table({
+                "k": pa.array(rv, typ),
+                "w": pa.array(np.arange(len(rv)), pa.int64())}))
+            got = _canon(bloom_pruned_join(large, small, "k",
+                                           num_partitions=2).to_pandas())
+            want = _canon(large.join(small, join_type="inner",
+                                     num_partitions=2, on=("k",))
+                          .to_pandas())
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+            assert len(got) == len(rv)

@@ -144,3 +144,27 @@ def test_sf_corpus_runs_empty(ray_session):
     planted corpora above are the real oracles)."""
     out = cross_source_dup_matrix(SF).to_pandas()
     assert len(out) == 0
+
+
+def test_cross_source_matrix_null_text(ray_session, tmp_path):
+    """A NULL text row must be dropped (as the oracle's WHERE text IS
+    NOT NULL does), not crash the md5 kernel (review-fix regression)."""
+    import ray.data as rd  # noqa: F401
+
+    rows = [
+        {"doc_id": 0, "text": "shared body", "source": "s0"},
+        {"doc_id": 1, "text": "shared body", "source": "s1"},
+        {"doc_id": 2, "text": None, "source": "s0"},
+        {"doc_id": 3, "text": None, "source": "s1"},
+        {"doc_id": 4, "text": "lone body", "source": None},
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "documents.parquet")
+    out = cross_source_dup_matrix(str(sf)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    _cmp(out, con.execute(CROSS_SOURCE_DUP_SQL).df())
+    # the NULL texts must NOT have formed an (s0, s1) dup of their own
+    assert out.n_shared.sum() == 1

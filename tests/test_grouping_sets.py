@@ -13,9 +13,9 @@ import pyarrow as pa
 import pytest
 
 from ocr_ray.functions.grouping import (EVENTS_CUBE_SQL,
-                                        ORDERS_ROLLUP_SQL, cube,
+                                        ORDERS_STATUS_ROLLUP_SQL, cube,
                                         events_type_year_cube,
-                                        grouping_sets, orders_rollup,
+                                        grouping_sets, orders_status_rollup,
                                         rollup)
 
 SF = "/root/testdata/sf0.001"
@@ -40,8 +40,8 @@ def _cmp(ds, sql, sf_dir, tables=("orders", "events")):
 
 
 @pytest.mark.parametrize("sf_dir", [SF, SF01])
-def test_orders_rollup_duckdb_parity(ray_session, sf_dir):
-    n = _cmp(orders_rollup(sf_dir), ORDERS_ROLLUP_SQL, sf_dir)
+def test_orders_status_rollup_duckdb_parity(ray_session, sf_dir):
+    n = _cmp(orders_status_rollup(sf_dir), ORDERS_STATUS_ROLLUP_SQL, sf_dir)
     assert n > 3  # cells + subtotals + grand total
 
 

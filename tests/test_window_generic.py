@@ -181,3 +181,23 @@ def test_rolling_rows_bad_args(ray_session):
 
     with pytest.raises(ValueError):
         rolling_rows_agg(None, k=0)
+
+
+def test_rolling_range_overflow_guard(ray_session, tmp_path):
+    """The (key,bucket)-band encoding must refuse, not silently wrap,
+    when n_groups * 4*window exceeds int64 (review-fix regression):
+    window=2^56 puts the threshold at 32 groups per partition."""
+    import ray.data as rd
+
+    n = 40                              # 40 keys -> >= 40 groups
+    t = pa.table({
+        "key": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(np.arange(n), pa.int64()),
+        "id": pa.array(np.arange(n), pa.int64()),
+        "val": pa.array(np.ones(n, np.int64), pa.int64()),
+    })
+    p = tmp_path / "ovf.parquet"
+    pq.write_table(t, p)
+    ds = rd.read_parquet(str(p))
+    with pytest.raises(Exception, match="overflow"):
+        rolling_range_agg(ds, window=2 ** 56, n_parts=1).to_pandas()
