@@ -102,6 +102,72 @@ FROM events GROUP BY 1
 """
 
 
+def events_daily_dense(sf_dir: str):
+    """Daily event counts over a DENSE calendar spine: every epoch day
+    between the corpus min and max appears, gap days as n_events = 0 —
+    the generate_series LEFT JOIN shape (reporting and
+    time-series-model inputs cannot tolerate missing rows).
+
+    Scale design: the shuffle is the ordinary per-day partial-agg
+    groupby; the dense fill then runs over the AGGREGATED table, whose
+    size is the number of distinct days — bounded by the calendar, not
+    the data — so the `repartition(1)` that makes the spine one
+    vectorized pass is a documented small-result gate (a century is
+    ~37k rows).  Days are exact floor divisions of epoch-microseconds
+    (negative timestamps included), matching the mirror's
+    floor(epoch/86400).  Oracle: EVENTS_DAILY_DENSE_SQL.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d = us // 86_400_000_000        # numpy floor division, exact
+        days, counts = np.unique(d, return_counts=True)
+        return pa.table({"epoch_day": pa.array(days, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("epoch_day")
+           .aggregate(Sum("n", alias_name="n_events")))
+
+    out_schema = pa.schema([("epoch_day", pa.int64()),
+                            ("n_events", pa.int64())])
+
+    def fill(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        d = batch["epoch_day"].to_numpy(zero_copy_only=False)
+        n = batch["n_events"].to_numpy(zero_copy_only=False)
+        lo, hi = int(d.min()), int(d.max())
+        full = np.arange(lo, hi + 1, dtype=np.int64)
+        dense = np.zeros(len(full), np.int64)
+        dense[d - lo] = n
+        return pa.table({"epoch_day": pa.array(full, pa.int64()),
+                         "n_events": pa.array(dense, pa.int64())})
+
+    return agg.repartition(1).map_batches(fill, batch_format="pyarrow")
+
+
+EVENTS_DAILY_DENSE_SQL = """
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS epoch_day,
+         count(*) AS n
+  FROM events GROUP BY 1
+), s AS (
+  -- list-form generate_series: the table-function form rejects
+  -- subquery bounds in DuckDB
+  SELECT unnest(generate_series((SELECT min(epoch_day) FROM b),
+                                (SELECT max(epoch_day) FROM b)))
+         AS epoch_day
+)
+SELECT s.epoch_day, CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events
+FROM s LEFT JOIN b ON s.epoch_day = b.epoch_day
+"""
+
+
 def top_users_by_value(sf_dir: str, k: int = 20):
     from ray.data.aggregate import Sum
 
