@@ -1064,7 +1064,8 @@ GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
 
 
 def salted_join(large_ds, small_ds, on: str, right_on: str | None = None,
-                n_salts: int = 8, num_partitions: int | None = None):
+                n_salts: int = 8, num_partitions: int | None = None,
+                join_type: str = "inner"):
     """Skew-proof inner hash join (the join-side counterpart to the
     salted COUNT DISTINCT): a hot key in a plain hash join lands every
     one of its rows in ONE aggregator partition — the straggler that
@@ -1079,9 +1080,22 @@ def salted_join(large_ds, small_ds, on: str, right_on: str | None = None,
     standard trade.
 
     ``large_ds``/``small_ds``: Datasets.  ``on``: large-side key
-    column; ``right_on``: small-side key column (defaults to ``on``)."""
+    column; ``right_on``: small-side key column (defaults to ``on``).
+
+    ``join_type``: "inner" or "left_outer".  LEFT OUTER stays correct
+    under salting because every large-side row lives in exactly ONE
+    (key, salt) partition, where it meets the small side's full key row
+    set (replicated to every salt) — so a matched row matches exactly
+    as in the plain join and an unmatched row null-extends exactly
+    once (tested).  Right/full outer would need dedup of the
+    replicated side's unmatched copies — refused."""
     import ray.data as rd
 
+    if join_type not in ("inner", "left_outer"):
+        raise ValueError(
+            f"salted_join: join_type {join_type!r} not supported — the "
+            "replicated small side would emit one unmatched copy PER "
+            "SALT under right/full outer; use the plain Dataset.join")
     right_on = right_on or on
 
     def salt_large(batch: pa.Table) -> pa.Table:
@@ -1104,7 +1118,7 @@ def salted_join(large_ds, small_ds, on: str, right_on: str | None = None,
     right = small_ds.map_batches(replicate_small, batch_format="pyarrow")
     if num_partitions is None:
         num_partitions = _nparts_for(large_ds.count())
-    joined = left.join(right, join_type="inner",
+    joined = left.join(right, join_type=join_type,
                        num_partitions=num_partitions,
                        on=(on, "_salt"), right_on=(right_on, "_salt"))
     return joined.drop_columns(["_salt"])
@@ -1651,7 +1665,7 @@ def melt(ds, id_cols: list, column_groups: dict, var_name: str = "variable"):
 def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
               broadcast_rows: int = 100_000, skew_share: float = 0.2,
               skew_check: bool = True, bloom_prune: bool = False,
-              explain: bool = False):
+              join_type: str = "inner", explain: bool = False):
     """Strategy-picking inner join (optimizer-lite): measure, then
     join — the decision a query planner makes from statistics, made
     here from the engine's own sketches.
@@ -1675,6 +1689,12 @@ def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
     before the skew diagnostic, so the skew decision sees the keys
     that will actually shuffle.
 
+    ``join_type``: "inner" or "left_outer" (every leg handles both:
+    the broadcast per-batch Arrow join is row-independent, the salted
+    leg is single-salt-per-left-row correct — see salted_join).  LEFT
+    OUTER composes with neither bloom pruning (a pruned row would lose
+    its null-extended output) — refused.
+
     The diagnostic pass costs one extra scan of the large side's key
     column — worth it exactly when the join is shuffle-sized; pass
     skew_check=False when the key is known uniform.  All legs return
@@ -1687,6 +1707,14 @@ def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
     from .sketches import key_skew_report
 
     right_on = right_on or on
+    if join_type not in ("inner", "left_outer"):
+        raise ValueError(f"auto_join: join_type {join_type!r} not "
+                         "supported (inner / left_outer)")
+    if bloom_prune and join_type != "inner":
+        raise ValueError(
+            "auto_join: bloom_prune requires an inner join — a pruned "
+            "large-side row would silently lose its null-extended "
+            "left-outer output")
     n_right = small_ds.count()
 
     if n_right == 0:
@@ -1705,8 +1733,11 @@ def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
                  for c in right_tbl.column_names])
         ref = ray.put(right_tbl)   # ships once, read per task
 
-        def bcast(batch: pa.Table, ref=ref) -> pa.Table:
-            return batch.join(ray.get(ref), keys=on, join_type="inner")
+        arrow_jt = {"inner": "inner",
+                    "left_outer": "left outer"}[join_type]
+
+        def bcast(batch: pa.Table, ref=ref, jt=arrow_jt) -> pa.Table:
+            return batch.join(ray.get(ref), keys=on, join_type=jt)
 
         out = large_ds.map_batches(bcast, batch_format="pyarrow")
         info = {"strategy": "broadcast", "right_rows": int(n_right)}
@@ -1726,11 +1757,12 @@ def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
         if rep["max_share"] >= skew_share:
             out = salted_join(large_ds, small_ds, on, right_on,
                               n_salts=max(2, rep["recommended_salt"]),
-                              num_partitions=num_partitions)
+                              num_partitions=num_partitions,
+                              join_type=join_type)
             info["strategy"] = "salted"
             return (out, info) if explain else out
 
-    out = large_ds.join(small_ds, join_type="inner",
+    out = large_ds.join(small_ds, join_type=join_type,
                         num_partitions=num_partitions,
                         on=(on,), right_on=(right_on,))
     return (out, info) if explain else out

@@ -105,3 +105,82 @@ class TestAutoJoin:
         small = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
         with pytest.raises(ValueError, match="empty right side"):
             auto_join(large, small, "k")
+
+
+class TestLeftOuter:
+    """join_type="left_outer" on all three legs: unmatched large-side
+    rows null-extend exactly once, matched rows equal the inner join."""
+
+    def _check(self, large, small, want_df, **kw):
+        from ocr_ray.functions.relational import auto_join
+
+        out, info = auto_join(large, small, "k",
+                              join_type="left_outer", explain=True, **kw)
+        got = _canon(out.to_pandas())
+        want = _canon(want_df)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        return info
+
+    def test_broadcast_left_outer(self, ray_session):
+        import ray.data as rd
+
+        n = 8_000
+        keys = (np.arange(n) % 120).astype(np.int64)  # 100..119 unmatched
+        large = rd.from_arrow(pa.table({
+            "k": keys, "x": np.arange(n, dtype=np.int64)})).repartition(5)
+        small = rd.from_arrow(pa.table({
+            "k": np.arange(100, dtype=np.int64),
+            "name": [f"d{i}" for i in range(100)]}))
+        want = large.to_pandas().merge(small.to_pandas(), on="k",
+                                       how="left")
+        info = self._check(large, small, want)
+        assert info["strategy"] == "broadcast"
+
+    def test_salted_left_outer_on_planted_skew(self, ray_session):
+        import ray.data as rd
+
+        n = 30_000
+        # hot key 7 matches; scattered keys 5000+ never match
+        keys = np.where(np.arange(n) % 10 < 9, 7,
+                        5_000 + (np.arange(n) % 500)).astype(np.int64)
+        large = rd.from_arrow(pa.table({
+            "k": keys, "x": np.arange(n, dtype=np.int64)})).repartition(8)
+        small = rd.from_arrow(pa.table({
+            "k": np.arange(2_000, dtype=np.int64),
+            "name": [f"d{i}" for i in range(2_000)]}))
+        want = large.to_pandas().merge(small.to_pandas(), on="k",
+                                       how="left")
+        info = self._check(large, small, want, broadcast_rows=100)
+        assert info["strategy"] == "salted"
+        # row-count law: matched + unmatched == n (no per-salt dup)
+        assert len(want) == n
+
+    def test_hash_left_outer(self, ray_session):
+        import ray.data as rd
+
+        n = 20_000
+        keys = (np.arange(n) % 4_000).astype(np.int64)  # half unmatched
+        large = rd.from_arrow(pa.table({
+            "k": keys, "x": np.arange(n, dtype=np.int64)})).repartition(6)
+        small = rd.from_arrow(pa.table({
+            "k": np.arange(0, 4_000, 2).astype(np.int64),
+            "name": [f"d{i}" for i in range(2_000)]}))
+        want = large.to_pandas().merge(small.to_pandas(), on="k",
+                                       how="left")
+        info = self._check(large, small, want, broadcast_rows=100,
+                           skew_check=False)
+        assert info["strategy"] == "hash"
+
+    def test_bloom_prune_refused_for_left_outer(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import auto_join, salted_join
+
+        large = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+        small = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                        "w": pa.array([2], pa.int64())}))
+        with pytest.raises(ValueError, match="inner join"):
+            auto_join(large, small, "k", join_type="left_outer",
+                      bloom_prune=True)
+        with pytest.raises(ValueError, match="not supported"):
+            salted_join(large, small, "k", join_type="full_outer")
