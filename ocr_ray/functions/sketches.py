@@ -791,3 +791,96 @@ def key_skew_report(ds, column: str, k: int = 16,
         "max_share": round(max_share, 4),
         "recommended_salt": int(salt),
     }
+
+
+def grouped_heavy_hitters(ds, group_col: str, value_col: str,
+                          k: int = 16) -> pa.Table:
+    """Heavy hitters PER GROUP in one sketch pass + one exact verify
+    pass: "top URLs per domain", "top tokens per language" — the MG
+    sibling of ``grouped_approx_distinct_hll`` with the same
+    low-cardinality-group contract (state is n_groups x k counters in
+    a broadcast-state aggregate; high-cardinality grouping belongs in
+    a groupby shuffle instead).
+
+    Like ``heavy_hitters``, the MG candidates are verified with ONE
+    exact filtered count, so the output is EXACT for every item with
+    in-group frequency > n_g/(k+1) (n_g = the group's row count,
+    tracked in the same aggregate state) — the per-group MG bound.
+
+    Returns pa.Table(<group_col>, value, n) sorted by group asc,
+    n desc, value asc.  Values compare as strings (the heavy_hitters
+    convention); NULL groups and NULL values are dropped.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import AggregateFn, Sum
+
+    def acc_block(state: dict, blk: pa.Table) -> dict:
+        blk = blk.filter(pc.and_(pc.is_valid(blk[group_col]),
+                                 pc.is_valid(blk[value_col])))
+        if blk.num_rows == 0:
+            return state
+        state = dict(state)
+        vals = np.asarray([str(v) for v in blk[value_col].to_pylist()],
+                          dtype=object)
+        groups = np.asarray([str(g) for g in blk[group_col].to_pylist()],
+                            dtype=object)
+        order = np.argsort(groups, kind="stable")
+        gs, starts = np.unique(groups[order], return_index=True)
+        bounds = list(starts) + [len(order)]
+        for gi, g in enumerate(gs):
+            idx = order[bounds[gi]:bounds[gi + 1]]
+            n_prev, mg_prev = state.get(g, (0, {}))
+            state[g] = (n_prev + len(idx),
+                        mg_merge(mg_prev, mg_sketch(vals[idx], k), k))
+        return state
+
+    def merge(s1: dict, s2: dict) -> dict:
+        out = dict(s1)
+        for g, (n, mg) in s2.items():
+            n_prev, mg_prev = out.get(g, (0, {}))
+            out[g] = (n_prev + n, mg_merge(mg_prev, mg, k))
+        return out
+
+    agg = AggregateFn(init=lambda _: {}, merge=merge,
+                      accumulate_block=acc_block, name="gmg")
+    state: dict = ds.aggregate(agg)["gmg"]
+    if not state:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "value": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+
+    # exact verify: one filtered count over the candidate (group,
+    # value) pairs — bounded by n_groups * k pairs
+    cand = {f"{g}\x00{v}" for g, (_, mg) in state.items() for v in mg}
+    cand_arr = pa.array(sorted(cand), pa.string())
+
+    def count_pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch[group_col]),
+                                     pc.is_valid(batch[value_col])))
+        pair = pa.array(
+            [f"{g}\x00{v}" for g, v in
+             zip((str(x) for x in batch[group_col].to_pylist()),
+                 (str(x) for x in batch[value_col].to_pylist()))],
+            pa.string())
+        kept = pc.filter(pair, pc.is_in(pair, value_set=cand_arr))
+        out: dict = {}
+        for p in kept.to_pylist():
+            out[p] = out.get(p, 0) + 1
+        return pa.table({"pair": pa.array(list(out), pa.string()),
+                         "n": pa.array(list(out.values()), pa.int64())})
+
+    exact = (ds.map_batches(count_pairs, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("pair").aggregate(Sum("n", alias_name="n"))
+             .take_all())
+    rows = []
+    for r in exact:
+        g, v = r["pair"].split("\x00", 1)
+        if r["n"] > state[g][0] // (k + 1):
+            rows.append((g, v, r["n"]))
+    rows.sort(key=lambda t: (t[0], -t[2], t[1]))
+    return pa.table({group_col: pa.array([t[0] for t in rows],
+                                         pa.string()),
+                     "value": pa.array([t[1] for t in rows], pa.string()),
+                     "n": pa.array([t[2] for t in rows], pa.int64())})

@@ -445,3 +445,88 @@ class TestHyperLogLog:
         want = hll_estimate(hll_sketch(vals))
         assert got["approx_distinct"] == round(want, 1)
         assert abs(got["approx_distinct"] / 3000 - 1) < 0.05
+
+
+class TestGroupedHeavyHitters:
+    def _mixed(self):
+        # group A: hot x400 / warm x200 / 400-distinct tail (n=1000)
+        # group B: hotB x90 / 60-distinct tail (n=150) — DIFFERENT
+        # hot set and a much smaller n, so per-group thresholds matter
+        rows = ([("A", "hot")] * 400 + [("A", "warm")] * 200
+                + [("A", f"tail{i}") for i in range(400)]
+                + [("B", "hotB")] * 90
+                + [("B", f"btail{i}") for i in range(60)])
+        # deterministic interleave so batches see both groups mixed
+        rows = [rows[i] for i in sorted(range(len(rows)),
+                                        key=lambda i: (i * 37) % len(rows))]
+        return rows
+
+    def test_per_group_guarantee(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import grouped_heavy_hitters
+
+        rows = self._mixed()
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.string()),
+        })).repartition(5)
+        out = grouped_heavy_hitters(ds, "g", "v", k=9).to_pylist()
+        got = {(r["g"], r["value"]): r["n"] for r in out}
+        # group A: support threshold 1000/(9+1)=100 — hot+warm exact
+        assert got[("A", "hot")] == 400 and got[("A", "warm")] == 200
+        # group B: threshold 150/10=15 — hotB found despite being far
+        # below group A's threshold (the per-group n is what counts)
+        assert got[("B", "hotB")] == 90
+        # nothing at/below its own group's threshold sneaks in
+        for (g, _), n in got.items():
+            assert n > (1000 if g == "A" else 150) // 10
+
+    def test_matches_duckdb_exact(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import grouped_heavy_hitters
+
+        rows = self._mixed()
+        tbl = pa.table({
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.string()),
+        })
+        k = 9
+        out = grouped_heavy_hitters(
+            rd.from_arrow(tbl).repartition(4), "g", "v", k=k)
+        want = duckdb.sql(f"""
+            WITH c AS (
+              SELECT g, v, count(*)::BIGINT AS n,
+                     sum(count(*)) OVER (PARTITION BY g) AS n_g
+              FROM tbl GROUP BY g, v)
+            SELECT g, v AS value, n FROM c
+            WHERE n > n_g // ({k} + 1)
+            ORDER BY g, n DESC, value
+        """).arrow()
+        assert out.to_pydict() == want.to_pydict()
+
+    def test_null_groups_and_values_dropped(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import grouped_heavy_hitters
+
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array(["A", "A", None, "A"], pa.string()),
+            "v": pa.array(["x", "x", "x", None], pa.string()),
+        }))
+        out = grouped_heavy_hitters(ds, "g", "v", k=4).to_pylist()
+        assert out == [{"g": "A", "value": "x", "n": 2}]
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import grouped_heavy_hitters
+
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array([], pa.string()),
+            "v": pa.array([], pa.string())}))
+        out = grouped_heavy_hitters(ds, "g", "v")
+        assert out.num_rows == 0
+        assert out.column_names == ["g", "value", "n"]
