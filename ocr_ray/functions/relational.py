@@ -1689,11 +1689,15 @@ def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
     before the skew diagnostic, so the skew decision sees the keys
     that will actually shuffle.
 
-    ``join_type``: "inner" or "left_outer" (every leg handles both:
-    the broadcast per-batch Arrow join is row-independent, the salted
-    leg is single-salt-per-left-row correct — see salted_join).  LEFT
-    OUTER composes with neither bloom pruning (a pruned row would lose
-    its null-extended output) — refused.
+    ``join_type``: "inner", "left_outer" or "full_outer".  Inner and
+    left-outer run on every leg (the broadcast per-batch Arrow join is
+    row-independent, the salted leg is single-salt-per-left-row
+    correct — see salted_join).  FULL OUTER always takes the hash leg:
+    a per-batch broadcast join cannot know which right rows matched NO
+    batch anywhere, and the salted leg replicates each right row
+    n_salts times, so an unmatched right row would be null-extended
+    once per salt.  LEFT/FULL OUTER compose with neither bloom pruning
+    (a pruned row would lose its null-extended output) — refused.
 
     The diagnostic pass costs one extra scan of the large side's key
     column — worth it exactly when the join is shuffle-sized; pass
@@ -1707,9 +1711,9 @@ def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
     from .sketches import key_skew_report
 
     right_on = right_on or on
-    if join_type not in ("inner", "left_outer"):
+    if join_type not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"auto_join: join_type {join_type!r} not "
-                         "supported (inner / left_outer)")
+                         "supported (inner / left_outer / full_outer)")
     if bloom_prune and join_type != "inner":
         raise ValueError(
             "auto_join: bloom_prune requires an inner join — a pruned "
@@ -1724,7 +1728,7 @@ def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
             "call site (Ray's hash shuffle breaks on schema-less "
             "empty partitions, the repo-wide empty-anti-side rule)")
 
-    if n_right <= broadcast_rows:
+    if n_right <= broadcast_rows and join_type != "full_outer":
         right_tbl = pa.concat_tables(
             [ray.get(r) for r in small_ds.to_arrow_refs()])
         if right_on != on:
@@ -1750,7 +1754,7 @@ def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
         large_ds, info["bloom_bits"] = _bloom_prune(
             large_ds, small_ds, on, right_on, n_right)
 
-    if skew_check:
+    if skew_check and join_type != "full_outer":
         rep = key_skew_report(large_ds.select_columns([on]), on)
         info.update(max_share=rep["max_share"],
                     recommended_salt=rep["recommended_salt"])

@@ -184,3 +184,56 @@ class TestLeftOuter:
                       bloom_prune=True)
         with pytest.raises(ValueError, match="not supported"):
             salted_join(large, small, "k", join_type="full_outer")
+
+
+class TestFullOuter:
+    def test_full_outer_matches_pandas(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import auto_join
+
+        # matched, left-only, and right-only keys all planted
+        large = rd.from_arrow(pa.table({
+            "k": np.array([1, 1, 2, 3, 3, 3, 9], np.int64),
+            "x": np.arange(7, dtype=np.int64)})).repartition(3)
+        small = rd.from_arrow(pa.table({
+            "k": np.array([1, 3, 5], np.int64),
+            "name": ["a", "c", "only-right"]}))
+        out, info = auto_join(large, small, "k",
+                              join_type="full_outer", explain=True)
+        # small right side would be broadcast for inner — full outer
+        # must still take the hash leg
+        assert info["strategy"] == "hash"
+        got = _canon(out.to_pandas())
+        want = _canon(large.to_pandas().merge(
+            small.to_pandas(), on="k", how="outer"))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_full_outer_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import auto_join
+
+        rng = np.random.default_rng(7)
+        lt = pa.table({"k": rng.integers(0, 300, 5000).astype(np.int64),
+                       "x": np.arange(5000, dtype=np.int64)})
+        rt = pa.table({"k": (np.arange(250, dtype=np.int64) * 2),
+                       "name": [f"d{i}" for i in range(250)]})
+        out = auto_join(rd.from_arrow(lt).repartition(4),
+                        rd.from_arrow(rt), "k", join_type="full_outer")
+        got = _canon(out.to_pandas())
+        want = _canon(duckdb.sql(
+            "SELECT coalesce(l.k, r.k) k, l.x, r.name "
+            "FROM lt l FULL OUTER JOIN rt r ON l.k = r.k").df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_full_outer_refuses_bloom(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import auto_join
+
+        ds = rd.from_arrow(pa.table({"k": np.arange(4, dtype=np.int64)}))
+        with pytest.raises(ValueError, match="bloom_prune"):
+            auto_join(ds, ds, "k", join_type="full_outer",
+                      bloom_prune=True)
