@@ -291,3 +291,85 @@ def rolling_rows_agg(ds, k: int, n_parts: int | None = None):
                            batch_format="pyarrow")
             .groupby("part")
             .map_groups(per_part, batch_format="pyarrow"))
+
+
+_FILL_SCHEMA = pa.schema([("id", pa.int64()), ("key", pa.int64()),
+                          ("ts", pa.int64()), ("val", pa.int64())])
+
+
+def keyed_fill(ds, direction: str = "forward",
+               n_parts: int | None = None):
+    """Per-key gap filling: replace each NULL ``val`` with the nearest
+    non-NULL value at-or-before it (``forward`` — LOCF) or at-or-after
+    it (``backward`` — NOCB) within the same key, ordered by (ts, id).
+    Rows with no such value keep NULL.  Input: Dataset with int64
+    (key, ts, id) and nullable int64 val; returns (id, key, ts, val).
+
+    SQL mirror: ``last_value(val IGNORE NULLS) OVER (PARTITION BY key
+    ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` (backward: first_value
+    / UNBOUNDED FOLLOWING).
+
+    Scale shape = keyed_lag: ONE hash(key) %% P shuffle (data-sized P,
+    no per-key groups), then one branch-free numpy pass per partition —
+    lexsort, maximum.accumulate over where(valid, idx, -1), and the
+    segment-start guard nulls any carry that would leak across keys.
+    """
+    import ray.data  # noqa: F401
+
+    if direction not in ("forward", "backward"):
+        raise ValueError(f"direction {direction!r}")
+    flip = -1 if direction == "backward" else 1
+
+    def prep(batch: pa.Table, P: int) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        h = k.astype(np.uint64) * _MIX_A
+        part = ((h >> np.uint64(33)) % np.uint64(P)).astype(np.int64)
+        ts = batch["ts"].to_numpy(zero_copy_only=False) * flip
+        rid = batch["id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(k, pa.int64()),
+            "sts": pa.array(ts, pa.int64()),
+            # backward = forward over (-ts, -id): id flips WITH ts so
+            # the within-tie order stays the SQL one reversed
+            "oid": pa.array(rid * flip, pa.int64()),
+            "id": pa.array(rid, pa.int64()),
+            "val": batch["val"].cast(pa.int64()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _FILL_SCHEMA.empty_table()
+        key = t["key"].to_numpy(zero_copy_only=False)
+        sts = t["sts"].to_numpy(zero_copy_only=False)
+        oid = t["oid"].to_numpy(zero_copy_only=False)
+        rid = t["id"].to_numpy(zero_copy_only=False)
+        vcol = t["val"].combine_chunks()
+        valid = vcol.is_valid().to_numpy(zero_copy_only=False)
+        val = vcol.fill_null(0).to_numpy(zero_copy_only=False)
+        order = np.lexsort((oid, sts, key))
+        key, sts, rid = key[order], sts[order], rid[order]
+        valid, val = valid[order], val[order]
+        m = len(key)
+        new = np.empty(m, bool)
+        new[0] = True
+        new[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new)
+        seg_start = starts[np.cumsum(new) - 1]
+        idx = np.arange(m, dtype=np.int64)
+        src = np.maximum.accumulate(np.where(valid, idx, -1))
+        has = src >= seg_start          # carry never crosses a key
+        src = np.maximum(src, 0)
+        return pa.table({
+            "id": pa.array(rid, pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "ts": pa.array(sts * flip, pa.int64()),
+            "val": pa.array(val[src], pa.int64(), mask=~has),
+        })
+
+    P = n_parts or nparts_for(ds.count(), rows_per_part=500_000,
+                              floor=8)
+    return (ds.map_batches(lambda b: prep(b, P),
+                           batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_part, batch_format="pyarrow"))
