@@ -386,6 +386,22 @@ def run_queries() -> dict:
         times["source_overlap_pairs"] = len(t)
     except Exception as e:  # pragma: no cover - defensive
         times["source_overlap"] = f"error: {type(e).__name__}"
+    # one-pass whole-table profiler (round 5): every column's nulls /
+    # min-max / KMV distinct / exact mean in ONE fused aggregate per
+    # table — the "describe before you curate" scan
+    try:
+        import ray.data as rd
+
+        from ocr_ray.functions.profiler import profile_table
+
+        t0 = time.time()
+        n_cols = sum(
+            profile_table(rd.read_parquet(f"{SF_DIR}/{t}.parquet")).num_rows
+            for t in ("documents", "events", "orders"))
+        times["profile_table"] = round(time.time() - t0, 2)
+        times["profile_columns"] = int(n_cols)
+    except Exception as e:  # pragma: no cover - defensive
+        times["profile_table"] = f"error: {type(e).__name__}"
     return times
 
 
