@@ -47,8 +47,14 @@ def token_bucket(token: str, n_buckets: int) -> int:
 
 
 def build_token_index(sf_dir: str, out_dir: str, n_buckets: int = 32,
-                      max_df_frac: float = 0.5):
+                      max_df_frac: float = 0.5,
+                      store_positions: bool = False):
     """Build the index under ``out_dir`` (bucket=<k>/postings.parquet).
+
+    ``store_positions=True`` adds a ``pos list<int32>`` column (each
+    token's 0-based positions in the doc's token sequence, ascending)
+    — the payload ``phrase_search`` needs; ~2-3x the index size, so
+    it is opt-in.
 
     Returns the manifest table: one row per bucket with
     (bucket, n_tokens, n_postings, n_stop_dropped)."""
@@ -67,21 +73,42 @@ def build_token_index(sf_dir: str, out_dir: str, n_buckets: int = 32,
     os.makedirs(out_dir, exist_ok=True)
 
     def postings_partial(batch: pa.Table) -> pa.Table:
-        toks_out, docs_out, tfs_out = [], [], []
+        toks_out, docs_out, tfs_out, pos_out = [], [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                 batch["text"].to_pylist()):
-            c = Counter(_tokens(text))
-            toks_out.extend(c.keys())
-            docs_out.extend([doc_id] * len(c))
-            tfs_out.extend(c.values())
+            doc_toks = _tokens(text)
+            if store_positions:
+                arr = np.asarray(doc_toks, dtype=object)
+                pos = np.arange(len(arr), dtype=np.int32)
+                order = np.argsort(arr, kind="stable")
+                uniq, starts = np.unique(arr[order], return_index=True)
+                bounds = np.append(starts, len(arr))
+                ps = pos[order]
+                toks_out.extend(uniq)
+                docs_out.extend([doc_id] * len(uniq))
+                tfs_out.extend(
+                    int(bounds[i + 1] - bounds[i])
+                    for i in range(len(uniq)))
+                # stable sort keeps each token's positions ascending
+                pos_out.extend(
+                    ps[bounds[i]:bounds[i + 1]].tolist()
+                    for i in range(len(uniq)))
+            else:
+                c = Counter(doc_toks)
+                toks_out.extend(c.keys())
+                docs_out.extend([doc_id] * len(c))
+                tfs_out.extend(c.values())
         toks = np.asarray(toks_out, dtype=object)
         bucket = _token_bucket(toks, n_buckets) if len(toks) else \
             np.empty(0, np.int64)
-        return pa.table({
+        cols = {
             "token": pa.array(toks_out, pa.string()),
             "doc_id": pa.array(docs_out, pa.int64()),
             "tf": pa.array(tfs_out, pa.int64()),
-            "bucket": pa.array(bucket, pa.int64())})
+            "bucket": pa.array(bucket, pa.int64())}
+        if store_positions:
+            cols["pos"] = pa.array(pos_out, pa.list_(pa.int32()))
+        return pa.table(cols)
 
     def write_bucket(part: pa.Table) -> pa.Table:
         bucket = int(part["bucket"][0].as_py())
@@ -229,3 +256,137 @@ def search_ranked(index_dir: str, tokens: list, k: int = 10,
               .aggregate(Sum("score_micro", alias_name="score_micro")))
     return ranked.sort(["score_micro", "doc_id"],
                        descending=[True, False]).limit(k)
+
+
+def phrase_search(index_dir: str, phrase, n_buckets: int = 32,
+                  n_parts: int = 16):
+    """Exact phrase query over a ``store_positions=True`` index:
+    documents containing the query tokens CONSECUTIVELY, with the
+    occurrence count.  Returns Dataset(doc_id, n_occurrences).
+
+    Reads only the phrase tokens' buckets (<= len(phrase) dirs, the
+    lookup_token pruning).  Matching is position-list intersection: a
+    posting (token t at positions P, doc d) contributes candidate
+    anchors {p - j : p in P} for every slot j where t appears in the
+    phrase; an anchor that gathers ALL len(phrase) slots for a doc is
+    one occurrence ("a a" in "a a a" = 2 — overlaps count, the
+    standard positional-index semantics).  Candidates shuffle ONCE by
+    hash(doc_id) %% ``n_parts`` and each partition resolves every doc
+    in one lexsort + segmented-boundary pass — no per-doc tiny groups
+    (the sessionize/asof kernel discipline).
+
+    A phrase token missing from the index (never seen, or dropped by
+    the build's ``max_df_frac`` stop gate) matches nothing — pass
+    max_df_frac=1.0 at build time if phrases over stop words matter.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    toks = _tokens(phrase) if isinstance(phrase, str) else list(phrase)
+    if not toks:
+        raise ValueError("phrase_search: empty phrase")
+    m = len(toks)
+    slots: dict[str, list[int]] = {}
+    for j, t in enumerate(toks):
+        slots.setdefault(t, []).append(j)
+    want = sorted(slots)
+
+    import os
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_occurrences", pa.int64())])
+    files = sorted({f"{index_dir}/bucket={token_bucket(t, n_buckets)}"
+                    f"/postings.parquet" for t in want})
+    # a bucket no token ever hashed into is never written; a phrase
+    # token living there is simply absent, and since EVERY slot must
+    # match, dropping the file cannot create a false positive
+    files = [f for f in files if os.path.exists(f)]
+    if not files:
+        return rd.from_arrow(out_schema.empty_table())
+    if "pos" not in pq.read_schema(files[0]).names:
+        raise ValueError(
+            "phrase_search: index has no positions — rebuild with "
+            "build_token_index(..., store_positions=True)")
+    ds = rd.read_parquet(files)
+    tok_set = pa.array(want, pa.string())
+
+    def candidates(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["token"], value_set=tok_set))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "anchor": pa.array([], pa.int64()),
+                             "slot": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        la = t["pos"].combine_chunks()
+        offs = la.offsets.to_numpy(zero_copy_only=False)
+        vals = la.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        docs = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False), counts)
+        row_tok = np.asarray(t["token"].to_pylist(), dtype=object)
+        tok_rep = np.repeat(row_tok, counts)
+        d_out, a_out, s_out = [], [], []
+        for tok, js in slots.items():
+            sel = tok_rep == tok
+            if not sel.any():
+                continue
+            dd, pp = docs[sel], vals[sel]
+            for j in js:
+                d_out.append(dd)
+                a_out.append(pp - j)
+                s_out.append(np.full(len(dd), j, np.int64))
+        if not d_out:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "anchor": pa.array([], pa.int64()),
+                             "slot": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int64())})
+        d = np.concatenate(d_out)
+        a = np.concatenate(a_out)
+        s = np.concatenate(s_out)
+        keep = a >= 0                    # anchor before doc start
+        d, a, s = d[keep], a[keep], s[keep]
+        h = d.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        part = ((h >> np.uint64(33)) % np.uint64(n_parts)).astype(
+            np.int64)
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "anchor": pa.array(a, pa.int64()),
+                         "slot": pa.array(s, pa.int64()),
+                         "part": pa.array(part, pa.int64())})
+
+    def resolve(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        a = t["anchor"].to_numpy(zero_copy_only=False)
+        s = t["slot"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, a, d))
+        d, a, s = d[order], a[order], s[order]
+        n = len(d)
+        # dedup identical (doc, anchor, slot) triples (tf>1 per slot
+        # can emit the same anchor once per position, but a slot only
+        # counts once toward the m requirement)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = ((d[1:] != d[:-1]) | (a[1:] != a[:-1])
+                     | (s[1:] != s[:-1]))
+        d, a = d[first], a[first]
+        # slots per (doc, anchor) segment; == m -> one occurrence
+        nb = len(d)
+        seg = np.empty(nb, bool)
+        seg[0] = True
+        seg[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1])
+        seg_ids = np.cumsum(seg) - 1
+        slot_counts = np.bincount(seg_ids)
+        hit = slot_counts == m
+        seg_docs = d[np.flatnonzero(seg)]
+        hit_docs = seg_docs[hit]
+        if len(hit_docs) == 0:
+            return out_schema.empty_table()
+        uniq, occ = np.unique(hit_docs, return_counts=True)
+        return pa.table({"doc_id": pa.array(uniq, pa.int64()),
+                         "n_occurrences": pa.array(occ, pa.int64())})
+
+    return (ds.map_batches(candidates, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(resolve, batch_format="pyarrow"))
