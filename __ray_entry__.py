@@ -230,7 +230,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q2_min_balance_supplier": tpc.q2_min_balance_supplier,
         "q17_small_quantity_revenue": tpc.q17_small_quantity_revenue,
         "doc_bpe_token_counts": tx.doc_bpe_token_counts,
-        "doc_line_stats": tx.doc_line_stats,
+        # doc_line_stats rotated out (round-5, eighth continuation):
+        # map-only per-doc shape kept driver-checked by its three
+        # siblings (doc_bpe_token_counts / doc_quality_scores /
+        # doc_entity_counts); oracle continues in
+        # tests/test_registry_extras.py.  Its slot holds a window
+        # shape the registry lacked entirely — the IGNORE-NULLS
+        # gap-filling window (LOCF via window.keyed_fill):
+        "user_last_click_value": ev.user_last_click_value,
         "keyword_doc_freq": tx.keyword_doc_freq,
         "doc_quality_scores": tx.doc_quality_scores,
         # lang_id / doc_fingerprints rotated out (round-5, seventh
@@ -366,7 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": tpc.Q17_SQL,
         "q20_dominant_suppliers": tpc.Q20_SQL,
         "doc_bpe_token_counts": tx.DOC_BPE_TOKEN_SQL,
-        "doc_line_stats": tx.DOC_LINE_STATS_SQL,
+        "user_last_click_value": ev.USER_LAST_CLICK_SQL,
         "keyword_doc_freq": tx.KEYWORD_DOC_FREQ_SQL,
         "doc_quality_scores": tx.DOC_QUALITY_SQL,
         "orders_status_rollup": _gp.ORDERS_STATUS_ROLLUP_SQL,

@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     # (ROLLUP) and multiset EXCEPT ALL — bench follows the registry
     "orders_status_rollup",
     "click_except_error_surplus",
+    # round-5 eighth continuation: the IGNORE-NULLS gap-filling window
+    # (LOCF via window.keyed_fill) — bench follows the registry
+    "user_last_click_value",
 ]
 
 

@@ -1815,3 +1815,58 @@ def grouped_count_distinct(ds, n_parts: int | None = None):
     return (distinct.map_batches(count_rows, batch_format="pyarrow")
             .groupby("key")
             .aggregate(Sum("n_distinct", alias_name="n_distinct")))
+
+
+def user_last_click_value(sf_dir: str):
+    """Per event: the most recent CLICK's value (exact milli-units)
+    by the same user at or before it — the LOCF / IGNORE-NULLS window
+    shape (``window.keyed_fill``) driven over a sparse signal: only
+    clicks carry a value, every other event inherits the last one.
+
+    NULL users share one fill partition (SQL window-partition
+    semantics: PARTITION BY groups NULLs together) via a sentinel key;
+    the driver corpus has none — the planted pytest covers that leg.
+    Milli-unit quantization is the events-family cents rule
+    (EVENTS_BY_TYPE_SQL) so the value is integer-exact on both
+    engines.
+    """
+    from .window import keyed_fill
+    from ._num import to_int_scaled
+
+    ds = _read(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                        "value"])
+    SENT = -(1 << 62) - 11   # NULL-user partition key
+
+    def prep(batch: pa.Table) -> pa.Table:
+        key = pc.fill_null(batch["user_id"], SENT)
+        millis = to_int_scaled(batch["value"], 1000.0)
+        val = pc.if_else(pc.equal(batch["event_type"], "click"),
+                         millis, pa.scalar(None, pa.int64()))
+        return pa.table({
+            "key": pc.cast(key, pa.int64()),
+            "ts": pc.cast(batch["ts"], pa.int64()),
+            "id": batch["event_id"],
+            "val": val})
+
+    filled = keyed_fill(ds.map_batches(prep, batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        user = pc.if_else(pc.equal(t["key"], SENT),
+                          pa.scalar(None, pa.int64()), t["key"])
+        return pa.table({"event_id": t["id"],
+                         "user_id": user,
+                         "last_click_millis": t["val"]})
+
+    return filled.map_batches(finish, batch_format="pyarrow")
+
+
+USER_LAST_CLICK_SQL = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'click'
+                       THEN CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+                  END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_click_millis
+FROM events
+"""

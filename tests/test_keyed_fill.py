@@ -110,3 +110,54 @@ class TestKeyedFill:
         from ocr_ray.functions.window import keyed_fill
         with pytest.raises(ValueError, match="direction"):
             keyed_fill(_ds(_tbl([(1, 1, 1, 1)])), direction="sideways")
+
+
+class TestUserLastClickValue:
+    def test_null_users_share_one_partition(self, ray_session,
+                                            tmp_path, monkeypatch):
+        """SQL window semantics: PARTITION BY user_id groups NULLs
+        together — the sentinel-key leg the driver corpus never
+        exercises."""
+        import os
+
+        import duckdb
+        import pyarrow.parquet as pq_
+
+        from ocr_ray.functions.events import (
+            USER_LAST_CLICK_SQL,
+            user_last_click_value,
+        )
+
+        d = str(tmp_path)
+        tbl = pa.table({
+            "event_id": pa.array(range(8), pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([f"2026-01-01 00:0{i}:00"
+                                for i in range(8)])),
+            "user_id": pa.array([1, None, 1, None, None, 2, None, 2],
+                                pa.int64()),
+            "event_type": pa.array(["click", "view", "view", "click",
+                                    "view", "view", "view", "click"],
+                                   pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+                              pa.float64()),
+        })
+        pq_.write_table(tbl, os.path.join(d, "events.parquet"))
+        got = user_last_click_value(d).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        want = con.execute(
+            USER_LAST_CLICK_SQL + " ORDER BY event_id").df()
+        pd.testing.assert_frame_equal(
+            got[["event_id", "last_click_millis"]],
+            want[["event_id", "last_click_millis"]],
+            check_dtype=False)
+        # NULL users come back as NULL, and the two NULL-user clickless
+        # prefix events stay NULL while the post-click one fills
+        assert got["user_id"].isna().tolist() == [
+            False, True, False, True, True, False, True, False]
+        vals = [None if pd.isna(v) else int(v)
+                for v in got["last_click_millis"]]
+        assert vals == [1000, None, 1000, 4000, 4000, None, 4000, 8000]

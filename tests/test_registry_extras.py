@@ -234,3 +234,15 @@ class TestSeventhContinuationRotations:
     def test_doc_fingerprints(self, ray_session):
         from ocr_ray.functions import textops as tx
         _check(tx.doc_fingerprints(SF), tx.DOC_FINGERPRINTS_SQL)
+
+    def test_doc_line_stats(self, ray_session):
+        # rotated out for user_last_click_value (round-5, eighth
+        # continuation): map-only per-doc shape kept driver-checked by
+        # its three registry siblings
+        from ocr_ray.functions import textops as tx
+        _check(tx.doc_line_stats(SF), tx.DOC_LINE_STATS_SQL)
+
+    def test_user_last_click_value_registry_parity(self, ray_session):
+        # the rotated-IN entry, checked at extras scale too
+        from ocr_ray.functions import events as ev
+        _check(ev.user_last_click_value(SF), ev.USER_LAST_CLICK_SQL)
