@@ -389,6 +389,28 @@ def run_queries() -> dict:
         times["source_overlap_pairs"] = len(t)
     except Exception as e:  # pragma: no cover - defensive
         times["source_overlap"] = f"error: {type(e).__name__}"
+    # positional index build + exact phrase query (round 5): the
+    # phrase buckets are the only partitions a query reads
+    try:
+        import shutil
+
+        from ocr_ray.functions.token_index import (
+            build_token_index,
+            phrase_search,
+        )
+
+        pidx = "/tmp/ocr_ray_bench_posidx"
+        shutil.rmtree(pidx, ignore_errors=True)
+        t0 = time.time()
+        build_token_index(SF_DIR, pidx, max_df_frac=1.0,
+                          store_positions=True)
+        times["pos_index_build"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        n = phrase_search(pidx, "table hash").count()
+        times["phrase_search"] = round(time.time() - t0, 3)
+        times["phrase_search_docs"] = n
+    except Exception as e:  # pragma: no cover - defensive
+        times["pos_index_build"] = f"error: {type(e).__name__}"
     # one-pass whole-table profiler (round 5): every column's nulls /
     # min-max / KMV distinct / exact mean in ONE fused aggregate per
     # table — the "describe before you curate" scan
