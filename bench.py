@@ -411,6 +411,16 @@ def run_queries() -> dict:
         times["phrase_search_docs"] = n
     except Exception as e:  # pragma: no cover - defensive
         times["pos_index_build"] = f"error: {type(e).__name__}"
+    # PMI collocations (round 5): one gram shuffle + two hash joins
+    try:
+        from ocr_ray.functions.collocations import collocation_pmi
+
+        t0 = time.time()
+        t = collocation_pmi(SF_DIR, k=50, min_count=5)
+        times["collocation_pmi"] = round(time.time() - t0, 2)
+        times["collocation_rows"] = t.num_rows
+    except Exception as e:  # pragma: no cover - defensive
+        times["collocation_pmi"] = f"error: {type(e).__name__}"
     # one-pass whole-table profiler (round 5): every column's nulls /
     # min-max / KMV distinct / exact mean in ONE fused aggregate per
     # table — the "describe before you curate" scan
