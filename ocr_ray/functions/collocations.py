@@ -130,27 +130,28 @@ def collocation_pmi(sf_dir: str, k: int = 50, min_count: int = 5,
             "n_w1": pa.array([], pa.int64()),
             "n_w2": pa.array([], pa.int64()),
             "pmi_micro": pa.array([], pa.int64())})
-    uni = uni.repartition(compact_parts(max(uni.count(), 1))) \
-        .materialize()
     pairs = pairs.repartition(compact_parts(n_pairs)).materialize()
 
     def _ren(ns):
         return lambda t: t.rename_columns(list(ns))
 
-    P = nparts_for(max(n_uni, 1), rows_per_part=500_000, floor=8)
-    u1 = (uni.map_batches(_ren(("w1", "n_w1")), batch_format="pyarrow")
-          .materialize())
-    j1 = pairs.join(u1, join_type="inner", num_partitions=P,
-                    on=("w1",))
+    # attach the unigram counts with the strategy-picking join: the
+    # unigram table is dim-sized after a bench-scale corpus (broadcast
+    # leg — zero shuffles) and corpus-sized at 100 TB (hash leg);
+    # skew_check off — the min_count survivors are not a skewed key
+    # space worth a diagnostic scan here
+    from .relational import auto_join
+
+    u1 = uni.map_batches(_ren(("w1", "n_w1")), batch_format="pyarrow")
+    j1 = auto_join(pairs, u1, "w1", skew_check=False)
+    # chained-join hygiene for the hash leg (harmless under broadcast)
     mid_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
                             ("n_pair", pa.int64()),
                             ("n_w1", pa.int64())])
-    j1 = (j1.map_batches(_with_schema(mid_schema),
-                         batch_format="pyarrow")
-          .repartition(compact_parts(n_pairs)).materialize())
-    u2 = (uni.map_batches(_ren(("w2", "n_w2")), batch_format="pyarrow")
-          .materialize())
-    j2 = j1.join(u2, join_type="inner", num_partitions=P, on=("w2",))
+    j1 = j1.map_batches(_with_schema(mid_schema),
+                        batch_format="pyarrow")
+    u2 = uni.map_batches(_ren(("w2", "n_w2")), batch_format="pyarrow")
+    j2 = auto_join(j1, u2, "w2", skew_check=False)
 
     def score(t: pa.Table, N=n_uni, B=n_big) -> pa.Table:
         if t.num_rows == 0:

@@ -1729,8 +1729,12 @@ def auto_join(large_ds, small_ds, on: str, right_on: str | None = None,
             "empty partitions, the repo-wide empty-anti-side rule)")
 
     if n_right <= broadcast_rows and join_type != "full_outer":
+        # drop empty blocks before the concat: upstream filter/agg
+        # stages emit schema-LESS empties (the repo-wide empty-block
+        # rule) that make concat_tables raise on schema mismatch
         right_tbl = pa.concat_tables(
-            [ray.get(r) for r in small_ds.to_arrow_refs()])
+            [t for t in (ray.get(r) for r in small_ds.to_arrow_refs())
+             if t.num_rows > 0])
         if right_on != on:
             right_tbl = right_tbl.rename_columns(
                 [on if c == right_on else c

@@ -237,3 +237,30 @@ class TestFullOuter:
         with pytest.raises(ValueError, match="bloom_prune"):
             auto_join(ds, ds, "k", join_type="full_outer",
                       bloom_prune=True)
+
+
+class TestBroadcastEmptyBlocks:
+    def test_filter_produced_empty_blocks_on_right(self, ray_session):
+        """A filtered right side carries schema-less empty blocks;
+        the broadcast concat must skip them (found live by
+        collocation_pmi's min_count-filtered unigram side)."""
+        import ray.data as rd
+
+        from ocr_ray.functions.relational import auto_join
+
+        large = rd.from_arrow(pa.table({
+            "k": np.arange(100, dtype=np.int64) % 5,
+            "x": np.arange(100, dtype=np.int64)}))
+        small = (rd.from_arrow(pa.table({
+            "k": np.arange(50, dtype=np.int64),
+            "name": [f"d{i}" for i in range(50)]}))
+            .repartition(10)
+            .filter(expr="k < 5"))   # most partitions now empty
+        out, info = auto_join(large, small, "k", explain=True)
+        assert info["strategy"] == "broadcast"
+        got = _canon(out.to_pandas())
+        want = _canon(large.to_pandas().merge(
+            pd.DataFrame({"k": range(5),
+                          "name": [f"d{i}" for i in range(5)]}),
+            on="k"))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
