@@ -884,3 +884,60 @@ def grouped_heavy_hitters(ds, group_col: str, value_col: str,
                                          pa.string()),
                      "value": pa.array([t[1] for t in rows], pa.string()),
                      "n": pa.array([t[2] for t in rows], pa.int64())})
+
+
+def weighted_sample(ds, key_col: str, weight_col: str, k: int,
+                    seed: int = 17) -> pa.Table:
+    """Weighted sampling WITHOUT replacement: k rows drawn with
+    probability proportional to ``weight_col`` via the Gumbel-top-k
+    trick — sample_key = ln(w) + Gumbel(md5(seed:key)), take the k
+    largest (the exact scheme behind dsir_select, exposed generically).
+    Deterministic and layout-independent: each row's key is a pure
+    function of (seed, key value); ties cannot occur (distinct md5
+    draws), so the sample is a pure function of the data.
+
+    Rows with NULL or non-positive weight are never sampled (standard
+    w=0 semantics).  Per block only the local top-k survives (global
+    top-k is contained in the union of block top-ks — lossless), so
+    the driver sees at most k x n_blocks candidate rows and folds
+    them to k.  Returns pa.Table(<key_col>, weight float64,
+    sample_key float64) sorted by sample_key desc.
+    """
+    import hashlib
+    import math
+
+    from ray.data.aggregate import AggregateFn
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def block_topk(state: list, blk: pa.Table) -> list:
+        import pyarrow.compute as pc
+
+        blk = blk.filter(pc.and_(pc.is_valid(blk[weight_col]),
+                                 pc.greater(blk[weight_col],
+                                            pa.scalar(0))))
+        rows = state[:]
+        for kv, w in zip(blk[key_col].to_pylist(),
+                         blk[weight_col].to_pylist()):
+            h = hashlib.md5(f"{seed}:{kv}".encode()).digest()
+            u = (int.from_bytes(h[:8], "big") >> 11) / float(1 << 53)
+            u = min(max(u, 1e-12), 1.0 - 1e-12)
+            g = -math.log(-math.log(u))
+            rows.append((math.log(w) + g, kv, float(w)))
+        rows.sort(key=lambda r: -r[0])
+        return rows[:k]
+
+    def merge(a: list, b: list) -> list:
+        rows = a + b
+        rows.sort(key=lambda r: -r[0])
+        return rows[:k]
+
+    agg = AggregateFn(init=lambda _: [], merge=merge,
+                      accumulate_block=block_topk, name="wsample")
+    rows = ds.aggregate(agg)["wsample"] or []
+    return pa.table({
+        key_col: pa.array([r[1] for r in rows]),
+        "weight": pa.array([r[2] for r in rows], pa.float64()),
+        "sample_key": pa.array([r[0] for r in rows], pa.float64()),
+    })

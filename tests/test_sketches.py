@@ -530,3 +530,64 @@ class TestGroupedHeavyHitters:
         out = grouped_heavy_hitters(ds, "g", "v")
         assert out.num_rows == 0
         assert out.column_names == ["g", "value", "n"]
+
+
+class TestWeightedSample:
+    def _brute(self, keys, weights, k, seed=17):
+        import hashlib
+        import math
+
+        rows = []
+        for kv, w in zip(keys, weights):
+            if w is None or w <= 0:
+                continue
+            h = hashlib.md5(f"{seed}:{kv}".encode()).digest()
+            u = (int.from_bytes(h[:8], "big") >> 11) / float(1 << 53)
+            u = min(max(u, 1e-12), 1.0 - 1e-12)
+            rows.append((math.log(w) - math.log(-math.log(u)), kv))
+        rows.sort(key=lambda r: -r[0])
+        return [kv for _, kv in rows[:k]]
+
+    def test_matches_bruteforce_and_layout(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import weighted_sample
+
+        rng = np.random.default_rng(9)
+        n = 5_000
+        keys = list(range(n))
+        weights = rng.exponential(1.0, n).tolist()
+        tbl = pa.table({"id": pa.array(keys, pa.int64()),
+                        "w": pa.array(weights, pa.float64())})
+        want = self._brute(keys, weights, 100)
+        for parts in (1, 7):
+            got = weighted_sample(
+                rd.from_arrow(tbl).repartition(parts), "id", "w", 100)
+            assert got[ "id"].to_pylist() == want
+
+    def test_zero_null_weights_excluded(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import weighted_sample
+
+        tbl = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                        "w": pa.array([0.0, None, -1.0, 2.0],
+                                      pa.float64())})
+        got = weighted_sample(rd.from_arrow(tbl), "id", "w", 10)
+        assert got["id"].to_pylist() == [4]
+
+    def test_heavy_weight_dominates(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import weighted_sample
+
+        # one row carries ~all the mass: it must appear in a k=1
+        # sample for (at least) the vast majority of seeds
+        tbl = pa.table({"id": pa.array(range(200), pa.int64()),
+                        "w": pa.array([1e9] + [1e-6] * 199,
+                                      pa.float64())})
+        hits = sum(
+            weighted_sample(rd.from_arrow(tbl), "id", "w", 1,
+                            seed=s)["id"][0].as_py() == 0
+            for s in range(20))
+        assert hits >= 19
