@@ -53,6 +53,7 @@ def collocation_pmi(sf_dir: str, k: int = 50, min_count: int = 5,
                     columns=list(columns))
 
     def gram_partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["text"]))  # NULL text
         uni: dict = {}
         big: dict = {}
         for text in batch["text"].to_pylist():

@@ -24,15 +24,36 @@ import pyarrow.compute as pc
 
 
 def _min_max(ds, column: str) -> tuple[float, float]:
-    from ray.data.aggregate import Max, Min
+    """min/max over FINITE values (Ray's Min/Max would propagate NaN
+    into the bounds and poison every bin edge)."""
+    from ray.data.aggregate import AggregateFn
 
-    r = ds.aggregate(Min(column, alias_name="lo"),
-                     Max(column, alias_name="hi")) or {}
-    lo, hi = r.get("lo"), r.get("hi")
-    if lo is None:
-        raise ValueError(f"column_histogram: no non-null values in "
-                         f"{column!r}")
-    return float(lo), float(hi)
+    def acc(state, blk: pa.Table):
+        x = blk[column].drop_null()
+        x = x.filter(pc.is_finite(x)) if pa.types.is_floating(
+            x.type) else x
+        if len(x) == 0:
+            return state
+        mm = pc.min_max(x)
+        lo, hi = float(mm["min"].as_py()), float(mm["max"].as_py())
+        if state is None:
+            return (lo, hi)
+        return (min(state[0], lo), max(state[1], hi))
+
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return (min(a[0], b[0]), max(a[1], b[1]))
+
+    agg = AggregateFn(init=lambda _: None, merge=merge,
+                      accumulate_block=acc, name="mm")
+    r = ds.aggregate(agg)["mm"]
+    if r is None:
+        raise ValueError(f"column_histogram: no finite non-null "
+                         f"values in {column!r}")
+    return r
 
 
 def column_histogram(ds, column: str, bins: int = 32,
@@ -50,6 +71,10 @@ def column_histogram(ds, column: str, bins: int = 32,
 
     if bins < 1:
         raise ValueError("bins must be >= 1")
+    if lo is not None and hi is not None and hi < lo:
+        raise ValueError(
+            f"column_histogram: hi ({hi}) < lo ({lo}) — swapped "
+            "arguments?")
     if lo is None or hi is None:
         dlo, dhi = _min_max(ds, column)
         lo = dlo if lo is None else lo
@@ -64,6 +89,9 @@ def column_histogram(ds, column: str, bins: int = 32,
         nulls = col.null_count
         x = col.drop_null().to_numpy(zero_copy_only=False).astype(
             np.float64)
+        finite = np.isfinite(x)
+        n_nonfinite = int((~finite).sum())   # NaN/inf: counted, never
+        x = x[finite]                        # binned (NaN != any range)
         # the ONE shared binning rule (SQL mirror: CASE x < lo / x > hi
         # / ELSE least(floor((x - lo) / w), bins - 1)):
         below = x < lo
@@ -73,14 +101,14 @@ def column_histogram(ds, column: str, bins: int = 32,
                          bins - 1).astype(np.int64)   # hi -> last bin
         out = state.copy()
         out[:bins] += np.bincount(inr, minlength=bins)
-        below, above = int(below.sum()), int(above.sum())
-        out[bins] += below
-        out[bins + 1] += above
+        out[bins] += int(below.sum())
+        out[bins + 1] += int(above.sum())
         out[bins + 2] += nulls
+        out[bins + 3] += n_nonfinite
         return out
 
     agg = AggregateFn(
-        init=lambda _: np.zeros(bins + 3, np.int64),
+        init=lambda _: np.zeros(bins + 4, np.int64),
         merge=lambda a, b: a + b,
         accumulate_block=acc_block, name="hist")
     v = ds.aggregate(agg)["hist"]
@@ -95,6 +123,7 @@ def column_histogram(ds, column: str, bins: int = 32,
         "n_below": int(v[bins]),
         "n_above": int(v[bins + 1]),
         "n_null": int(v[bins + 2]),
+        "n_nonfinite": int(v[bins + 3]),
         "lo": lo, "hi": hi,
     }
 

@@ -70,8 +70,14 @@ def _col_partial(arr: pa.ChunkedArray, kind: str, k: int):
     lo, hi = mm["min"].as_py(), mm["max"].as_py()
     # distinct sketch: hash the VALUE IDENTITY deterministically
     if kind in ("int", "bool", "ts"):
-        ints = pc.cast(vals, pa.int64()).to_numpy(zero_copy_only=False)
-        h = sample_hash(ints)
+        try:
+            ints = pc.cast(vals, pa.int64()).to_numpy(
+                zero_copy_only=False)
+            h = sample_hash(ints)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            # date32 has no int64 cast; uint64 can exceed int64 —
+            # fall back to the generic value hash
+            h = _hash64(vals.to_pylist())
     elif kind == "float":
         # hash the raw bit pattern (distinct-by-bits; -0.0 != 0.0 is
         # acceptable for an estimate and keeps the path vectorized)
@@ -81,11 +87,19 @@ def _col_partial(arr: pa.ChunkedArray, kind: str, k: int):
     else:
         h = _hash64(vals.to_pylist())
     kmv = np.unique(h)[:k]
-    s = None
+    s = None   # (exact integer sum, rows summed) for the mean
     if kind in ("int", "bool"):
-        s = int(pc.sum(pc.cast(vals, pa.int64())).as_py())
+        try:
+            s = (int(pc.sum(pc.cast(vals, pa.int64())).as_py()), n)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            s = None   # uint64 overflow: report no mean, not a crash
     elif kind == "float":
-        s = int(pc.sum(to_int_scaled(vals, 1e6)).as_py())
+        # mean over FINITE values only — NaN/inf would poison the
+        # quantized integer sum (a profiler must survive dirty data)
+        fin = vals.filter(pc.is_finite(vals))
+        if len(fin):
+            s = (int(pc.sum(to_int_scaled(fin, 1e6)).as_py()),
+                 len(fin))
     return (nulls, n, lo, hi, kmv, s, kind)
 
 
@@ -99,9 +113,11 @@ def _merge_col(a, b, k: int):
     hi = max((x for x in (a[3], b[3]) if x is not None), default=None)
     kmvs = [x for x in (a[4], b[4]) if x is not None]
     kmv = kmv_merge(kmvs, k) if kmvs else None
-    s = None
-    if a[5] is not None or b[5] is not None:
-        s = (a[5] or 0) + (b[5] or 0)
+    sa, sb = a[5], b[5]
+    if sa is not None and sb is not None:
+        s = (sa[0] + sb[0], sa[1] + sb[1])
+    else:
+        s = sa if sa is not None else sb
     return (a[0] + b[0], a[1] + b[1], lo, hi, kmv, s, kind)
 
 
@@ -112,8 +128,9 @@ def profile_table(ds, columns: list[str] | None = None,
     Returns pa.Table(column, dtype, n_rows, n_nulls, n_distinct
     float64 — exact when the column has < k distinct values, NULL for
     nested columns — min, max rendered as strings, mean float64 —
-    micro-quantized half-up, NULL for non-numeric columns), one row
-    per column, sorted by column name.
+    micro-quantized half-up, NULL for non-numeric columns; float
+    means are over FINITE values only, so NaN/inf cells cannot poison
+    the profile), one row per column, sorted by column name.
     """
     from ray.data.aggregate import AggregateFn
 
@@ -156,8 +173,10 @@ def profile_table(ds, columns: list[str] | None = None,
         elif kinds[c] != "nested":
             distinct = 0.0
         mean = None
-        if s is not None and n > 0:
-            raw = (s / n) if kinds[c] in ("int", "bool") else (s / n / 1e6)
+        if s is not None and s[1] > 0:
+            total, cnt = s
+            raw = (total / cnt) if kinds[c] in ("int", "bool") \
+                else (total / cnt / 1e6)
             mean = float(np.floor(raw * 1e6 + 0.5) / 1e6)
         rows.append((c, dtypes[c], nulls + n, nulls, distinct,
                      None if lo is None else str(lo),

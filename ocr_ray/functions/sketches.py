@@ -851,15 +851,25 @@ def grouped_heavy_hitters(ds, group_col: str, value_col: str,
                          "n": pa.array([], pa.int64())})
 
     # exact verify: one filtered count over the candidate (group,
-    # value) pairs — bounded by n_groups * k pairs
-    cand = {f"{g}\x00{v}" for g, (_, mg) in state.items() for v in mg}
+    # value) pairs — bounded by n_groups * k pairs.  Pairs pack with
+    # a LENGTH PREFIX ("<len(g)>:<g><v>") — unambiguous for any
+    # content, unlike a separator byte a group string could contain
+    def _pack(g: str, v: str) -> str:
+        return f"{len(g)}:{g}{v}"
+
+    def _unpack(p: str) -> tuple[str, str]:
+        i = p.index(":")
+        m = int(p[:i])
+        return p[i + 1:i + 1 + m], p[i + 1 + m:]
+
+    cand = {_pack(g, v) for g, (_, mg) in state.items() for v in mg}
     cand_arr = pa.array(sorted(cand), pa.string())
 
     def count_pairs(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.and_(pc.is_valid(batch[group_col]),
                                      pc.is_valid(batch[value_col])))
         pair = pa.array(
-            [f"{g}\x00{v}" for g, v in
+            [_pack(g, v) for g, v in
              zip((str(x) for x in batch[group_col].to_pylist()),
                  (str(x) for x in batch[value_col].to_pylist()))],
             pa.string())
@@ -876,7 +886,7 @@ def grouped_heavy_hitters(ds, group_col: str, value_col: str,
              .take_all())
     rows = []
     for r in exact:
-        g, v = r["pair"].split("\x00", 1)
+        g, v = _unpack(r["pair"])
         if r["n"] > state[g][0] // (k + 1):
             rows.append((g, v, r["n"]))
     rows.sort(key=lambda t: (t[0], -t[2], t[1]))
@@ -903,10 +913,11 @@ def weighted_sample(ds, key_col: str, weight_col: str, k: int,
     them to k.  Returns pa.Table(<key_col>, weight float64,
     sample_key float64) sorted by sample_key desc.
     """
-    import hashlib
     import math
 
     from ray.data.aggregate import AggregateFn
+
+    from .dsir import _gumbel   # ONE source of truth for the draw
 
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -920,11 +931,8 @@ def weighted_sample(ds, key_col: str, weight_col: str, k: int,
         rows = state[:]
         for kv, w in zip(blk[key_col].to_pylist(),
                          blk[weight_col].to_pylist()):
-            h = hashlib.md5(f"{seed}:{kv}".encode()).digest()
-            u = (int.from_bytes(h[:8], "big") >> 11) / float(1 << 53)
-            u = min(max(u, 1e-12), 1.0 - 1e-12)
-            g = -math.log(-math.log(u))
-            rows.append((math.log(w) + g, kv, float(w)))
+            rows.append((math.log(w) + _gumbel(seed, kv), kv,
+                         float(w)))
         rows.sort(key=lambda r: -r[0])
         return rows[:k]
 

@@ -33,7 +33,8 @@ import os
 import pyarrow as pa
 
 _INT_ORDER = {pa.int8(): 0, pa.int16(): 1, pa.int32(): 2, pa.int64(): 3,
-              pa.uint8(): 0, pa.uint16(): 1, pa.uint32(): 2}
+              pa.uint8(): 0, pa.uint16(): 1, pa.uint32(): 2,
+              pa.uint64(): 3}
 _FLOATS = (pa.float32(), pa.float64())
 
 
@@ -46,6 +47,8 @@ def _unify(a: pa.DataType, b: pa.DataType):
     if all(ints):
         if pa.types.is_signed_integer(a) == pa.types.is_signed_integer(b):
             return a if _INT_ORDER[a] >= _INT_ORDER[b] else b
+        if pa.uint64() in (a, b):
+            return None   # no signed 64-bit type holds uint64
         # mixed signedness: the next-wider SIGNED type holds both
         w = max(_INT_ORDER[a], _INT_ORDER[b]) + 1   # 1..3 past int8
         return [pa.int8(), pa.int16(), pa.int32(),
@@ -174,11 +177,38 @@ def compact_parquet_dir(src_dir: str, out_dir: str,
     groups = _plan_groups(sized, target_mb * (1 << 20))
     os.makedirs(out_dir, exist_ok=True)
 
+    # the plan is a pure function of (sorted file list, sizes,
+    # target); pin it so a resume can never mix two plans — output
+    # names are positional, and a changed source set would silently
+    # pair stale compact-NNNNN files with different input groups
+    import json
+
+    plan = {"target_mb": target_mb,
+            "groups": [[os.path.basename(p) for p in g]
+                       for g in groups]}
+    plan_path = os.path.join(out_dir, "_plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            prev = json.load(f)
+        if prev != plan:
+            raise ValueError(
+                "compact_parquet_dir: existing outputs in "
+                f"{out_dir} were written under a DIFFERENT plan "
+                "(source files or target_mb changed) — remove the "
+                "output dir and re-run")
+    else:
+        tmp = plan_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(plan, f)
+        os.replace(tmp, plan_path)
+
     @ray.remote
     def compact_group(gid: int, paths: list[str]) -> tuple[int, int]:
         out = os.path.join(out_dir, f"compact-{gid:05d}.parquet")
         if resume and os.path.exists(out):
-            return (0, -1)   # -1 = skipped (row count unknown, done)
+            # skipped, but report the TRUE committed row count
+            # (footer metadata only — no data read)
+            return (pq.ParquetFile(out).metadata.num_rows, -1)
         tbl = pa.concat_tables([pq.read_table(p) for p in paths])
         tmp = out + ".tmp"
         pq.write_table(tbl, tmp)

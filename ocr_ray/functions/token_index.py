@@ -73,6 +73,9 @@ def build_token_index(sf_dir: str, out_dir: str, n_buckets: int = 32,
     os.makedirs(out_dir, exist_ok=True)
 
     def postings_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        batch = batch.filter(_pc.is_valid(batch["text"]))  # NULL text
         toks_out, docs_out, tfs_out, pos_out = [], [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                 batch["text"].to_pylist()):

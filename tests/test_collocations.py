@@ -89,3 +89,15 @@ class TestCollocationPMI:
         a = collocation_pmi(src, k=10, min_count=2)
         b = collocation_pmi(src, k=10, min_count=2)
         assert a.to_pydict() == b.to_pydict()
+
+    def test_null_text_skipped(self, ray_session, tmp_path):
+        import os
+
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b a b a b", None, "a b a b"],
+                             pa.string())}),
+            os.path.join(str(tmp_path), "documents.parquet"))
+        out = collocation_pmi(str(tmp_path), k=5, min_count=2)
+        assert ("a", "b") in {(r["w1"], r["w2"])
+                              for r in out.to_pylist()}

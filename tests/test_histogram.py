@@ -56,7 +56,7 @@ class TestColumnHistogram:
         import ray.data as rd
 
         tbl = pa.table({"x": pa.array([None, None], pa.float64())})
-        with pytest.raises(ValueError, match="no non-null"):
+        with pytest.raises(ValueError, match="no finite non-null"):
             column_histogram(rd.from_arrow(tbl), "x")
 
     def test_layout_independent(self, ray_session):
@@ -106,3 +106,25 @@ class TestPsiDrift:
             rng.normal(0.05, 1, 8_000))}))
         r = psi_drift(a, b, "x")
         assert r["psi"] < 0.1
+
+
+class TestDirtyData:
+    def test_nan_inf_counted_not_binned(self, ray_session):
+        import ray.data as rd
+
+        tbl = pa.table({"x": pa.array(
+            [1.0, float("nan"), float("-inf"), 2.0, 5.0],
+            pa.float64())})
+        h = column_histogram(rd.from_arrow(tbl).repartition(2), "x",
+                             bins=2)
+        # bounds discovered over FINITE values: [1, 5]
+        assert h["lo"] == 1.0 and h["hi"] == 5.0
+        assert h["n_nonfinite"] == 2
+        assert sum(h["table"]["n"].to_pylist()) == 3
+
+    def test_inverted_bounds_refused(self, ray_session):
+        import ray.data as rd
+
+        tbl = pa.table({"x": pa.array([1.0, 2.0], pa.float64())})
+        with pytest.raises(ValueError, match="swapped"):
+            column_histogram(rd.from_arrow(tbl), "x", lo=100, hi=5)

@@ -137,3 +137,17 @@ class TestPhraseSearch:
             tb = pq.read_table(f"{b}/{sub}/postings.parquet")
             assert ta.to_pydict() == tb.select(
                 ["token", "doc_id", "tf"]).to_pydict()
+
+
+class TestNullText:
+    def test_positional_build_skips_null_text(self, tmp_path,
+                                              ray_session):
+        os.makedirs(str(tmp_path / "c"), exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["x y x y", None], pa.string())}),
+            str(tmp_path / "c" / "documents.parquet"))
+        idx = str(tmp_path / "i")
+        build_token_index(str(tmp_path / "c"), idx, max_df_frac=1.0,
+                          store_positions=True)
+        assert _got(phrase_search(idx, "x y")) == {0: 2}

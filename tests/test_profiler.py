@@ -124,3 +124,37 @@ class TestProfilerEdges:
         ).fetchone()
         assert prof["ts"]["min"] == str(lo) and prof["ts"]["max"] == str(hi)
         assert prof["ts"]["mean"] is None
+
+
+class TestDirtyColumns:
+    def test_date32_and_uint64_survive(self, ray_session):
+        import datetime
+
+        import ray.data as rd
+
+        tbl = pa.table({
+            "d": pa.array([datetime.date(2026, 1, 1),
+                           datetime.date(2026, 3, 5), None],
+                          pa.date32()),
+            "u": pa.array([2**63 + 5, 1, 2], pa.uint64()),
+        })
+        prof = _prof_dict(profile_table(rd.from_arrow(tbl)))
+        assert prof["d"]["n_nulls"] == 1
+        assert prof["d"]["min"] == "2026-01-01"
+        assert prof["d"]["n_distinct"] == 2.0
+        # uint64 above int64 max: distinct falls back to the generic
+        # hash, mean is reported NULL instead of crashing
+        assert prof["u"]["n_distinct"] == 3.0
+        assert prof["u"]["max"] == str(2**63 + 5)
+        assert prof["u"]["mean"] is None
+
+    def test_nan_inf_float_column(self, ray_session):
+        import ray.data as rd
+
+        tbl = pa.table({"x": pa.array(
+            [1.0, float("nan"), float("inf"), 3.0], pa.float64())})
+        prof = _prof_dict(profile_table(rd.from_arrow(tbl)
+                                        .repartition(2)))
+        # mean over FINITE values only: (1+3)/2
+        assert prof["x"]["mean"] == 2.0
+        assert prof["x"]["n_rows"] == 4 and prof["x"]["n_nulls"] == 0

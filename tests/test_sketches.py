@@ -591,3 +591,23 @@ class TestWeightedSample:
                             seed=s)["id"][0].as_py() == 0
             for s in range(20))
         assert hits >= 19
+
+
+class TestGroupedHeavyHittersNulByte:
+    def test_group_containing_nul_and_colon(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import grouped_heavy_hitters
+
+        # group names with NUL and digit:colon prefixes — the packed
+        # candidate key must round-trip (length-prefixed, reviewed)
+        rows = ([("a\x00b", "v")] * 6 + [("a", "b\x00v")] * 6
+                + [("12:x", "y")] * 6)
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.string()),
+        })).repartition(3)
+        out = grouped_heavy_hitters(ds, "g", "v", k=4).to_pylist()
+        got = {(r["g"], r["value"]): r["n"] for r in out}
+        assert got == {("a\x00b", "v"): 6, ("a", "b\x00v"): 6,
+                       ("12:x", "y"): 6}

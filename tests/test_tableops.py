@@ -126,7 +126,9 @@ class TestCompact:
         assert first["n_skipped"] == 0
         again = compact_parquet_dir(src, out, target_mb=1)
         assert again["n_skipped"] == again["n_output_files"]
-        assert again["n_rows"] == 0   # nothing rewritten
+        # skipped groups still report the TRUE committed row count
+        # (footer metadata) — a resume must not claim 0 rows
+        assert again["n_rows"] == first["n_rows"] == 6 * 500
 
     def test_schema_mismatch_refused(self, ray_session, tmp_path):
         src = str(tmp_path / "src")
@@ -143,3 +145,27 @@ class TestCompact:
         os.makedirs(src)
         with pytest.raises(ValueError, match="no parquet"):
             compact_parquet_dir(src, str(tmp_path / "out"))
+
+
+class TestReviewFixes:
+    def test_uint64_widening(self):
+        assert _unify(pa.uint32(), pa.uint64()).equals(pa.uint64())
+        assert _unify(pa.uint64(), pa.uint8()).equals(pa.uint64())
+        # no signed 64-bit type holds uint64 — refuse, don't truncate
+        assert _unify(pa.uint64(), pa.int64()) is None
+        assert _unify(pa.int32(), pa.uint64()) is None
+
+    def test_changed_plan_refused(self, ray_session, tmp_path):
+        src, out = str(tmp_path / "src"), str(tmp_path / "out")
+        os.makedirs(src)
+        for i in range(4):
+            pq.write_table(pa.table({
+                "a": pa.array([i] * 100, pa.int64())}),
+                os.path.join(src, f"p{i}.parquet"))
+        compact_parquet_dir(src, out, target_mb=1)
+        # the source set changes: positional group ids no longer mean
+        # the same inputs — a resume must refuse, not silently mix
+        pq.write_table(pa.table({"a": pa.array([9] * 100, pa.int64())}),
+                       os.path.join(src, "p9.parquet"))
+        with pytest.raises(ValueError, match="DIFFERENT plan"):
+            compact_parquet_dir(src, out, target_mb=1)
