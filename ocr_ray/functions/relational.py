@@ -1933,3 +1933,47 @@ def bloom_pruned_join(large_ds, small_ds, on: str,
     info = {"strategy": "bloom+hash", "right_rows": int(n_right),
             "bloom_bits": bloom_bits}
     return (out, info) if explain else out
+
+
+def explode(ds, list_col: str, id_cols: list,
+            ordinal_col: str = "ordinal", value_col: str = "value"):
+    """UNNEST WITH ORDINALITY: one output row per list ELEMENT, with
+    the id columns repeated and the element's 1-based position.  NULL
+    and empty lists produce no rows (SQL unnest semantics).  Map-only
+    — no shuffle; the expansion is pure ListArray offset arithmetic
+    (np.repeat of the id columns by per-row lengths), never a Python
+    loop over elements.
+
+    SQL mirror (DuckDB, which lacks WITH ORDINALITY):
+    ``SELECT id..., s.i AS ordinal, list_col[s.i] AS value
+    FROM t, unnest(generate_series(1, len(list_col))) AS s(i)``.
+    """
+    import ray.data  # noqa: F401
+
+    def expand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {**{c: batch[c] for c in id_cols},
+                 ordinal_col: pa.array([], pa.int64()),
+                 value_col: pa.array(
+                     [], batch[list_col].type.value_type)})
+        la = batch[list_col].combine_chunks()
+        # null list rows contribute 0 elements: mask their lengths
+        valid = la.is_valid().to_numpy(zero_copy_only=False)
+        lengths = np.asarray(pc.list_value_length(la)
+                             .fill_null(0).to_pylist(), np.int64)
+        lengths = np.where(valid, lengths, 0)
+        flat = pc.list_flatten(la)   # skips null lists' slots
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64),
+                        lengths)
+        # 1-based ordinal within each source row
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        ordinal = (np.arange(int(lengths.sum()), dtype=np.int64)
+                   - np.repeat(starts, lengths) + 1)
+        cols = {c: batch[c].take(pa.array(idx, pa.int64()))
+                for c in id_cols}
+        cols[ordinal_col] = pa.array(ordinal, pa.int64())
+        cols[value_col] = flat
+        return pa.table(cols)
+
+    return ds.map_batches(expand, batch_format="pyarrow")

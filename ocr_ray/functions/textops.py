@@ -825,3 +825,48 @@ LEFT JOIN tot ON d.doc_id = tot.doc_id
 LEFT JOIN top ON d.doc_id = top.doc_id AND top.rn = 1
 ORDER BY d.doc_id
 """
+
+
+def regexp_extract_rows(sf_dir: str, pattern: str,
+                        max_matches_per_doc: int = 10_000):
+    """Every match of ``pattern`` as its own row: (doc_id, match_idx
+    1-based, match, start, end) — the generic flat_map extractor
+    behind "pull every email / id / URL out of the corpus".  Map-only
+    (compiled once per task, finditer per doc); ``max_matches_per_doc``
+    caps pathological docs (a match-everything pattern on a huge doc)
+    with the count still reported via the cap — raise it explicitly
+    when you mean it.
+
+    Offsets are Python ``re`` character offsets.  The SQL-checkable
+    mirror covers (doc_id, match_idx, match):
+    ``SELECT doc_id, s.i AS match_idx, m[s.i] AS match FROM (SELECT
+    doc_id, regexp_extract_all(text, pat) m FROM documents),
+    unnest(generate_series(1, len(m))) s(i)`` — keep patterns inside
+    the re/RE2 common subset (no lookarounds, no backreferences) for
+    cross-engine parity, the blocklist module's rule.
+    """
+    compiled = re.compile(pattern)
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        docs, idxs, matches, starts, ends = [], [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            for i, m in enumerate(compiled.finditer(text)):
+                if i >= max_matches_per_doc:
+                    break
+                docs.append(doc_id)
+                idxs.append(i + 1)
+                matches.append(m.group(0))
+                starts.append(m.start())
+                ends.append(m.end())
+        return pa.table({
+            "doc_id": pa.array(docs, pa.int64()),
+            "match_idx": pa.array(idxs, pa.int64()),
+            "match": pa.array(matches, pa.string()),
+            "start": pa.array(starts, pa.int64()),
+            "end": pa.array(ends, pa.int64())})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
