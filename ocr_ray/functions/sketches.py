@@ -949,3 +949,72 @@ def weighted_sample(ds, key_col: str, weight_col: str, k: int,
         "weight": pa.array([r[2] for r in rows], pa.float64()),
         "sample_key": pa.array([r[0] for r in rows], pa.float64()),
     })
+
+
+def grouped_weighted_sample(ds, group_col: str, key_col: str,
+                            weight_col: str, k: int,
+                            seed: int = 17) -> pa.Table:
+    """``weighted_sample`` PER GROUP: for each group, k keys drawn
+    w.p. proportional to weight, without replacement (Gumbel-top-k
+    with the shared dsir draw) — "the k best-weighted docs per
+    source" as one streaming aggregate.  State is n_groups x k rows
+    (the stratified_fixed_sample low-cardinality-group contract);
+    NULL groups/weights and non-positive weights are skipped.
+
+    Deterministic: each key's sample_key is a pure function of
+    (seed, key value), so the per-group sample is independent of
+    layout, merge order, and day.
+
+    Returns pa.Table(<group_col>, <key_col> as string, weight,
+    sample_key) sorted by (group asc, sample_key desc)."""
+    import math
+
+    from ray.data.aggregate import AggregateFn
+
+    from .dsir import _gumbel
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def acc_block(state: dict, blk: pa.Table) -> dict:
+        import pyarrow.compute as pc
+
+        blk = blk.filter(pc.and_(
+            pc.is_valid(blk[group_col]),
+            pc.and_(pc.is_valid(blk[weight_col]),
+                    pc.greater(blk[weight_col], pa.scalar(0)))))
+        if blk.num_rows == 0:
+            return state
+        state = dict(state)
+        for g, kv, w in zip(blk[group_col].to_pylist(),
+                            blk[key_col].to_pylist(),
+                            blk[weight_col].to_pylist()):
+            rows = list(state.get(g, ()))
+            rows.append((math.log(w) + _gumbel(seed, kv), str(kv),
+                         float(w)))
+            rows.sort(key=lambda r: -r[0])
+            state[g] = tuple(rows[:k])
+        return state
+
+    def merge(a: dict, b: dict) -> dict:
+        out = dict(a)
+        for g, rows in b.items():
+            combined = list(out.get(g, ())) + list(rows)
+            combined.sort(key=lambda r: -r[0])
+            out[g] = tuple(combined[:k])
+        return out
+
+    agg = AggregateFn(init=lambda _: {}, merge=merge,
+                      accumulate_block=acc_block, name="gws")
+    state: dict = ds.aggregate(agg)["gws"] or {}
+    gs, ks, ws, sk = [], [], [], []
+    for g in sorted(state, key=str):
+        for key_s, kv, w in state[g]:
+            gs.append(g)
+            ks.append(kv)
+            ws.append(w)
+            sk.append(key_s)
+    return pa.table({group_col: pa.array(gs),
+                     key_col: pa.array(ks, pa.string()),
+                     "weight": pa.array(ws, pa.float64()),
+                     "sample_key": pa.array(sk, pa.float64())})

@@ -611,3 +611,55 @@ class TestGroupedHeavyHittersNulByte:
         got = {(r["g"], r["value"]): r["n"] for r in out}
         assert got == {("a\x00b", "v"): 6, ("a", "b\x00v"): 6,
                        ("12:x", "y"): 6}
+
+
+class TestGroupedWeightedSample:
+    def test_per_group_bruteforce_and_layout(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from ocr_ray.functions.dsir import _gumbel
+        from ocr_ray.functions.sketches import grouped_weighted_sample
+
+        rng = np.random.default_rng(4)
+        n = 3_000
+        tbl = pa.table({
+            "src": pa.array([f"s{i % 4}" for i in range(n)],
+                            pa.string()),
+            "id": pa.array(np.arange(n), pa.int64()),
+            "w": pa.array(rng.exponential(1.0, n), pa.float64()),
+        })
+        want = {}
+        for g, kv, w in zip(tbl["src"].to_pylist(),
+                            tbl["id"].to_pylist(),
+                            tbl["w"].to_pylist()):
+            want.setdefault(g, []).append(
+                (math.log(w) + _gumbel(17, kv), str(kv)))
+        want = {g: [kv for _, kv in
+                    sorted(rows, key=lambda r: -r[0])[:25]]
+                for g, rows in want.items()}
+        for parts in (1, 6):
+            out = grouped_weighted_sample(
+                rd.from_arrow(tbl).repartition(parts), "src", "id",
+                "w", 25)
+            got = {}
+            for r in out.to_pylist():
+                got.setdefault(r["src"], []).append(r["id"])
+            assert got == want
+
+    def test_small_group_returns_all(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.sketches import grouped_weighted_sample
+
+        tbl = pa.table({
+            "src": pa.array(["a", "a", "b"], pa.string()),
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "w": pa.array([1.0, 0.0, 5.0], pa.float64()),
+        })
+        out = grouped_weighted_sample(
+            rd.from_arrow(tbl), "src", "id", "w", 10).to_pylist()
+        # w=0 row excluded; the rest all survive (k > group size)
+        assert {(r["src"], r["id"]) for r in out} == \
+            {("a", "1"), ("b", "3")}
