@@ -437,6 +437,19 @@ def run_queries() -> dict:
         times["profile_columns"] = int(n_cols)
     except Exception as e:  # pragma: no cover - defensive
         times["profile_table"] = f"error: {type(e).__name__}"
+    # full corpus-health audit (round 5): profile + contract + dup
+    # rate + length histogram + source x lang mix — the pre-curation
+    # gate's end-to-end cost
+    try:
+        from ocr_ray.pipelines.health import corpus_health
+
+        t0 = time.time()
+        h = corpus_health(SF_DIR)
+        times["corpus_health"] = round(time.time() - t0, 2)
+        times["corpus_health_passed"] = bool(h["contract_passed"])
+        times["corpus_health_dup_rate"] = h["dup_rate"]
+    except Exception as e:  # pragma: no cover - defensive
+        times["corpus_health"] = f"error: {type(e).__name__}"
     return times
 
 
