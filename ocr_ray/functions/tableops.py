@@ -176,6 +176,12 @@ def compact_parquet_dir(src_dir: str, out_dir: str,
 
     groups = _plan_groups(sized, target_mb * (1 << 20))
     os.makedirs(out_dir, exist_ok=True)
+    # sweep stale tmps from killed tasks: incomplete by definition
+    # (the atomic rename is the only commit), and a later directory
+    # read would otherwise trip over them
+    for f in os.listdir(out_dir):
+        if ".tmp-" in f:
+            os.unlink(os.path.join(out_dir, f))
 
     # the plan is a pure function of (sorted file list, sizes,
     # target); pin it so a resume can never mix two plans — output

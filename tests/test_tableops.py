@@ -169,3 +169,42 @@ class TestReviewFixes:
                        os.path.join(src, "p9.parquet"))
         with pytest.raises(ValueError, match="DIFFERENT plan"):
             compact_parquet_dir(src, out, target_mb=1)
+
+    def test_interrupted_compaction_resumes_exactly(self, ray_session,
+                                                    tmp_path):
+        """Atomic-commit contract: after an interrupted run (simulated
+        by pre-writing only SOME outputs and leaving a stale tmp), a
+        resume completes the rest, ignores the tmp, and the final
+        directory equals a fresh compaction byte-for-byte."""
+        import ray.data as rd
+
+        from ocr_ray.functions.fingerprint import tables_equal
+
+        src = str(tmp_path / "src")
+        TestCompact._write_small_files(TestCompact(), src, n_files=8,
+                                       rows=20_000)
+        fresh = str(tmp_path / "fresh")
+        compact_parquet_dir(src, fresh, target_mb=1)
+
+        # "interrupted" run: copy plan + first output only, plus a
+        # stale .tmp that a killed task would leave behind
+        import shutil
+
+        part = str(tmp_path / "part")
+        os.makedirs(part)
+        shutil.copy(os.path.join(fresh, "_plan.json"), part)
+        done = sorted(f for f in os.listdir(fresh)
+                      if f.startswith("compact-"))
+        shutil.copy(os.path.join(fresh, done[0]), part)
+        with open(os.path.join(part, done[1] + ".tmp-999"), "w") as f:
+            f.write("garbage from a killed task")
+
+        res = compact_parquet_dir(src, part, target_mb=1)
+        assert res["n_skipped"] == 1          # the pre-done group
+        assert res["n_rows"] == 8 * 20_000    # true total either way
+        got = sorted(f for f in os.listdir(part)
+                     if f.startswith("compact-") and
+                     f.endswith(".parquet"))
+        assert got == done
+        assert tables_equal(rd.read_parquet(fresh),
+                            rd.read_parquet(part))
