@@ -151,3 +151,101 @@ def bloom_contamination_check(sf_dir: str, n_probe_docs: int = 3,
                          "n_hits": pa.array(out_n, pa.int64())})
 
     return ds.map_batches(scan, batch_format="pyarrow", batch_size=2048)
+
+
+# ------------------------------------------------- persistence / merge
+#
+# Incremental decontamination: each eval-set (or corpus) increment
+# builds its own filter distributed, the increments OR-merge into one
+# persistent file, and later probes load it — the band-index
+# append/compaction story applied to the Bloom family.  OR-merge is
+# EXACTLY the distributed builder's merge step, so
+# merge(build(A), build(B)) == build(A ∪ B) bit for bit.
+
+_BLOOM_MAGIC = b"ORBF"
+_HEADER_LEN = 4 + 3 * 8  # magic + window/m_bits/k_hashes int64s
+
+
+def save_bloom(blob: bytes, path: str, *, window: int,
+               m_bits: int, k_hashes: int) -> None:
+    """Atomic (tmp+rename) single-file write: 28-byte header (magic +
+    the three parameters that define gram geometry and bit layout)
+    followed by the bit array.  The header makes parameter-mismatched
+    merges/probes refusable instead of silently wrong."""
+    import os
+    import struct
+
+    if len(blob) != (m_bits + 7) // 8:
+        raise ValueError(f"blob is {len(blob)} bytes, expected "
+                         f"{(m_bits + 7) // 8} for m_bits={m_bits}")
+    header = _BLOOM_MAGIC + struct.pack("<qqq", window, m_bits, k_hashes)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(header)
+        f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def load_bloom(path: str) -> tuple[bytes, dict]:
+    """(bit blob, {window, m_bits, k_hashes}); refuses foreign files."""
+    import struct
+
+    with open(path, "rb") as f:
+        header = f.read(_HEADER_LEN)
+        blob = f.read()
+    if len(header) != _HEADER_LEN or header[:4] != _BLOOM_MAGIC:
+        raise ValueError(f"{path} is not a saved bloom filter")
+    window, m_bits, k_hashes = struct.unpack("<qqq", header[4:])
+    if len(blob) != (m_bits + 7) // 8:
+        raise ValueError(f"{path} truncated: {len(blob)} bytes for "
+                         f"m_bits={m_bits}")
+    return blob, {"window": window, "m_bits": m_bits,
+                  "k_hashes": k_hashes}
+
+
+def merge_blooms(*blobs: bytes) -> bytes:
+    """Bitwise-OR union of same-sized filters — equal to building one
+    filter over the union of their corpora."""
+    if not blobs:
+        raise ValueError("need at least one blob")
+    sizes = {len(b) for b in blobs}
+    if len(sizes) != 1:
+        raise ValueError(f"mismatched filter sizes {sorted(sizes)} — "
+                         "filters must share m_bits to merge")
+    acc = np.frombuffer(blobs[0], np.uint8).copy()
+    for b in blobs[1:]:
+        np.bitwise_or(acc, np.frombuffer(b, np.uint8), out=acc)
+    return acc.tobytes()
+
+
+def append_to_bloom_file(path: str, ds, *, window: int = 8,
+                         m_bits: int = 1 << 23,
+                         k_hashes: int = 4) -> dict:
+    """Build a filter over ``ds`` (distributed) and OR it into the
+    file at ``path`` (created if absent).  Parameters must match the
+    existing file's header — mismatches are refused with the remedy
+    (rebuild at the new geometry) rather than silently mixing
+    incompatible bit layouts.  Returns the post-merge metadata."""
+    if _osp_exists(path):
+        base, meta = load_bloom(path)
+        if (meta["window"], meta["m_bits"],
+                meta["k_hashes"]) != (window, m_bits, k_hashes):
+            raise ValueError(
+                f"{path} was built with {meta}; cannot append at "
+                f"window={window}, m_bits={m_bits}, k_hashes={k_hashes}."
+                " Rebuild the filter file at one geometry.")
+    else:
+        base = bytes((m_bits + 7) // 8)
+    inc = build_ngram_bloom(ds, window=window, m_bits=m_bits,
+                            k_hashes=k_hashes)
+    save_bloom(merge_blooms(base, inc), path, window=window,
+               m_bits=m_bits, k_hashes=k_hashes)
+    return {"window": window, "m_bits": m_bits, "k_hashes": k_hashes}
+
+
+def _osp_exists(path: str) -> bool:
+    import os
+
+    return os.path.exists(path)

@@ -54,18 +54,25 @@ def _as_dataset(obj):
     return obj.select_columns(["doc_id", "text"])
 
 
-def ngram_novelty_scores(eval_ds, train_dir: str, window: int = 8,
-                         mode: str = "exact", m_bits: int = 1 << 23,
-                         k_hashes: int = 4):
+def ngram_novelty_scores(eval_ds, train_dir: str | None = None,
+                         window: int = 8, mode: str = "exact",
+                         m_bits: int = 1 << 23, k_hashes: int = 4,
+                         bloom_path: str | None = None):
     """Dataset[doc_id, n_grams, n_seen, novelty] over the eval docs.
 
     ``eval_ds``: Dataset or pa.Table with (doc_id:int64, text);
     ``train_dir``: sf-style dir whose documents.parquet is the
-    reference corpus.  Novelty rounds half-up to 1e-4."""
+    reference corpus.  ``bloom_path`` (bloom mode only) probes a
+    persisted filter (``bloom.save_bloom`` / ``append_to_bloom_file``)
+    instead of building one — its header overrides m_bits/k_hashes and
+    must agree on ``window``.  Novelty rounds half-up to 1e-4."""
     if mode == "bloom":
-        return _novelty_bloom(eval_ds, train_dir, window, m_bits, k_hashes)
+        return _novelty_bloom(eval_ds, train_dir, window, m_bits,
+                              k_hashes, bloom_path)
     if mode != "exact":
         raise ValueError(f"unknown mode {mode!r} (exact|bloom)")
+    if train_dir is None:
+        raise ValueError("exact mode needs train_dir")
     return _novelty_exact(eval_ds, train_dir, window)
 
 
@@ -158,12 +165,26 @@ def _novelty_exact(eval_ds, train_dir: str, window: int):
     return rolled.map_batches(_finalize, batch_format="pyarrow")
 
 
-def _novelty_bloom(eval_ds, train_dir: str, window: int,
-                   m_bits: int, k_hashes: int):
+def _novelty_bloom(eval_ds, train_dir: str | None, window: int,
+                   m_bits: int, k_hashes: int,
+                   bloom_path: str | None = None):
     from .bloom import _positions, _win_digests, build_ngram_bloom
 
-    blob = build_ngram_bloom(_read(train_dir, ["text"]), window=window,
-                             m_bits=m_bits, k_hashes=k_hashes)
+    if bloom_path is not None:
+        from .bloom import load_bloom
+
+        blob, meta = load_bloom(bloom_path)
+        if meta["window"] != window:
+            raise ValueError(
+                f"{bloom_path} was built at window={meta['window']}, "
+                f"probe asked window={window} — gram geometries differ")
+        m_bits, k_hashes = meta["m_bits"], meta["k_hashes"]
+    else:
+        if train_dir is None:
+            raise ValueError("bloom mode needs train_dir or bloom_path")
+        blob = build_ngram_bloom(_read(train_dir, ["text"]),
+                                 window=window, m_bits=m_bits,
+                                 k_hashes=k_hashes)
     bits = np.frombuffer(blob, dtype=np.uint8)
 
     def score(batch: pa.Table, bits=bits) -> pa.Table:
