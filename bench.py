@@ -450,6 +450,58 @@ def run_queries() -> dict:
         times["corpus_health_dup_rate"] = h["dup_rate"]
     except Exception as e:  # pragma: no cover - defensive
         times["corpus_health"] = f"error: {type(e).__name__}"
+    # mojibake repair sweep (round 5): RE2 pre-filter + conservative
+    # repair kernel + one summary aggregate over the documents table
+    try:
+        from ocr_ray.functions.encfix import encoding_health_stats
+
+        t0 = time.time()
+        row = encoding_health_stats(SF_DIR).to_pylist()[0]
+        times["encoding_health"] = round(time.time() - t0, 2)
+        times["encoding_repaired"] = int(row["n_repaired"])
+    except Exception as e:  # pragma: no cover - defensive
+        times["encoding_health"] = f"error: {type(e).__name__}"
+    # per-doc n-gram novelty, exact mode (round 5): one gram shuffle +
+    # doc rollup; 200 probe docs scored against the full corpus
+    try:
+        import ray.data as _rd
+
+        from ocr_ray.functions.novelty import ngram_novelty_scores
+
+        ev = _rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text"]).limit(200)
+        t0 = time.time()
+        nov = ngram_novelty_scores(ev, SF_DIR, window=8).to_pandas()
+        times["ngram_novelty"] = round(time.time() - t0, 2)
+        times["ngram_novelty_rows"] = len(nov)
+    except Exception as e:  # pragma: no cover - defensive
+        times["ngram_novelty"] = f"error: {type(e).__name__}"
+    # cross-dataset fuzzy join (round 5): documents vs a mutated 300-doc
+    # copy — side-tagged band shuffle + exact-Jaccard verify
+    try:
+        import pyarrow.parquet as _pq
+
+        from ocr_ray.functions.fuzzyjoin import fuzzy_join
+
+        t = _pq.read_table(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+        texts = t["text"].to_pylist()[:300]
+        mut = [" ".join(w for i, w in enumerate(x.split()) if i % 25)
+               for x in texts]
+        right = pa.table({
+            "doc_id": pa.array([10_000_000 + i for i in range(len(mut))],
+                               pa.int64()),
+            "text": pa.array(mut, pa.string())})
+        t0 = time.time()
+        fj = fuzzy_join(t, right, jaccard_threshold=0.7).to_pandas()
+        times["fuzzy_join"] = round(time.time() - t0, 2)
+        hits = {(r.left_id, r.right_id) for r in fj.itertuples()}
+        planted = {(t["doc_id"][i].as_py(), 10_000_000 + i)
+                   for i in range(len(mut))}
+        times["fuzzy_join_recall"] = round(
+            len(hits & planted) / max(1, len(planted)), 3)
+    except Exception as e:  # pragma: no cover - defensive
+        times["fuzzy_join"] = f"error: {type(e).__name__}"
     return times
 
 
