@@ -29,7 +29,8 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
                    max_chars: int = 20000,
                    min_alpha_ratio: float = 0.5,
                    write_chunks: bool = True,
-                   pack_budget_tokens: int | None = None) -> dict:
+                   pack_budget_tokens: int | None = None,
+                   fix_encoding: bool = False) -> dict:
     """Run the full preparation flow; returns the manifest dict.
 
     Output layout: ``{out_dir}/chunks/`` (doc_id, chunk_id, n_tokens,
@@ -78,6 +79,16 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     # the surviving-chunk write's re-read (needs text, by design).
     docs = clean_read(f"{sf_dir}/documents.parquet",
                       columns=["doc_id", "text"])
+    if fix_encoding:
+        # mojibake repair rides the SAME scan (map fuses with the
+        # read): every downstream feature — quality ratio, md5,
+        # minhash, contamination grams, chunk text — sees the repaired
+        # text, and the chunk-write pass below applies the identical
+        # deterministic repair on its own read
+        from ..functions.encfix import fix_mojibake_batch
+
+        docs = docs.map_batches(fix_mojibake_batch,
+                                batch_format="pyarrow")
     probe_ids, probe_set = contamination_probe(
         sf_dir, n_probe_docs=n_probe_docs, probe_path=probe_path)
     win_hashes = _win_hashes_fn(8)
@@ -104,6 +115,8 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
                 "reason": pa.array(reason, pa.string()),
                 "text_md5": pa.array(md5, pa.string()),
                 "n_hits": pa.array(n_hits, pa.int64())}
+        if "enc_fix_rounds" in batch.column_names:
+            cols["enc_fix_rounds"] = batch["enc_fix_rounds"]
         if with_minhash:
             mh = minhash_feature_batch(batch, mh_a, mh_b)
             cols["sig"] = mh["sig"]
@@ -113,6 +126,9 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
     feats = docs.map_batches(featurize, batch_format="pyarrow",
                              batch_size=1024).materialize()
     n_input = feats.count()
+    if fix_encoding:
+        manifest["encoding_repaired"] = int(
+            feats.filter(expr="enc_fix_rounds > 0").count())
 
     from ray.data.aggregate import Count, Min
     drop_counts = {r["reason"]: r["n"] for r in

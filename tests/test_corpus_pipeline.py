@@ -338,3 +338,63 @@ class TestCheckpointedGuards:
         assert m["n_chunks"] == 0 and m["kept_docs"] == 0
         m2 = prepare_corpus_checkpointed(str(d), out, n_shards=2)
         assert m2["n_chunks"] == 0
+
+
+class TestFixEncodingStage:
+    @pytest.fixture(scope="class")
+    def moji_corpus_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("moji")
+
+        def prose(seed: str) -> str:
+            return " ".join(f"{seed}{i} cuvant{(i * 7) % 13}"
+                            for i in range(40))
+
+        base = ("hotarare privind organizarea si functionarea consiliului "
+                "local al municipiului in sedinta ordinara din luna "
+                "februarie cu privire la aprobarea bugetului local ")
+        clean = base + "și ță ăî â ș ț diacritice multe " + base
+        moji = clean.encode("utf-8").decode("cp1252")
+        rows = [
+            # probes (3 smallest ids): prose disjoint from the planted
+            # docs so decontamination never removes them
+            {"doc_id": 1, "text": "probe one " + prose("pa")},
+            {"doc_id": 2, "text": "probe two " + prose("pb")},
+            {"doc_id": 3, "text": "probe three " + prose("pc")},
+            {"doc_id": 50, "text": clean},   # clean original
+            {"doc_id": 51, "text": moji},    # mojibake'd copy of 50
+            {"doc_id": 60, "text": prose("other") + " unique tail"},
+        ]
+        pq.write_table(pa.Table.from_pylist(rows),
+                       str(d / "documents.parquet"))
+        return str(d)
+
+    def test_repair_unifies_dups_and_fixes_chunks(self, ray_session,
+                                                  moji_corpus_dir,
+                                                  tmp_path):
+        """With fix_encoding on, the misdecoded copy repairs to its
+        clean twin BEFORE hashing — so exact dedup removes it — and
+        every surviving chunk holds repaired text."""
+        from ocr_ray.pipelines.corpus_pipeline import prepare_corpus
+
+        out = str(tmp_path / "out_fix")
+        m = prepare_corpus(moji_corpus_dir, out, fix_encoding=True,
+                           near_dedup=False)
+        assert m["encoding_repaired"] == 1
+        chunks = pads.dataset(f"{out}/chunks").to_table()
+        kept = set(chunks["doc_id"].to_pylist())
+        assert 50 in kept and 51 not in kept      # dup removed via repair
+        texts = " ".join(chunks["text"].to_pylist())
+        assert "Ã" not in texts and "È" not in texts
+
+    def test_default_off_keeps_mojibake(self, ray_session,
+                                        moji_corpus_dir, tmp_path):
+        from ocr_ray.pipelines.corpus_pipeline import prepare_corpus
+
+        out = str(tmp_path / "out_raw")
+        m = prepare_corpus(moji_corpus_dir, out, near_dedup=False)
+        assert "encoding_repaired" not in m
+        chunks = pads.dataset(f"{out}/chunks").to_table()
+        kept = set(chunks["doc_id"].to_pylist())
+        assert {50, 51} <= kept                   # different md5s: both stay
+        texts = " ".join(chunks["text"].to_pylist())
+        assert "Ã" in texts
