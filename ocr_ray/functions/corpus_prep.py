@@ -1627,3 +1627,71 @@ SELECT source, n_tokens,
        END AS epochs
 FROM p ORDER BY source
 """
+
+
+# ------------------------------------------- sentence-boundary chunking
+
+def sentence_chunk_batch(batch: pa.Table,
+                         max_tokens: int = 128) -> pa.Table:
+    """Greedy sentence-boundary chunking — the retrieval/embedding
+    complement to the overlapping token-window chunker: chunks never
+    split a sentence, so no chunk starts or ends mid-thought.
+
+    Greedy rule: sentences (``kernels.summarize.split_sentences`` — the
+    ONE sentence geometry in the repo) append to the open chunk while
+    the token total stays <= max_tokens; a sentence that cannot fit an
+    EMPTY chunk becomes its own chunk flagged ``oversize`` (never
+    silently split or dropped — the packing module's oversize
+    discipline).  Chunk text joins sentences with one space; schema
+    matches chunk_batch_with_text (+ oversize:bool) so the pack/dedup
+    stages consume either chunk family unchanged.
+    """
+    import hashlib as _h
+
+    from ..kernels.summarize import split_sentences
+
+    rows = {"doc_id": [], "chunk_id": [], "n_tokens": [],
+            "chunk_md5": [], "text": [], "oversize": []}
+    for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+        sents = split_sentences(text or "")
+        chunks: list[tuple[str, int, bool]] = []
+        cur: list[str] = []
+        cur_toks = 0
+        for s in sents:
+            nt = len(_tokens(s))
+            if cur and cur_toks + nt > max_tokens:
+                chunks.append((" ".join(cur), cur_toks, False))
+                cur, cur_toks = [], 0
+            if nt > max_tokens:
+                chunks.append((s, nt, True))
+            else:
+                cur.append(s)
+                cur_toks += nt
+        if cur:
+            chunks.append((" ".join(cur), cur_toks, False))
+        if not chunks:
+            chunks = [("", 0, False)]   # empty doc: one empty chunk
+        for i, (txt, nt, ovs) in enumerate(chunks):
+            rows["doc_id"].append(doc_id)
+            rows["chunk_id"].append(i)
+            rows["n_tokens"].append(nt)
+            rows["chunk_md5"].append(_h.md5(txt.encode()).hexdigest())
+            rows["text"].append(txt)
+            rows["oversize"].append(ovs)
+    return pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "chunk_id": pa.array(rows["chunk_id"], pa.int64()),
+        "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+        "chunk_md5": pa.array(rows["chunk_md5"], pa.string()),
+        "text": pa.array(rows["text"], pa.string()),
+        "oversize": pa.array(rows["oversize"], pa.bool_()),
+    })
+
+
+def sentence_chunk_documents(sf_dir: str, max_tokens: int = 128):
+    """Sentence-boundary chunks over the corpus — map-only."""
+    ds = _read(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(sentence_chunk_batch, batch_format="pyarrow",
+                          batch_size=1024,
+                          fn_kwargs={"max_tokens": max_tokens})

@@ -430,3 +430,105 @@ class TestRepetitionStats:
         got = out.sort_index()
         for c in ("n_lines", "dup_lines", "n_bigrams", "top_bigram_count"):
             assert list(got[c]) == [int(v) for v in want[c]], c
+
+
+class TestSentenceChunking:
+    def _ref(self, text, max_tokens):
+        """Independent reference loop."""
+        from ocr_ray.functions.corpus_prep import _tokens
+        from ocr_ray.kernels.summarize import split_sentences
+
+        out, cur, ct = [], [], 0
+        for s in split_sentences(text or ""):
+            nt = len(_tokens(s))
+            if cur and ct + nt > max_tokens:
+                out.append((" ".join(cur), ct, False))
+                cur, ct = [], 0
+            if nt > max_tokens:
+                out.append((s, nt, True))
+            else:
+                cur.append(s)
+                ct += nt
+        if cur:
+            out.append((" ".join(cur), ct, False))
+        return out or [("", 0, False)]
+
+    def test_no_sentence_split_and_budget(self):
+        import pyarrow as pa
+
+        from ocr_ray.functions.corpus_prep import sentence_chunk_batch
+        from ocr_ray.kernels.summarize import split_sentences
+
+        doc = " ".join(f"Sentence number {i} has exactly seven words."
+                       for i in range(30))
+        t = sentence_chunk_batch(
+            pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([doc])}), max_tokens=20)
+        assert t.num_rows > 1
+        sents = set(split_sentences(doc))
+        for row in t.to_pylist():
+            assert row["n_tokens"] <= 20 or row["oversize"]
+            # every chunk is a concatenation of WHOLE sentences
+            for s in split_sentences(row["text"]):
+                assert s in sents
+        # order-preserving reassembly: chunks joined == original
+        joined = " ".join(r["text"] for r in t.to_pylist())
+        assert joined == doc
+
+    def test_oversize_sentence_flagged_not_split(self):
+        import pyarrow as pa
+
+        from ocr_ray.functions.corpus_prep import sentence_chunk_batch
+
+        long_sent = " ".join(f"w{i}" for i in range(50)) + "."
+        doc = "Short one. " + long_sent + " Short two."
+        t = sentence_chunk_batch(
+            pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([doc])}), max_tokens=10)
+        rows = t.to_pylist()
+        ovs = [r for r in rows if r["oversize"]]
+        assert len(ovs) == 1 and ovs[0]["n_tokens"] == 50
+        assert ovs[0]["text"] == long_sent
+        assert all(r["n_tokens"] <= 10 for r in rows if not r["oversize"])
+
+    def test_matches_reference_on_varied_docs(self):
+        import pyarrow as pa
+
+        from ocr_ray.functions.corpus_prep import sentence_chunk_batch
+
+        docs = [
+            "",
+            "no terminal punctuation at all",
+            "One. Two. Three. Four. Five.",
+            "A single very long sentence " + "pad " * 40 + "ends here.",
+            "Mix! Of? Punctuation. And\nnewlines too. Final",
+        ]
+        t = sentence_chunk_batch(
+            pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs)}), max_tokens=12)
+        got = {}
+        for r in t.to_pylist():
+            got.setdefault(r["doc_id"], []).append(
+                (r["text"], r["n_tokens"], r["oversize"]))
+        for i, d in enumerate(docs):
+            assert got[i] == self._ref(d, 12), f"doc {i}"
+
+    def test_distributed_equals_kernel(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_ray.functions.corpus_prep import (sentence_chunk_batch,
+                                                   sentence_chunk_documents)
+
+        docs = [f"Doc {i} first sentence. Doc {i} second sentence. "
+                f"And a third one here." for i in range(20)]
+        tbl = pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                        "text": pa.array(docs)})
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        got = (sentence_chunk_documents(str(tmp_path), max_tokens=8)
+               .to_pandas().sort_values(["doc_id", "chunk_id"])
+               .reset_index(drop=True))
+        want = (sentence_chunk_batch(tbl, max_tokens=8).to_pandas()
+                .sort_values(["doc_id", "chunk_id"])
+                .reset_index(drop=True))
+        assert got.equals(want)
