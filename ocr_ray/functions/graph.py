@@ -406,3 +406,29 @@ def document_pagerank(sf_dir: str, k: int = 5, n_clusters: int = 16,
 
     return pagerank(mut.map_batches(both_dirs, batch_format="pyarrow"),
                     n_iter=n_iter)
+
+
+def connected_components(edges, src: str = "src", dst: str = "dst",
+                         max_rounds: int = 20):
+    """Generic connected components over an int64 edge list — the
+    dedup-cluster kernel (join-based min-label propagation + pointer
+    jumping, O(log diameter) rounds, no driver label map) exposed as a
+    graph API.
+
+    ``edges``: Dataset or pa.Table with two int64 endpoint columns.
+    Returns Dataset[node_id, component_id] covering every edge-touched
+    node; component_id = the component's min node id.  Isolated nodes
+    (never on an edge) are absent by construction — union them in with
+    component_id = node_id if needed."""
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from .dedup import dedup_clusters
+
+    if isinstance(edges, _pa.Table):
+        edges = rd.from_arrow(edges)
+    pairs = edges.select_columns([src, dst]).rename_columns(
+        {src: "doc_a", dst: "doc_b"})
+    return (dedup_clusters(pairs, max_rounds=max_rounds)
+            .rename_columns({"doc_id": "node_id",
+                             "cluster_id": "component_id"}))

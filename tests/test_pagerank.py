@@ -124,3 +124,34 @@ class TestDocumentPagerank:
         total = sum(r["rank"] for r in rows)
         assert abs(total - 1.0) < 1e-3
         assert all(r["rank"] > 0 for r in rows)
+
+
+class TestConnectedComponents:
+    def test_planted_components(self, ray_session):
+        import pyarrow as pa
+
+        from ocr_ray.functions.graph import connected_components
+
+        # component A: 1-2-3-4 chain; component B: 10-11; C: 20-21-22 star
+        edges = pa.table({
+            "src": pa.array([1, 2, 3, 10, 20, 20], pa.int64()),
+            "dst": pa.array([2, 3, 4, 11, 21, 22], pa.int64())})
+        got = {r["node_id"]: r["component_id"]
+               for r in connected_components(edges).take_all()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20, 22: 20}
+
+    def test_custom_columns_and_long_chain(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocr_ray.functions.graph import connected_components
+
+        n = 64  # chain 0-1-...-63: pointer jumping must close it
+        edges = rd.from_arrow(pa.table({
+            "a": pa.array(range(n - 1), pa.int64()),
+            "b": pa.array(range(1, n), pa.int64())})).repartition(4)
+        got = {r["node_id"]: r["component_id"]
+               for r in connected_components(edges, src="a",
+                                             dst="b").take_all()}
+        assert got == {i: 0 for i in range(n)}
