@@ -99,7 +99,10 @@ def canonicalize_url(url: str) -> str:
     host = (parts.hostname or "").lower().rstrip(".")
     if not host:
         return url.strip()
-    port = parts.port
+    try:
+        port = parts.port  # raises lazily on non-numeric ports ("x:A")
+    except ValueError:
+        return url.strip()
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"
