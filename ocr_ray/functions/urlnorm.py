@@ -163,3 +163,21 @@ def domain_doc_stats(ds, url_col: str = "url"):
     return (pages.groupby("domain")
             .aggregate(Count(alias_name="n_unique_pages"),
                        Sum("n_dups", alias_name="n_urls")))
+
+
+def filter_by_domains(ds, blocked: set[str] | list[str],
+                      url_col: str = "url", invert: bool = False):
+    """Drop (or with ``invert=True`` keep only) rows whose REGISTRABLE
+    domain is in ``blocked`` — the provenance complement to the
+    content blocklist (``functions.blocklist``).  The domain set is a
+    deployment-sized list (thousands), captured once per task closure;
+    matching is per-batch set membership, map-only."""
+    blocked_set = frozenset(d.strip().lower() for d in blocked)
+
+    def keep_mask(batch: pa.Table) -> pa.Table:
+        doms = [registrable_domain(u) if u is not None else ""
+                for u in batch[url_col].to_pylist()]
+        mask = pa.array([(d in blocked_set) == invert for d in doms])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep_mask, batch_format="pyarrow")

@@ -129,3 +129,25 @@ class TestDistributed:
         assert got["n_unique_pages"].tolist() == \
             want["n_unique_pages"].tolist()
         assert got["n_urls"].tolist() == want["n_urls"].tolist()
+
+
+class TestDomainFilter:
+    def test_block_and_invert(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.urlnorm import filter_by_domains
+
+        urls = ["http://spam.example.com/a",
+                "https://Sub.Spam.example.com:443/b",
+                "http://good.org/x",
+                "https://news.site.co.uk/y",
+                None]
+        ds = rd.from_arrow(pa.table({
+            "url": pa.array(urls, pa.string()),
+            "row": pa.array(range(5), pa.int64())})).repartition(2)
+        kept = sorted(filter_by_domains(ds, ["example.com"])
+                      .to_pandas()["row"])
+        assert kept == [2, 3, 4]   # null url has domain "" -> kept
+        only = sorted(filter_by_domains(ds, ["EXAMPLE.COM "],
+                                        invert=True).to_pandas()["row"])
+        assert only == [0, 1]      # normalization + subdomain collapse
