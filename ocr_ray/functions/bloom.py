@@ -227,25 +227,29 @@ def append_to_bloom_file(path: str, ds, *, window: int = 8,
     file at ``path`` (created if absent).  Parameters must match the
     existing file's header — mismatches are refused with the remedy
     (rebuild at the new geometry) rather than silently mixing
-    incompatible bit layouts.  Returns the post-merge metadata."""
-    if _osp_exists(path):
-        base, meta = load_bloom(path)
-        if (meta["window"], meta["m_bits"],
-                meta["k_hashes"]) != (window, m_bits, k_hashes):
-            raise ValueError(
-                f"{path} was built with {meta}; cannot append at "
-                f"window={window}, m_bits={m_bits}, k_hashes={k_hashes}."
-                " Rebuild the filter file at one geometry.")
-    else:
-        base = bytes((m_bits + 7) // 8)
-    inc = build_ngram_bloom(ds, window=window, m_bits=m_bits,
-                            k_hashes=k_hashes)
-    save_bloom(merge_blooms(base, inc), path, window=window,
-               m_bits=m_bits, k_hashes=k_hashes)
-    return {"window": window, "m_bits": m_bits, "k_hashes": k_hashes}
-
-
-def _osp_exists(path: str) -> bool:
+    incompatible bit layouts.  Concurrent appenders on one host are
+    serialized by an advisory lock on ``path + ".lock"`` so the
+    load→OR→replace cycle never loses an increment to a racing
+    last-writer-wins; the expensive distributed build runs OUTSIDE
+    the lock.  Returns the post-merge metadata."""
+    import fcntl
     import os
 
-    return os.path.exists(path)
+    inc = build_ngram_bloom(ds, window=window, m_bits=m_bits,
+                            k_hashes=k_hashes)
+    with open(path + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if os.path.exists(path):
+            base, meta = load_bloom(path)
+            if (meta["window"], meta["m_bits"],
+                    meta["k_hashes"]) != (window, m_bits, k_hashes):
+                raise ValueError(
+                    f"{path} was built with {meta}; cannot append at "
+                    f"window={window}, m_bits={m_bits}, "
+                    f"k_hashes={k_hashes}. Rebuild the filter file at "
+                    "one geometry.")
+        else:
+            base = bytes((m_bits + 7) // 8)
+        save_bloom(merge_blooms(base, inc), path, window=window,
+                   m_bits=m_bits, k_hashes=k_hashes)
+    return {"window": window, "m_bits": m_bits, "k_hashes": k_hashes}

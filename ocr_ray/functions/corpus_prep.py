@@ -245,7 +245,8 @@ def probe_doc_texts(sf_dir: str, n_probe_docs: int):
 
 def contamination_probe(sf_dir: str, n_probe_docs: int = 3,
                         window: int = 8,
-                        probe_path: str | None = None
+                        probe_path: str | None = None,
+                        text_transform=None
                         ) -> tuple[frozenset, frozenset]:
     """(probe_ids, probe window-hash set) — the broadcast side of the
     contamination scan, reusable by fused single-scan pipelines.
@@ -268,6 +269,11 @@ def contamination_probe(sf_dir: str, n_probe_docs: int = 3,
     else:
         probe_ids, probe_texts = frozenset(), []
 
+    if text_transform is not None:
+        # when the scan side normalizes text (e.g. mojibake repair),
+        # probe grams must be built from the SAME normalized form or
+        # repaired corpus dups of a mojibake'd probe slip through
+        probe_texts = [text_transform(t) for t in probe_texts]
     probe_set = frozenset(h for t in probe_texts for h in win_hashes(t))
     return probe_ids, probe_set
 

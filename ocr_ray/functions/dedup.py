@@ -191,6 +191,25 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
     return minhash_lsh_pairs_from_features(feats, jaccard_threshold)
 
 
+def band_expansion(sig_blobs: list[bytes]
+                   ) -> tuple[list[int], list[str], list[int]]:
+    """The ONE banding geometry: each signature blob expands to _BANDS
+    (band_id, blake2b-band_hash) rows; returns parallel lists plus the
+    source row index so callers attach their own passthrough columns.
+    Shared by the within-corpus LSH family and the cross-dataset
+    fuzzy join — a band-geometry change can never drift between them."""
+    band_ids, band_hashes, row_idx = [], [], []
+    for j, sig in enumerate(sig_blobs):
+        arr = np.frombuffer(sig, dtype=np.uint64)
+        for band in range(_BANDS):
+            chunk = arr[band * _ROWS_PER_BAND:(band + 1) * _ROWS_PER_BAND]
+            band_ids.append(band)
+            band_hashes.append(hashlib.blake2b(
+                chunk.tobytes(), digest_size=8).hexdigest())
+            row_idx.append(j)
+    return band_ids, band_hashes, row_idx
+
+
 def minhash_lsh_pairs_from_features(feats, jaccard_threshold: float = 0.8):
     """The band/bucket/verify tail of ``minhash_lsh_pairs`` over an
     already-featurized (doc_id, sig, shingles) Dataset — the composition
@@ -202,21 +221,15 @@ def minhash_lsh_pairs_from_features(feats, jaccard_threshold: float = 0.8):
     feats = feats.select_columns(["doc_id", "sig", "shingles"])
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        band_id, band_hash, doc_ids, sigs = [], [], [], []
-        for doc_id, sig in zip(batch["doc_id"].to_pylist(),
-                               batch["sig"].to_pylist()):
-            arr = np.frombuffer(sig, dtype=np.uint64)
-            for band in range(_BANDS):
-                chunk = arr[band * _ROWS_PER_BAND:(band + 1) * _ROWS_PER_BAND]
-                band_id.append(band)
-                band_hash.append(hashlib.blake2b(
-                    chunk.tobytes(), digest_size=8).hexdigest())
-                doc_ids.append(doc_id)
-                sigs.append(sig)
+        sig_list = batch["sig"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        band_id, band_hash, rows = band_expansion(sig_list)
         return pa.table({"band_id": pa.array(band_id, pa.int64()),
                          "band_hash": pa.array(band_hash, pa.string()),
-                         "doc_id": pa.array(doc_ids, pa.int64()),
-                         "sig": pa.array(sigs, pa.binary())})
+                         "doc_id": pa.array([ids[j] for j in rows],
+                                            pa.int64()),
+                         "sig": pa.array([sig_list[j] for j in rows],
+                                         pa.binary())})
 
     bands = feats.select_columns(["doc_id", "sig"]).map_batches(
         to_bands, batch_format="pyarrow", batch_size=1024)

@@ -147,13 +147,23 @@ def fix_mojibake_batch(batch: pa.Table,
         flags = sus.to_pylist()
         idxs = [i for i, f in enumerate(flags) if f]
         texts = col.take(pa.array(idxs, pa.int64())).to_pylist()
-        fixed_col = col.to_pylist()
+        repaired = {}
         for i, t in zip(idxs, texts):
             ft, r = fix_mojibake(t)
             if r:
-                fixed_col[i] = ft
+                repaired[i] = ft
                 rounds[i] = r
-        col = pa.array(fixed_col, type=pa.string())
+        if repaired:
+            # patch ONLY the repaired rows back: clean rows stay in
+            # Arrow (a sporadically-dirty corpus must not pay a full
+            # to_pylist round-trip per batch)
+            mask = [i in repaired for i in range(batch.num_rows)]
+            col = pc.replace_with_mask(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col,
+                pa.array(mask, pa.bool_()),
+                pa.array([repaired[i] for i in sorted(repaired)],
+                         pa.string()))
     out = batch.set_column(batch.schema.get_field_index(text_col),
                            text_col, col)
     return out.append_column("enc_fix_rounds",

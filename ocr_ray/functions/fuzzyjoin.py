@@ -36,15 +36,13 @@ Reference analog: none — beyond-reference training-data operator
 """
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
 from ._part import compact_parts as _compact_parts
 from ._part import nparts_for as _num_partitions
-from .dedup import (_BANDS, _ROWS_PER_BAND, _perm_params, _shingles,
-                    _with_schema, minhash_feature_batch)
+from .dedup import (_perm_params, _shingles, _with_schema,
+                    band_expansion, minhash_feature_batch)
 
 _BUCKET_PAIR_CAP = 200_000
 _EST_CHUNK = 256  # left-side rows per signature-matrix chunk
@@ -92,25 +90,18 @@ def fuzzy_join(left, right, *, key_col: str = "doc_id",
     feats = lf.union(rf).materialize()
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        band_id, band_hash, doc_ids, sigs, sides = [], [], [], [], []
-        for doc_id, sig, side in zip(batch["doc_id"].to_pylist(),
-                                     batch["sig"].to_pylist(),
-                                     batch["side"].to_pylist()):
-            arr = np.frombuffer(sig, dtype=np.uint64)
-            for band in range(_BANDS):
-                chunk = arr[band * _ROWS_PER_BAND:
-                            (band + 1) * _ROWS_PER_BAND]
-                band_id.append(band)
-                band_hash.append(hashlib.blake2b(
-                    chunk.tobytes(), digest_size=8).hexdigest())
-                doc_ids.append(doc_id)
-                sigs.append(sig)
-                sides.append(side)
+        sig_list = batch["sig"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        sides = batch["side"].to_pylist()
+        band_id, band_hash, rows = band_expansion(sig_list)
         return pa.table({"band_id": pa.array(band_id, pa.int64()),
                          "band_hash": pa.array(band_hash, pa.string()),
-                         "doc_id": pa.array(doc_ids, pa.int64()),
-                         "sig": pa.array(sigs, pa.binary()),
-                         "side": pa.array(sides, pa.int8())})
+                         "doc_id": pa.array([ids[j] for j in rows],
+                                            pa.int64()),
+                         "sig": pa.array([sig_list[j] for j in rows],
+                                         pa.binary()),
+                         "side": pa.array([sides[j] for j in rows],
+                                          pa.int8())})
 
     bands = feats.select_columns(["doc_id", "sig", "side"]).map_batches(
         to_bands, batch_format="pyarrow", batch_size=1024)

@@ -33,7 +33,6 @@ Reference analog: none — beyond-reference web-pipeline operator
 """
 from __future__ import annotations
 
-import re
 from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
 
 import pyarrow as pa
@@ -61,7 +60,6 @@ _MULTI_SUFFIXES = {
     "com.ro", "org.ro",
 }
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
-_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
 
 
 def _resolve_dots(path: str) -> str:
@@ -89,8 +87,10 @@ def canonicalize_url(url: str) -> str:
     u = url.strip()
     if not u:
         return u
-    if not _SCHEME_RE.match(u):
-        u = "http://" + u
+    if u.startswith("//"):
+        u = "http:" + u          # protocol-relative hrefs are common
+    elif "://" not in u:
+        u = "http://" + u        # schemeless ("example.com/x", "x:8080")
     try:
         parts = urlsplit(u)
     except ValueError:
@@ -103,26 +103,32 @@ def canonicalize_url(url: str) -> str:
         port = parts.port  # raises lazily on non-numeric ports ("x:A")
     except ValueError:
         return url.strip()
-    netloc = host
+    netloc = f"[{host}]" if ":" in host else host  # IPv6 brackets back
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
-        netloc = f"{host}:{port}"
+        netloc = f"{netloc}:{port}"
     path = _resolve_dots(parts.path) if parts.path else "/"
     q = [(k, v) for k, v in parse_qsl(parts.query, keep_blank_values=True)
-         if k not in _TRACKING_EXACT
+         if k.lower() not in _TRACKING_EXACT
          and not k.lower().startswith(_TRACKING_PREFIX)]
     query = urlencode(sorted(q)) if q else ""
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
 def registrable_domain(host_or_url: str) -> str:
-    """eTLD+1 under the built-in suffix table; bare hosts accepted."""
-    h = host_or_url.strip().lower()
-    if "//" in h or _SCHEME_RE.match(h):
-        try:
-            h = (urlsplit(h if _SCHEME_RE.match(h) else "http://" + h)
-                 .hostname or "")
-        except ValueError:
-            return ""
+    """eTLD+1 under the built-in suffix table; bare hosts, full URLs,
+    and schemeless host/path or host:port forms all accepted — the
+    host is always extracted by urlsplit, never by string guessing
+    (a schemeless "spam.example.com/landing" must not smuggle its path
+    into the domain and bypass ``filter_by_domains``)."""
+    h = host_or_url.strip()
+    if not h:
+        return ""
+    if "://" not in h:
+        h = "http:" + h if h.startswith("//") else "http://" + h
+    try:
+        h = (urlsplit(h).hostname or "").lower()
+    except ValueError:
+        return ""
     h = h.rstrip(".")
     if not h or h.replace(".", "").isdigit():  # IPv4: no domain
         return h

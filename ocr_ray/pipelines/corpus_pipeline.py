@@ -89,8 +89,17 @@ def prepare_corpus(sf_dir: str, out_dir: str, *, near_dedup: bool = True,
 
         docs = docs.map_batches(fix_mojibake_batch,
                                 batch_format="pyarrow")
+    probe_transform = None
+    if fix_encoding:
+        # probe grams must see the SAME repaired text the scan side
+        # hashes, or a repaired corpus dup of a mojibake'd probe
+        # evades decontamination
+        from ..functions.encfix import fix_mojibake
+
+        probe_transform = lambda t: fix_mojibake(t)[0]  # noqa: E731
     probe_ids, probe_set = contamination_probe(
-        sf_dir, n_probe_docs=n_probe_docs, probe_path=probe_path)
+        sf_dir, n_probe_docs=n_probe_docs, probe_path=probe_path,
+        text_transform=probe_transform)
     win_hashes = _win_hashes_fn(8)
     mh_a, mh_b = _perm_params()
 

@@ -43,7 +43,6 @@ from __future__ import annotations
 
 import gzip
 import hashlib
-import io
 
 import pyarrow as pa
 
@@ -51,12 +50,26 @@ _WANTED_DEFAULT = frozenset({"response", "conversion"})
 
 
 def _maybe_gunzip(data: bytes) -> bytes:
-    if data[:2] == b"\x1f\x8b":
-        try:
-            return gzip.GzipFile(fileobj=io.BytesIO(data)).read()
-        except (OSError, EOFError):
-            return data
-    return data
+    """Member-by-member decompress that KEEPS what decoded when a later
+    member is truncated or corrupt — GzipFile.read() would raise after
+    the fact and lose the complete members before the damage, breaking
+    the truncated-crawl contract for .warc.gz files."""
+    import zlib
+
+    if data[:2] != b"\x1f\x8b":
+        return data
+    out: list[bytes] = []
+    buf = data
+    try:
+        while buf[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=31)
+            out.append(d.decompress(buf))
+            if not d.eof:
+                break            # truncated final member
+            buf = d.unused_data
+    except zlib.error:
+        pass                     # corrupt member: keep prior members
+    return b"".join(out)
 
 
 def _parse_headers(block: bytes) -> dict:

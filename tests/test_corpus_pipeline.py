@@ -398,3 +398,45 @@ class TestFixEncodingStage:
         assert {50, 51} <= kept                   # different md5s: both stay
         texts = " ".join(chunks["text"].to_pylist())
         assert "Ã" in texts
+
+
+class TestProbeRepairConsistency:
+    def test_mojibake_probe_still_decontaminates(self, ray_session,
+                                                 tmp_path_factory,
+                                                 tmp_path):
+        """Review finding: with fix_encoding on, probe grams were built
+        from RAW text while corpus grams used repaired text, so a
+        repaired corpus dup of a mojibake'd probe slipped through.
+        Both sides must hash the repaired form."""
+        import pyarrow.parquet as pq
+
+        from ocr_ray.pipelines.corpus_pipeline import prepare_corpus
+
+        def prose(seed):
+            return " ".join(f"{seed}{i} cuvant{(i * 7) % 13}"
+                            for i in range(40))
+
+        bench = ("ședința consiliului local privind aprobarea "
+                 "bugetului municipal pentru anul următor conform "
+                 "hotărârii adoptate în unanimitate de către aleși")
+        bench_moji = bench.encode("utf-8").decode("cp1252")
+        d = tmp_path_factory.mktemp("probe_moji")
+        rows = [
+            # probe doc 1 carries the benchmark text MOJIBAKE'D
+            {"doc_id": 1, "text": "probe one " + bench_moji + " "
+                                  + prose("pa")},
+            {"doc_id": 2, "text": "probe two " + prose("pb")},
+            {"doc_id": 3, "text": "probe three " + prose("pc")},
+            # corpus doc 50 contains the CLEAN benchmark -> must be
+            # flagged contaminated once the probe repairs
+            {"doc_id": 50, "text": prose("sa") + " " + bench},
+            {"doc_id": 60, "text": prose("other") + " unique tail"},
+        ]
+        pq.write_table(pa.Table.from_pylist(rows),
+                       str(d / "documents.parquet"))
+        out = str(tmp_path / "out")
+        prepare_corpus(str(d), out, fix_encoding=True, near_dedup=False)
+        chunks = pads.dataset(f"{out}/chunks").to_table()
+        kept = set(chunks["doc_id"].to_pylist())
+        assert 50 not in kept          # contaminated via repaired probe
+        assert 60 in kept

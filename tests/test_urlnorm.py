@@ -151,3 +151,48 @@ class TestDomainFilter:
         only = sorted(filter_by_domains(ds, ["EXAMPLE.COM "],
                                         invert=True).to_pandas()["row"])
         assert only == [0, 1]      # normalization + subdomain collapse
+
+
+class TestReviewRegressions:
+    """Pins for the review-sweep fixes: schemeless host parsing,
+    protocol-relative URLs, IPv6 brackets, tracker-key case."""
+
+    def test_schemeless_path_and_port_domains(self):
+        assert registrable_domain("spam.example.com/landing") == \
+            "example.com"
+        assert registrable_domain("spam.com:8080/x") == "spam.com"
+        assert registrable_domain("a.b.site.co.uk:443/deep/path") == \
+            "site.co.uk"
+
+    def test_schemeless_blocklist_bypass_closed(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.urlnorm import filter_by_domains
+
+        ds = rd.from_arrow(pa.table({
+            "url": pa.array(["spam.example.com/landing",
+                             "spam.com:8080/x", "http://good.org/y"]),
+            "row": pa.array([0, 1, 2], pa.int64())}))
+        kept = sorted(filter_by_domains(
+            ds, ["example.com", "spam.com"]).to_pandas()["row"])
+        assert kept == [2]
+
+    def test_protocol_relative(self):
+        assert canonicalize_url("//example.com/a/../b?utm_source=x") == \
+            "http://example.com/b"
+        out = canonicalize_url("//Example.COM:80/x")
+        assert out == "http://example.com/x"
+        assert canonicalize_url(out) == out
+
+    def test_ipv6_brackets_preserved(self):
+        out = canonicalize_url("http://[::1]:8080/x")
+        assert out == "http://[::1]:8080/x"
+        assert canonicalize_url(out) == out
+        assert canonicalize_url("https://[2001:db8::1]/p") == \
+            "https://[2001:db8::1]/p"
+
+    def test_tracking_param_case_insensitive(self):
+        assert canonicalize_url("http://example.com/x?FBCLID=z&a=1") == \
+            "http://example.com/x?a=1"
+        assert canonicalize_url("http://example.com/x?UTM_SOURCE=s") == \
+            "http://example.com/x"

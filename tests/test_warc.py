@@ -117,3 +117,25 @@ class TestDistributed:
         assert stats.loc["example.com", "n_urls"] == 2
         assert stats.loc["example.com", "n_unique_pages"] == 2
         assert stats.loc["site.co.uk", "n_urls"] == 1
+
+
+class TestGzipTruncation:
+    def test_truncated_gz_member_keeps_prior_records(self, tmp_path):
+        """Review finding: a truncated final gzip member must not lose
+        the complete members before it."""
+        p = str(tmp_path / "f.warc.gz")
+        write_warc(RECORDS[:2], p, compress="member")
+        data = open(p, "rb").read()
+        recs = parse_warc_bytes(data[:-15], p)  # cut into member 2
+        assert [r["text"] for r in recs] == [WANT_TEXTS[0]]
+
+    def test_corrupt_gz_member_keeps_prior_records(self, tmp_path):
+        p = str(tmp_path / "f.warc.gz")
+        write_warc(RECORDS[:2], p, compress="member")
+        data = bytearray(open(p, "rb").read())
+        # find the second member's gzip magic and corrupt its deflate
+        second = data.find(b"\x1f\x8b", 2)
+        assert second > 0
+        data[second + 12] ^= 0xFF
+        recs = parse_warc_bytes(bytes(data), p)
+        assert [r["text"] for r in recs] == [WANT_TEXTS[0]]
