@@ -156,3 +156,42 @@ def anchor_text_counts(edges):
     return (edges.select_columns(["dst_url", "anchor"])
             .groupby(["dst_url", "anchor"])
             .aggregate(Count(alias_name="n_inlinks")))
+
+
+class _MetaRobots(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.directives: set[str] = set()
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "meta":
+            d = {k.lower(): (v or "") for k, v in attrs}
+            if d.get("name", "").lower() == "robots":
+                self.directives.update(
+                    t.strip().lower()
+                    for t in d.get("content", "").split(","))
+
+
+def page_robots_flags(html: str) -> tuple[bool, bool]:
+    """(noindex, nofollow) from ``<meta name=robots>`` — the standard
+    publisher opt-out a crawl corpus must honor.  ``none`` implies
+    both; absent/malformed meta -> (False, False)."""
+    p = _MetaRobots()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass
+    d = p.directives
+    return ("noindex" in d or "none" in d,
+            "nofollow" in d or "none" in d)
+
+
+def filter_noindex(ds, html_col: str = "text"):
+    """Drop pages whose meta robots says noindex — map-only."""
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pa.array([not page_robots_flags(h or "")[0]
+                         for h in batch[html_col].to_pylist()])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

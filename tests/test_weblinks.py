@@ -109,3 +109,41 @@ class TestComposition:
         t = (anchor_text_counts(edges).to_pandas()
              .set_index(["dst_url", "anchor"]))
         assert t.loc[("http://site.test/hub", "Hub"), "n_inlinks"] == 5
+
+
+class TestRobotsMeta:
+    def test_flags(self):
+        from ocr_ray.functions.weblinks import page_robots_flags
+
+        assert page_robots_flags(
+            '<meta name="robots" content="noindex, nofollow">') == \
+            (True, True)
+        assert page_robots_flags(
+            '<meta name="ROBOTS" content="NOINDEX">') == (True, False)
+        assert page_robots_flags(
+            '<meta name="robots" content="none">') == (True, True)
+        assert page_robots_flags(
+            '<meta name="robots" content="index,follow">') == \
+            (False, False)
+        assert page_robots_flags("<p>no meta</p>") == (False, False)
+        assert page_robots_flags(
+            '<meta name="description" content="noindex">') == \
+            (False, False)
+        assert page_robots_flags("<meta name='robots' content='noindex") \
+            == (False, False)  # malformed: conservative keep
+
+    def test_filter_noindex(self, ray_session):
+        import ray.data as rd
+
+        from ocr_ray.functions.weblinks import filter_noindex
+
+        rows = pa.table({
+            "doc": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([
+                '<meta name="robots" content="noindex"><p>hidden</p>',
+                "<p>public page</p>",
+                '<meta name="robots" content="nofollow"><p>links</p>',
+            ])})
+        kept = sorted(filter_noindex(rd.from_arrow(rows))
+                      .to_pandas()["doc"])
+        assert kept == [1, 2]
