@@ -1372,7 +1372,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # ------------------------------ line-level boilerplate removal (CCNet)
 
 def remove_boilerplate_lines(sf_dir: str, min_docs: int = 5,
-                             max_survivors: int = 2_000_000):
+                             max_survivors: int = 2_000_000,
+                             group_col: str | None = None):
     """Line-level cross-document dedup (the CCNet / RefinedWeb
     line-wise step, Wenzek et al. 2020 §4.1: drop every LINE that
     appears verbatim in >= min_docs distinct documents — navigation
@@ -1397,41 +1398,65 @@ def remove_boilerplate_lines(sf_dir: str, min_docs: int = 5,
     string_split(text, chr(10)) exactly (empty lines preserved and
     eligible: an empty line present in >= min_docs docs is boilerplate
     like any other).
+
+    ``group_col`` (e.g. "source" / a domain column) scopes the count:
+    a line is boilerplate only when >= min_docs docs OF THE SAME group
+    repeat it — the real CCNet shard discipline.  One domain's nav bar
+    never needs a corpus-wide count, and a line that happens to appear
+    a few times in each of many unrelated sources (dates, common
+    phrases) is NOT boilerplate; the corpus-wide default stays for
+    group-less tables.  Survivors broadcast as a per-group dict; the
+    gate bounds the TOTAL across groups.
     """
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, ["doc_id", "text"])
+    cols = ["doc_id", "text"] + ([group_col] if group_col else [])
+    ds = _read(sf_dir, cols)
 
     def line_partial(batch: pa.Table) -> pa.Table:
-        out: dict[str, int] = {}
-        for text in batch["text"].to_pylist():
+        out: dict[tuple[str, str], int] = {}
+        groups = (batch[group_col].to_pylist() if group_col
+                  else [""] * batch.num_rows)
+        for g, text in zip(groups, batch["text"].to_pylist()):
+            g = g or ""
             for ln in set(text.split("\n")):
-                out[ln] = out.get(ln, 0) + 1
-        return pa.table({"line": pa.array(list(out.keys()), pa.string()),
+                out[(g, ln)] = out.get((g, ln), 0) + 1
+        keys = list(out.keys())
+        return pa.table({"grp": pa.array([k[0] for k in keys],
+                                         pa.string()),
+                         "line": pa.array([k[1] for k in keys],
+                                          pa.string()),
                          "c": pa.array(list(out.values()), pa.int64())})
 
     surv = (ds.map_batches(line_partial, batch_format="pyarrow")
-            .groupby("line").aggregate(Sum("c", alias_name="n_docs"))
+            .groupby(["grp", "line"])
+            .aggregate(Sum("c", alias_name="n_docs"))
             .filter(expr=f"n_docs >= {min_docs}")
-            .select_columns(["line"])).materialize()
+            .select_columns(["grp", "line"])).materialize()
     n_surv = surv.count()
     if n_surv > max_survivors:
         raise ValueError(
             f"{n_surv} surviving lines > max_survivors={max_survivors}; "
             "raise min_docs (survivors shrink monotonically with it) or "
             "the gate")
-    boiler = frozenset(r["line"] for r in surv.take_all())
+    boiler: dict[str, set[str]] = {}
+    for r in surv.take_all():
+        boiler.setdefault(r["grp"], set()).add(r["line"])
+    boiler = {g: frozenset(s) for g, s in boiler.items()}
 
     def scrub(batch: pa.Table) -> pa.Table:
         clean, kept_n, rem_n = [], [], []
-        for text in batch["text"].to_pylist():
+        groups = (batch[group_col].to_pylist() if group_col
+                  else [""] * batch.num_rows)
+        for g, text in zip(groups, batch["text"].to_pylist()):
             lines = text.split("\n")
-            if not boiler:
+            bset = boiler.get(g or "")
+            if not bset:
                 clean.append(text)
                 kept_n.append(len(lines))
                 rem_n.append(0)
                 continue
-            kept = [ln for ln in lines if ln not in boiler]
+            kept = [ln for ln in lines if ln not in bset]
             clean.append("\n".join(kept))
             kept_n.append(len(kept))
             rem_n.append(len(lines) - len(kept))

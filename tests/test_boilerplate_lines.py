@@ -145,3 +145,82 @@ class TestBoilerplateLines:
 
         pd.testing.assert_frame_equal(canon(res), canon(sql),
                                       check_dtype=False)
+
+
+class TestPerSourceScope:
+    @pytest.fixture(scope="class")
+    def src_dir(self, tmp_path_factory):
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("per_src")
+        nav_a = "Home | About | Contact - SiteA"
+        common = "posted on monday"
+        rows = []
+        did = 0
+        for i in range(4):                      # siteA: nav in all 4
+            rows.append({"doc_id": did, "source": "siteA",
+                         "text": f"{nav_a}\narticle a{i} body text"})
+            did += 1
+        for s in ("siteB", "siteC", "siteD"):   # 'common' 2x per source
+            for i in range(2):
+                rows.append({"doc_id": did, "source": s,
+                             "text": f"{common}\nstory {s}{i} words"})
+                did += 1
+        pq.write_table(pa.Table.from_pylist(rows),
+                       str(d / "documents.parquet"))
+        return str(d)
+
+    def test_group_scope_vs_corpus_scope(self, ray_session, src_dir):
+        from ocr_ray.functions.corpus_prep import remove_boilerplate_lines
+
+        per_src = (remove_boilerplate_lines(src_dir, min_docs=3,
+                                            group_col="source")
+                   .to_pandas().set_index("doc_id"))
+        # siteA's nav repeats in 4 docs of siteA -> removed
+        assert all("Home | About" not in t
+                   for t in per_src.loc[0:3, "clean_text"])
+        # 'common' appears 6x corpus-wide but only 2x per source -> KEPT
+        assert all("posted on monday" in t
+                   for t in per_src.loc[4:9, "clean_text"])
+
+        corpus = (remove_boilerplate_lines(src_dir, min_docs=3)
+                  .to_pandas().set_index("doc_id"))
+        # corpus-wide the same line crosses the threshold -> removed
+        assert all("posted on monday" not in t
+                   for t in corpus.loc[4:9, "clean_text"])
+
+    def test_duckdb_per_group_parity(self, ray_session, src_dir):
+        import duckdb
+        import pyarrow.parquet as pq_
+
+        from ocr_ray.functions.corpus_prep import remove_boilerplate_lines
+
+        got = (remove_boilerplate_lines(src_dir, min_docs=3,
+                                        group_col="source")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents",
+                     pq_.read_table(f"{src_dir}/documents.parquet"))
+        want = con.execute("""
+        WITH lines AS (
+          SELECT doc_id, source, l.line, l.pos
+          FROM documents,
+               LATERAL (SELECT unnest(string_split(text, chr(10)))
+                          AS line,
+                        generate_subscripts(
+                          string_split(text, chr(10)), 1) AS pos) l
+        ), rep AS (
+          SELECT source, line FROM lines GROUP BY source, line
+          HAVING count(DISTINCT doc_id) >= 3
+        ), kept AS (
+          SELECT l.doc_id, l.pos, l.line
+          FROM lines l ANTI JOIN rep r
+            ON l.line = r.line AND l.source = r.source
+        )
+        SELECT d.doc_id,
+               coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+                 AS clean_text
+        FROM documents d LEFT JOIN kept k USING (doc_id)
+        GROUP BY d.doc_id ORDER BY d.doc_id
+        """).fetchdf()
+        assert got["clean_text"].tolist() == want["clean_text"].tolist()
