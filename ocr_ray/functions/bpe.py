@@ -265,3 +265,58 @@ def bpe_subword_counts(ds, merges: list[tuple[str, str]],
                          "n_subwords": pa.array(out, pa.int64())})
 
     return ds.map_batches(count_block, batch_format="pyarrow")
+
+
+# ---------------------------------------------- HF-format interop
+
+def export_bpe_hf(vocab: dict[str, int], merges: list[tuple[str, str]],
+                  out_dir: str) -> None:
+    """Write the trained tokenizer in the de-facto GPT-2/HF file
+    layout — ``vocab.json`` ({token: id}) + ``merges.txt`` (one
+    ``a b`` pair per line under a ``#version`` header) — so packs
+    produced here and any HF-tokenizers consumer agree on the byte
+    format.  Atomic per file (tmp+rename)."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for a, b in merges:
+        if " " in a or " " in b or "\n" in a + b:
+            raise ValueError(
+                f"merge pair {(a, b)!r} contains a separator char — "
+                "not representable in merges.txt")
+    vpath = os.path.join(out_dir, "vocab.json")
+    with open(vpath + ".tmp", "w", encoding="utf-8") as f:
+        json.dump(vocab, f, ensure_ascii=False, indent=0,
+                  sort_keys=True)
+    os.replace(vpath + ".tmp", vpath)
+    mpath = os.path.join(out_dir, "merges.txt")
+    with open(mpath + ".tmp", "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")
+    os.replace(mpath + ".tmp", mpath)
+
+
+def load_bpe_hf(out_dir: str) -> tuple[dict[str, int],
+                                       list[tuple[str, str]]]:
+    """Read back an ``export_bpe_hf`` directory (or any GPT-2-style
+    vocab.json + merges.txt pair) as (vocab, ordered merges)."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "vocab.json"),
+              encoding="utf-8") as f:
+        vocab = {str(k): int(v) for k, v in json.load(f).items()}
+    merges: list[tuple[str, str]] = []
+    with open(os.path.join(out_dir, "merges.txt"),
+              encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            a, sep, b = line.partition(" ")
+            if not sep:
+                raise ValueError(f"malformed merges line {line!r}")
+            merges.append((a, b))
+    return vocab, merges

@@ -125,3 +125,43 @@ class TestTrainBPE:
         expect = sum(len(bpe_encode_word(w, ranks))
                      for w in SENNRICH.split())
         assert out[0]["n_subwords"] == expect
+
+
+class TestHFExport:
+    def test_roundtrip_and_encode_equality(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from ocr_ray.functions.bpe import (bpe_encode_word,
+                                           build_bpe_vocab,
+                                           export_bpe_hf, load_bpe_hf,
+                                           train_bpe)
+
+        texts = ["low lower lowest slow slower newest new news",
+                 "the newest lower news slows the slowest low"] * 3
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+        merges = train_bpe(ds, n_merges=20, min_pair_freq=2)
+        vocab = build_bpe_vocab(ds, merges)
+        d = str(tmp_path / "tok")
+        export_bpe_hf(vocab, merges, d)
+        v2, m2 = load_bpe_hf(d)
+        assert v2 == vocab and m2 == merges
+        # encodings under the loaded table are identical
+        r1 = {p: i for i, p in enumerate(merges)}
+        r2 = {p: i for i, p in enumerate(m2)}
+        for w in ["lowest", "slower", "news", "unseen"]:
+            assert bpe_encode_word(w, r2) == bpe_encode_word(w, r1)
+
+    def test_merges_file_format(self, tmp_path):
+        from ocr_ray.functions.bpe import export_bpe_hf
+
+        d = str(tmp_path / "tok")
+        export_bpe_hf({"a": 0, "b": 1}, [("a", "b"), ("ab", "c")], d)
+        lines = open(f"{d}/merges.txt").read().splitlines()
+        assert lines[0].startswith("#version")
+        assert lines[1:] == ["a b", "ab c"]
+
+    def test_separator_in_symbol_refused(self, tmp_path):
+        from ocr_ray.functions.bpe import export_bpe_hf
+
+        with pytest.raises(ValueError, match="separator"):
+            export_bpe_hf({}, [("a b", "c")], str(tmp_path))
