@@ -502,6 +502,50 @@ def run_queries() -> dict:
             len(hits & planted) / max(1, len(planted)), 3)
     except Exception as e:  # pragma: no cover - defensive
         times["fuzzy_join"] = f"error: {type(e).__name__}"
+    # end-to-end crawl curation (round 5): WARC -> noindex -> URL dedup
+    # -> extract -> mojibake repair -> gate -> parquet, over a generated
+    # 2,000-page crawl (5% URL-dup variants, one noindex page per 100)
+    try:
+        import os as _os
+
+        import pyarrow.parquet as _pq2
+
+        from ocr_ray.pipelines.web_pipeline import curate_crawl
+
+        warc_dir = "/tmp/ocr_ray_bench_warc_v1"
+        if not _os.path.exists(f"{warc_dir}/_DONE"):
+            from ocr_ray.sources.warc import write_warc
+
+            _os.makedirs(warc_dir, exist_ok=True)
+            txts = _pq2.read_table(
+                f"{SF_DIR}/documents.parquet",
+                columns=["text"])["text"].to_pylist()[:2000]
+            recs = []
+            for i, tx in enumerate(txts):
+                html = (f"<html><body><nav><a href='/'>Home</a></nav>"
+                        f"<p>{tx}</p></body></html>")
+                if i % 100 == 0:
+                    html = ('<meta name="robots" content="noindex">'
+                            + html)
+                recs.append({"url": f"http://bench.test/p{i}",
+                             "text": html})
+                if i % 20 == 0:  # 5% canonical-URL dup variants
+                    recs.append({"url": f"http://Bench.TEST:80/p{i}"
+                                        "?utm_source=x",
+                                 "text": html})
+            for k in range(4):
+                write_warc(recs[k::4],
+                           f"{warc_dir}/part{k}.warc.gz",
+                           compress="member")
+            open(f"{warc_dir}/_DONE", "w").write("ok")
+        t0 = time.time()
+        m = curate_crawl(warc_dir, "/tmp/ocr_ray_bench_crawl",
+                         min_chars=50)
+        times["curate_crawl"] = round(time.time() - t0, 2)
+        times["curate_crawl_pages"] = int(m["kept_pages"])
+        times["curate_crawl_url_dups"] = int(m["url_dups_removed"])
+    except Exception as e:  # pragma: no cover - defensive
+        times["curate_crawl"] = f"error: {type(e).__name__}"
     return times
 
 

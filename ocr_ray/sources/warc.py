@@ -191,9 +191,14 @@ def write_warc(records: list[dict], path: str,
         else:
             payload = rec["text"].encode("utf-8")
             ctype = "text/plain"
+        # ids carry a content hash so records stay globally unique
+        # across multi-file crawls (bare rec-<i> collides between files
+        # and breaks downstream doc_id joins)
+        chash = hashlib.md5(
+            (rec.get("url", "") + rec["text"]).encode()).hexdigest()[:10]
         head = (f"WARC/1.0\r\n"
                 f"WARC-Type: {rtype}\r\n"
-                f"WARC-Record-ID: <urn:uuid:rec-{i:08d}>\r\n"
+                f"WARC-Record-ID: <urn:uuid:rec-{i:08d}-{chash}>\r\n"
                 f"WARC-Target-URI: {rec.get('url', '')}\r\n"
                 f"Content-Type: {ctype}\r\n"
                 f"Content-Length: {len(payload)}\r\n"

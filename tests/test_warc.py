@@ -32,7 +32,7 @@ class TestParser:
         recs = parse_warc_bytes(open(p, "rb").read(), p)
         assert [r["text"] for r in recs] == WANT_TEXTS
         assert recs[0]["url"] == "http://example.com/a"
-        assert recs[0]["doc_id"] == "urn:uuid:rec-00000000"
+        assert recs[0]["doc_id"].startswith("urn:uuid:rec-00000000-")
 
     def test_non_2xx_and_unwanted_types_skipped(self, tmp_path):
         p = str(tmp_path / "f.warc")
