@@ -311,9 +311,12 @@ def load_bpe_hf(out_dir: str) -> tuple[dict[str, int],
     merges: list[tuple[str, str]] = []
     with open(os.path.join(out_dir, "merges.txt"),
               encoding="utf-8") as f:
-        for line in f:
+        for idx, line in enumerate(f):
             line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+            # only the FIRST line may be the '#version' header — a
+            # code-corpus merge like ('#', 'include') is a real pair
+            # and must not be comment-skipped
+            if not line or (idx == 0 and line.startswith("#version")):
                 continue
             a, sep, b = line.partition(" ")
             if not sep:

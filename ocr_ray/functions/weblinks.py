@@ -127,8 +127,14 @@ def warc_link_edges(warc_path: str):
     def page_rows(batch: pa.Table) -> pa.Table:
         urls, htmls = [], []
         for spans in batch["spans"].to_pylist():
-            urls.append(spans[0]["media_ref"] if spans else "")
-            htmls.append(spans[0]["text"] if spans else "")
+            u = spans[0]["media_ref"] if spans else ""
+            if not u:
+                # a URI-less page has no graph identity: keeping it
+                # would pour every such page's outlinks into ONE
+                # phantom url_id("") node and distort ranks/components
+                continue
+            urls.append(u)
+            htmls.append(spans[0]["text"] or "")
         return pa.table({"url": pa.array(urls, pa.string()),
                          "text": pa.array(htmls, pa.string())})
 

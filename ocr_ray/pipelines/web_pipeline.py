@@ -1,7 +1,7 @@
 """End-to-end crawl curation — the web-side flagship composition:
 
     WARC crawl
-      -> meta-robots noindex filter        (weblinks.page_robots_flags)
+      -> meta-robots noindex filter        (weblinks.filter_noindex)
       -> canonical-URL dedup, first wins   (urlnorm.canonicalize_url)
       -> main-content extraction           (kernels.htmlx)
       -> mojibake repair                   (functions.encfix)
@@ -37,27 +37,31 @@ def curate_crawl(warc_path: str, out_dir: str, *,
     import os
     import shutil
 
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min
 
     from ..functions.encfix import fix_mojibake_batch
     from ..functions.urlnorm import canonicalize_url, registrable_domain
-    from ..functions.weblinks import page_robots_flags
     from ..kernels.htmlx import extract_main_text
     from ..sources.warc import read_warc_documents
 
     docs = read_warc_documents(warc_path)
 
     def page_rows(batch: pa.Table) -> pa.Table:
-        ids, urls, htmls = [], [], []
+        ids, urls, keys, htmls = [], [], [], []
         for doc_id, spans in zip(batch["doc_id"].to_pylist(),
                                  batch["spans"].to_pylist()):
             if not spans:
                 continue
+            canon = canonicalize_url(spans[0]["media_ref"] or "")
             ids.append(doc_id)
-            urls.append(canonicalize_url(spans[0]["media_ref"] or ""))
+            urls.append(canon)
+            # URI-less pages are NOT duplicates of each other: they
+            # dedup by their own doc_id, never by the shared "" url
+            keys.append(canon if canon else f"doc:{doc_id}")
             htmls.append(spans[0]["text"] or "")
         return pa.table({"doc_id": pa.array(ids, pa.string()),
                          "url": pa.array(urls, pa.string()),
+                         "dedup_key": pa.array(keys, pa.string()),
                          "html": pa.array(htmls, pa.string())})
 
     pages = docs.map_batches(page_rows, batch_format="pyarrow")
@@ -65,12 +69,9 @@ def curate_crawl(warc_path: str, out_dir: str, *,
     manifest: dict = {"input": warc_path}
 
     if honor_noindex:
-        def drop_noindex(batch: pa.Table) -> pa.Table:
-            mask = pa.array([not page_robots_flags(h)[0]
-                             for h in batch["html"].to_pylist()])
-            return batch.filter(mask)
+        from ..functions.weblinks import filter_noindex
 
-        pages = pages.map_batches(drop_noindex, batch_format="pyarrow")
+        pages = filter_noindex(pages, html_col="html")
 
     pages = pages.materialize()
     n_pages = pages.count()
@@ -84,15 +85,28 @@ def curate_crawl(warc_path: str, out_dir: str, *,
         return manifest
 
     # canonical-URL dedup: keep the lexicographically-first doc_id per
-    # URL (deterministic across layouts); output-bounded groupby + one
-    # hash semi join
+    # dedup key (deterministic across layouts); output-bounded groupby
+    # + one hash semi join, materialized so the count does not re-run
+    # the shuffle for the downstream extract chain
+    from ..functions._part import compact_parts
+    from ..functions.dedup import _with_schema
+
     nparts = _num_partitions(n_pages)
-    winners = (pages.select_columns(["url", "doc_id"])
-               .groupby("url").aggregate(Min("doc_id",
-                                             alias_name="doc_id"))
-               .select_columns(["doc_id"]))
-    deduped = pages.join(winners.materialize(), "left_semi",
-                         num_partitions=nparts, on=("doc_id",))
+    win_schema = pa.schema([("doc_id", pa.string())])
+    winners = (pages.select_columns(["dedup_key", "doc_id"])
+               .groupby("dedup_key").aggregate(Min("doc_id",
+                                                   alias_name="doc_id"))
+               .select_columns(["doc_id"])
+               .map_batches(_with_schema(win_schema),
+                            batch_format="pyarrow")
+               .materialize())
+    # enforce + compact: the sort-groupby's schema-less empty blocks
+    # break Acero key resolution on small inputs (repo-standard rule)
+    winners = winners.repartition(
+        compact_parts(max(1, winners.count()))).materialize()
+    deduped = pages.join(winners, "left_semi",
+                         num_partitions=nparts,
+                         on=("doc_id",)).materialize()
     manifest["url_dups_removed"] = int(n_pages - deduped.count())
 
     def extract(batch: pa.Table) -> pa.Table:

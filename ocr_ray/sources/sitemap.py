@@ -81,12 +81,17 @@ def parse_sitemap_bytes(data: bytes) -> tuple[list[dict], list[str]]:
 
 def read_sitemap_urls(path: str):
     """Sitemap file/folder -> Dataset[url, canonical_url, domain,
-    lastmod, source_file].  Index files resolve child ``loc``s against
-    their own directory by basename (no network); unresolvable
-    children are skipped.  One parse task per file."""
+    lastmod, source_file].  When ``path`` is a single index FILE, its
+    child ``loc``s resolve against the file's directory by basename
+    (no network) and unresolvable children are skipped; when ``path``
+    is a DIRECTORY every local sitemap is already its own read task,
+    so indexes contribute nothing extra — resolving children there
+    would emit every child URL twice.  One parse task per file."""
     import os
 
     import ray.data as rd
+
+    resolve_children = os.path.isfile(path)
 
     def to_rows(batch: dict) -> pa.Table:
         rows = {"url": [], "canonical_url": [], "domain": [],
@@ -105,6 +110,8 @@ def read_sitemap_urls(path: str):
             fp = str(fp)
             entries, children = parse_sitemap_bytes(bytes(data))
             emit(entries, fp)
+            if not resolve_children:
+                continue
             base = os.path.dirname(fp)
             for child in children:
                 local = os.path.join(base, os.path.basename(child))
@@ -119,26 +126,55 @@ def read_sitemap_urls(path: str):
         to_rows, batch_format="numpy")
 
 
-def frontier_coverage(sitemap_path: str, crawled_urls):
+def frontier_coverage(sitemap_path: str, crawled_urls,
+                      url_col: str = "url"):
     """Which sitemap URLs the crawl has/hasn't captured:
-    Dataset[canonical_url, domain, crawled:bool] — a hash left join of
-    the frontier against the crawled canonical-URL set.
+    Dataset[canonical_url, domain, crawled:bool], one row per distinct
+    frontier URL — a hash left join of the frontier against the
+    crawled canonical-URL set.
 
-    ``crawled_urls``: Dataset or pa.Table with a ``canonical_url``
-    column (e.g. ``curate_crawl``'s pages output)."""
+    ``crawled_urls``: Dataset or pa.Table whose ``url_col`` holds
+    CANONICAL urls — ``curate_crawl``'s pages output fits as-is (its
+    ``url`` column is canonical).  Both sides dedupe before the join
+    so repeated fetches / repeated frontier entries never multiply
+    rows."""
+    from ray.data.aggregate import Count, Max
+
     import ray.data as rd
 
     from ..functions._part import nparts_for
 
+    from ..functions._part import compact_parts
+    from ..functions.dedup import _with_schema
+
     if isinstance(crawled_urls, pa.Table):
         crawled_urls = rd.from_arrow(crawled_urls)
-    have = (crawled_urls.select_columns(["canonical_url"])
-            .map_batches(lambda b: b.append_column(
-                "crawled", pa.array([True] * b.num_rows)),
-                batch_format="pyarrow"))
+    have_schema = pa.schema([("canonical_url", pa.string()),
+                             ("crawled", pa.bool_())])
+    have = (crawled_urls.select_columns([url_col])
+            .rename_columns({url_col: "canonical_url"})
+            .groupby("canonical_url").aggregate(Count())
+            .select_columns(["canonical_url"])
+            .map_batches(lambda b: _with_schema(have_schema)(
+                b.append_column("crawled",
+                                pa.array([True] * b.num_rows))),
+                batch_format="pyarrow")).materialize()
+    have = have.repartition(compact_parts(max(1, have.count()))) \
+        .materialize()
+    front_schema = pa.schema([("canonical_url", pa.string()),
+                              ("domain", pa.string())])
     frontier = (read_sitemap_urls(sitemap_path)
-                .select_columns(["canonical_url", "domain"]))
+                .select_columns(["canonical_url", "domain"])
+                .groupby("canonical_url")
+                .aggregate(Max("domain", alias_name="domain"))
+                .map_batches(_with_schema(front_schema),
+                             batch_format="pyarrow")
+                .materialize())
     n = max(frontier.count(), 1)
+    # groupby/aggregate emit schema-less empty blocks that break
+    # Acero's key resolution — the repo-standard enforce + compact
+    # hygiene above keeps both join inputs cleanly typed
+    frontier = frontier.repartition(compact_parts(n)).materialize()
     joined = frontier.join(have, "left_outer",
                            num_partitions=nparts_for(n),
                            on=("canonical_url",))

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import gzip
 import hashlib
+import os
 
 import pyarrow as pa
 
@@ -191,11 +192,13 @@ def write_warc(records: list[dict], path: str,
         else:
             payload = rec["text"].encode("utf-8")
             ctype = "text/plain"
-        # ids carry a content hash so records stay globally unique
-        # across multi-file crawls (bare rec-<i> collides between files
-        # and breaks downstream doc_id joins)
+        # ids carry a (path, url, text) hash so records stay globally
+        # unique across multi-file crawls — bare rec-<i> collides
+        # between files, and a content-only hash still collides when
+        # two shards start with the same fetched page
         chash = hashlib.md5(
-            (rec.get("url", "") + rec["text"]).encode()).hexdigest()[:10]
+            (os.path.basename(path) + "\x00" + rec.get("url", "")
+             + "\x00" + rec["text"]).encode()).hexdigest()[:10]
         head = (f"WARC/1.0\r\n"
                 f"WARC-Type: {rtype}\r\n"
                 f"WARC-Record-ID: <urn:uuid:rec-{i:08d}-{chash}>\r\n"

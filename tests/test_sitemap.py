@@ -71,14 +71,20 @@ class TestDistributed:
         d.mkdir()
         (d / "sitemap_index.xml").write_bytes(INDEX)
         (d / "child.xml").write_bytes(CHILD)
+        # DIRECTORY input: every local sitemap is its own read task, so
+        # the index must NOT re-resolve children (review finding: that
+        # emitted every child URL twice)
         df = (read_sitemap_urls(str(d)).to_pandas()
               .sort_values("canonical_url").reset_index(drop=True))
-        # index resolves child locally; child.xml ALSO read directly as
-        # its own file -> dedupe expectations accordingly
-        canon = sorted(set(df["canonical_url"]))
-        assert canon == ["http://example.com/c1",
-                         "http://news.site.co.uk/c2"]
+        assert df["canonical_url"].tolist() == [
+            "http://example.com/c1", "http://news.site.co.uk/c2"]
         assert set(df["domain"]) == {"example.com", "site.co.uk"}
+        # FILE input (just the index): children resolve locally
+        df2 = (read_sitemap_urls(str(d / "sitemap_index.xml"))
+               .to_pandas().sort_values("canonical_url")
+               .reset_index(drop=True))
+        assert df2["canonical_url"].tolist() == [
+            "http://example.com/c1", "http://news.site.co.uk/c2"]
 
     def test_canonicalization(self, ray_session, tmp_path):
         d = tmp_path / "maps"
@@ -95,9 +101,13 @@ class TestDistributed:
         d = tmp_path / "maps"
         d.mkdir()
         (d / "sitemap.xml").write_bytes(URLSET)
+        # duplicate fetches of the same canonical URL must not
+        # multiply frontier rows (review finding)
         crawled = rd.from_arrow(pa.table({
-            "canonical_url": pa.array(["http://example.com/a"])}))
-        cov = (frontier_coverage(str(d), crawled).to_pandas()
-               .set_index("canonical_url"))
+            "url": pa.array(["http://example.com/a",
+                             "http://example.com/a"])}))
+        cov_df = frontier_coverage(str(d), crawled).to_pandas()
+        assert len(cov_df) == 2           # one row per frontier URL
+        cov = cov_df.set_index("canonical_url")
         assert bool(cov.loc["http://example.com/a", "crawled"]) is True
         assert bool(cov.loc["http://example.com/b", "crawled"]) is False

@@ -81,3 +81,25 @@ class TestCurateCrawl:
         write_warc([], str(d / "e.warc"))
         m = curate_crawl(str(d), str(tmp_path / "out3"))
         assert m["pages_in"] == 0 and m["kept_pages"] == 0
+
+
+class TestUriLessPages:
+    def test_uri_less_pages_are_not_dedup_collapsed(self, ray_session,
+                                                    tmp_path):
+        """Review finding: pages missing WARC-Target-URI all landed on
+        the single dedup key "" and only one survived."""
+        from ocr_ray.pipelines.web_pipeline import curate_crawl
+        from ocr_ray.sources.warc import write_warc
+
+        body = "<p>" + " ".join(f"w{i} cont{i}" for i in range(40)) \
+            + "</p>"
+        recs = [{"url": "", "text": f"<html><body>{body} uniq{k}"
+                                    "</body></html>"}
+                for k in range(3)]
+        d = tmp_path / "crawl"
+        d.mkdir()
+        write_warc(recs, str(d / "a.warc"))
+        m = curate_crawl(str(d), str(tmp_path / "out"), min_chars=50)
+        assert m["pages_in"] == 3
+        assert m["url_dups_removed"] == 0
+        assert m["kept_pages"] == 3

@@ -147,3 +147,22 @@ class TestRobotsMeta:
         kept = sorted(filter_noindex(rd.from_arrow(rows))
                       .to_pandas()["doc"])
         assert kept == [1, 2]
+
+
+class TestUriLessPagesSkipped:
+    def test_no_phantom_empty_source_node(self, ray_session, tmp_path):
+        """Review finding: URI-less pages poured their outlinks into
+        one phantom url_id('') node."""
+        from ocr_ray.sources.warc import write_warc
+
+        recs = [
+            {"url": "", "text": '<a href="http://x.test/a">a</a>'},
+            {"url": "http://ok.test/p",
+             "text": '<a href="http://x.test/b">b</a>'},
+        ]
+        d = tmp_path / "crawl"
+        d.mkdir()
+        write_warc(recs, str(d / "a.warc"))
+        df = warc_link_edges(str(d)).to_pandas()
+        assert len(df) == 1
+        assert df["src_url"].tolist() == ["http://ok.test/p"]
