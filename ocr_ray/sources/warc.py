@@ -31,8 +31,11 @@ Parser semantics (deterministic, never raises on malformed tails):
   past EOF, ends parsing of that file (the truncated-crawl case) —
   complete records before it are still returned;
 * HTTP payloads are unwrapped (status+headers dropped at the first
-  blank line); non-2xx responses are skipped; body bytes decode UTF-8
-  with replacement (crawls lie about charsets);
+  blank line); non-2xx responses are skipped; bodies decode per the
+  DECLARED charset (HTTP Content-Type, else the page's own ``<meta
+  charset>`` in the first 2 KB) with strict-UTF-8 then
+  UTF-8-replacement fallback — honoring declarations keeps
+  legitimately latin-1/cp1252 pages from arriving pre-mojibake'd;
 * ``doc_id`` = the WARC-Record-ID urn when present, else
   ``md5(file_path:record_offset)`` — stable across re-reads.
 
@@ -44,6 +47,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import os
+import re
 
 import pyarrow as pa
 
@@ -83,8 +87,9 @@ def _parse_headers(block: bytes) -> dict:
     return headers
 
 
-def _unwrap_http(payload: bytes) -> bytes | None:
-    """HTTP message -> body bytes; None for non-2xx or malformed."""
+def _unwrap_http(payload: bytes) -> tuple[bytes, str] | None:
+    """HTTP message -> (body bytes, declared charset or "");
+    None for non-2xx or malformed."""
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
         return None
@@ -99,7 +104,39 @@ def _unwrap_http(payload: bytes) -> bytes | None:
         return None
     if not 200 <= status < 300:
         return None
-    return payload[sep + 4:]
+    charset = ""
+    m = _HTTP_CHARSET_RE.search(head)
+    if m:
+        charset = m.group(1).decode("latin-1").strip("\"' ").lower()
+    return payload[sep + 4:], charset
+
+
+_HTTP_CHARSET_RE = re.compile(
+    rb"(?im)^content-type:[^\r\n]*charset=([^\s;\"']+|\"[^\"]+\")")
+_META_CHARSET_RE = re.compile(
+    rb"(?i)<meta[^>]+charset\s*=\s*[\"']?([a-z0-9_.:-]+)")
+
+
+def _decode_body(body: bytes, declared: str) -> str:
+    """Decode per the declared charset (HTTP header, else the page's
+    own ``<meta charset>`` in the first 2 KB), falling back to strict
+    UTF-8 then UTF-8-with-replacement.  Honoring declarations keeps
+    legitimately latin-1/cp1252 pages from arriving pre-mojibake'd;
+    a declaration that fails to decode falls through rather than
+    raising (crawls lie about charsets)."""
+    if not declared:
+        m = _META_CHARSET_RE.search(body[:2048])
+        if m:
+            declared = m.group(1).decode("latin-1").lower()
+    if declared and declared not in ("utf-8", "utf8"):
+        try:
+            return body.decode(declared, errors="strict")
+        except (LookupError, UnicodeDecodeError):
+            pass
+    try:
+        return body.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return body.decode("utf-8", errors="replace")
 
 
 def parse_warc_bytes(data: bytes, file_path: str = "",
@@ -131,8 +168,16 @@ def parse_warc_bytes(data: bytes, file_path: str = "",
         if rtype in record_types:
             payload = data[body_start:body_end]
             ctype = headers.get("content-type", "")
+            declared = ""
             if rtype == "response" or "application/http" in ctype:
-                payload = _unwrap_http(payload)
+                unwrapped = _unwrap_http(payload)
+                payload = None if unwrapped is None else unwrapped[0]
+                declared = "" if unwrapped is None else unwrapped[1]
+            else:
+                cm = re.search(r"charset=([^\s;\"\']+)", ctype,
+                               re.IGNORECASE)
+                if cm:
+                    declared = cm.group(1).lower()
             if payload is not None:
                 rid = headers.get("warc-record-id", "").strip("<>")
                 if not rid:
@@ -141,7 +186,7 @@ def parse_warc_bytes(data: bytes, file_path: str = "",
                 out.append({
                     "doc_id": rid,
                     "url": headers.get("warc-target-uri", ""),
-                    "text": payload.decode("utf-8", errors="replace"),
+                    "text": _decode_body(payload, declared),
                 })
         pos = body_end
     return out
@@ -182,10 +227,11 @@ def write_warc(records: list[dict], path: str,
     for i, rec in enumerate(records):
         rtype = rec.get("type", "response")
         if rtype == "response":
-            body = rec["text"].encode("utf-8")
+            cs = rec.get("charset", "UTF-8")
+            body = rec["text"].encode(cs)
             status = rec.get("status", 200)
             http = (f"HTTP/1.1 {status} X\r\n"
-                    f"Content-Type: text/html; charset=UTF-8\r\n"
+                    f"Content-Type: text/html; charset={cs}\r\n"
                     f"\r\n").encode("latin-1") + body
             payload, ctype = http, \
                 'application/http; msgtype=response'

@@ -139,3 +139,49 @@ class TestGzipTruncation:
         data[second + 12] ^= 0xFF
         recs = parse_warc_bytes(bytes(data), p)
         assert [r["text"] for r in recs] == [WANT_TEXTS[0]]
+
+
+class TestCharsetDeclarations:
+    @pytest.mark.parametrize("cs", ["latin-1", "cp1252"])
+    def test_http_declared_8bit_charset_roundtrips(self, tmp_path, cs):
+        p = str(tmp_path / "f.warc")
+        txt = "café déjà vu naïveté für alle señores"
+        write_warc([{"url": "u", "text": txt, "charset": cs}], p)
+        # sanity: the payload really is single-byte-encoded on disk
+        assert "café".encode(cs) in open(p, "rb").read()
+        recs = parse_warc_bytes(open(p, "rb").read(), p)
+        assert recs[0]["text"] == txt
+
+    def test_meta_charset_when_header_silent(self):
+        txt = "señora año"
+        body = ('<html><head><meta charset="iso-8859-1"></head>'
+                f"<body>{txt}</body></html>").encode("iso-8859-1")
+        raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Type: application/http\r\n"
+               b"Content-Length: " + str(len(body) + 44).encode()
+               + b"\r\n\r\n"
+               + b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+               + body + b"\r\n\r\n")
+        recs = parse_warc_bytes(raw, "x")
+        assert len(recs) == 1 and txt in recs[0]["text"]
+        assert "�" not in recs[0]["text"]
+
+    def test_lying_declaration_falls_back_to_utf8(self, tmp_path):
+        # declared latin-1 but the bytes are valid UTF-8 multi-byte:
+        # latin-1 decode SUCCEEDS (latin-1 never fails), producing
+        # mojibake — this is the documented residual the encfix
+        # operator exists for; pin the behavior chain instead
+        p = str(tmp_path / "f.warc")
+        write_warc([{"url": "u", "text": "plain ascii is safe",
+                     "charset": "latin-1"}], p)
+        recs = parse_warc_bytes(open(p, "rb").read(), p)
+        assert recs[0]["text"] == "plain ascii is safe"
+
+    def test_bogus_charset_name_ignored(self):
+        body = "ok fine".encode("utf-8")
+        raw = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+               b"Content-Type: text/plain; charset=not-a-charset\r\n"
+               b"Content-Length: " + str(len(body)).encode()
+               + b"\r\n\r\n" + body + b"\r\n\r\n")
+        recs = parse_warc_bytes(raw, "x")
+        assert recs[0]["text"] == "ok fine"
