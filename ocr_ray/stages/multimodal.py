@@ -222,3 +222,145 @@ def sample_frames(media_ds, *, codec: str = "fake", frame_stride: int = 4000,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ------------------------------------------ perceptual-hash dedup
+
+def phash64(arr: np.ndarray) -> int:
+    """Classic DCT perceptual hash of a decoded signal -> 64-bit int.
+
+    1D signals (audio) fold into a 2D frame matrix first; the signal
+    block-means down to 32x32, a DCT-II keeps the 8x8 low-frequency
+    corner (DC dropped), and the median-threshold bit pattern is the
+    hash.  Small perturbations flip few bits (hamming distance is the
+    similarity metric); deterministic, pure numpy."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 1:
+        w = 64
+        n = max(1, len(a) // w)
+        a = np.resize(a, (n, w)) if len(a) else np.zeros((1, w))
+    h, w = a.shape
+    # block-mean resize to 32x32 (pad by edge wrap via np.resize)
+    if h < 32 or w < 32:
+        a = np.resize(a, (max(h, 32), max(w, 32)))
+        h, w = a.shape
+    ys = (np.arange(32 + 1) * h // 32)
+    xs = (np.arange(32 + 1) * w // 32)
+    small = np.empty((32, 32))
+    csum = np.zeros((h + 1, w + 1))
+    csum[1:, 1:] = a.cumsum(0).cumsum(1)
+    for i in range(32):
+        y0, y1 = ys[i], ys[i + 1]
+        area_rows = csum[y1, xs[1:]] - csum[y0, xs[1:]] \
+            - csum[y1, xs[:-1]] + csum[y0, xs[:-1]]
+        small[i] = area_rows / ((y1 - y0) * (xs[1:] - xs[:-1]))
+    k = np.arange(32)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 64)
+    dct = basis @ small @ basis.T
+    low = dct[:8, :8].ravel()[1:]          # drop the DC term
+    bits = low > np.median(low)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out << 1  # pad to 64 bits (63 comparison bits + 1 zero)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+class MediaPHasher:
+    """Actor-pool stage: decode -> phash64 per media row.  Same codec
+    seam as MediaFeatureExtractor (``stub`` raises at the decode)."""
+
+    def __init__(self, codec: str = "fake"):
+        if codec not in ("fake", "stub"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.codec = codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        refs = batch["media_ref"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        metas = batch["meta"].to_pylist()
+        hashes = []
+        for i in range(batch.num_rows):
+            if self.codec == "stub":
+                raise NotImplementedError(
+                    "real media decoding requires Pillow/ffmpeg — the "
+                    "'fake' codec exercises the plumbing")
+            data = _fake_decode(payloads[i].as_py(), types[i], metas[i])
+            hashes.append(phash64(data))
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "media_type": pa.array(types, pa.string()),
+            "phash": pa.array(np.array(hashes, dtype=np.uint64)
+                              .astype(np.int64)),
+        })
+
+
+def media_phashes(media_ds, *, codec: str = "fake",
+                  batch_size: int = 32, concurrency=(1, 8)):
+    """media table -> (media_ref, media_type, phash:int64)."""
+    return media_ds.map_batches(
+        MediaPHasher, batch_size=batch_size, concurrency=concurrency,
+        fn_constructor_kwargs={"codec": codec},
+        batch_format="pyarrow")
+
+
+def media_dup_pairs(media_ds, *, max_hamming: int = 6,
+                    codec: str = "fake", batch_size: int = 32):
+    """Near-duplicate media pairs by perceptual hash — the simhash
+    banding trick on the 64-bit phash: 4 x 16-bit bands bucket
+    candidates (any pair within hamming 3 of each other shares a band
+    by pigeonhole; the default 6 relies on the same partial-recall
+    contract simhash documents), exact in-bucket hamming verifies.
+    Returns Dataset[ref_a, ref_b, hamming] with ref_a < ref_b."""
+    from ray.data.aggregate import Min
+
+    hashes = media_phashes(media_ds, codec=codec,
+                           batch_size=batch_size).materialize()
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        h = batch["phash"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        refs = batch["media_ref"].to_pylist()
+        band_id, band_key, ref_col, ph = [], [], [], []
+        for b in range(4):
+            chunk = ((h >> np.uint64(16 * b))
+                     & np.uint64(0xFFFF)).astype(np.int64)
+            band_id.extend([b] * len(refs))
+            band_key.extend(chunk.tolist())
+            ref_col.extend(refs)
+            ph.extend(h.astype(np.int64).tolist())
+        return pa.table({"band_id": pa.array(band_id, pa.int64()),
+                         "band_key": pa.array(band_key, pa.int64()),
+                         "media_ref": pa.array(ref_col, pa.string()),
+                         "phash": pa.array(ph, pa.int64())})
+
+    pair_schema = pa.schema([("ref_a", pa.string()),
+                             ("ref_b", pa.string()),
+                             ("hamming", pa.int64())])
+
+    def bucket_pairs(group: pa.Table, maxh=max_hamming) -> pa.Table:
+        refs = group["media_ref"].to_pylist()
+        hs = group["phash"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        order = np.argsort(np.asarray(refs))
+        out = []
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                a, b = order[ii], order[jj]
+                if refs[a] == refs[b]:
+                    continue
+                d = bin(int(hs[a]) ^ int(hs[b])).count("1")
+                if d <= maxh:
+                    out.append({"ref_a": refs[a], "ref_b": refs[b],
+                                "hamming": d})
+        return pa.Table.from_pylist(out, schema=pair_schema)
+
+    return (hashes.map_batches(to_bands, batch_format="pyarrow")
+            .groupby(["band_id", "band_key"])
+            .map_groups(bucket_pairs, batch_format="pyarrow")
+            .groupby(["ref_a", "ref_b"])
+            .aggregate(Min("hamming", alias_name="hamming")))

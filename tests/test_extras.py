@@ -466,3 +466,60 @@ class TestSessionize:
         pd.testing.assert_frame_equal(
             got[["user_id", "n_events", "n_sessions"]], want,
             check_dtype=False)
+
+
+class TestMediaPHash:
+    def test_kernel_invariance_and_separation(self):
+        import numpy as np
+
+        from ocr_ray.stages.multimodal import hamming64, phash64
+
+        rng = np.random.default_rng(3)
+        img = rng.random((64, 80))
+        h0 = phash64(img)
+        assert hamming64(h0, phash64(img + rng.normal(0, 0.01,
+                                                      img.shape))) <= 3
+        assert hamming64(h0, phash64(img * 1.1 + 0.05)) <= 3
+        assert hamming64(h0, phash64(rng.random((64, 80)))) >= 16
+        # audio (1D) path
+        aud = rng.random(5000)
+        assert hamming64(phash64(aud),
+                         phash64(aud + rng.normal(0, 0.01, 5000))) <= 3
+        # degenerate shapes are total
+        assert isinstance(phash64(np.ones((3, 3))), int)
+        assert phash64(np.array([])) == 0
+
+    def test_distributed_exact_dups_found(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocr_ray.stages.multimodal import (media_dup_pairs,
+                                               synth_media_table)
+
+        t = synth_media_table(24, seed=7)
+        # plant an exact payload dup of row 0 under a new ref
+        dup = t.slice(0, 1).to_pylist()[0]
+        dup["media_ref"] = "dup-of-0"
+        t2 = pa.concat_tables([t, pa.Table.from_pylist([dup],
+                                                       schema=t.schema)])
+        pairs = media_dup_pairs(rd.from_arrow(t2), max_hamming=3) \
+            .to_pandas()
+        got = {(r.ref_a, r.ref_b, r.hamming)
+               for r in pairs.itertuples()}
+        planted = tuple(sorted([t.to_pylist()[0]["media_ref"],
+                                "dup-of-0"]))
+        assert (planted[0], planted[1], 0) in got
+        # distinct synthetic payloads must not collide at hamming<=3
+        assert all({a, b} == set(planted) for a, b, _ in got)
+
+    def test_stub_codec_raises_at_decode(self, ray_session):
+        import pytest as _pt
+        import ray.data as rd
+
+        from ocr_ray.stages.multimodal import (media_phashes,
+                                               synth_media_table)
+
+        ds = media_phashes(rd.from_arrow(synth_media_table(4)),
+                           codec="stub")
+        with _pt.raises(Exception):
+            ds.materialize()
