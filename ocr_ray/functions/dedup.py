@@ -191,18 +191,24 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
     return minhash_lsh_pairs_from_features(feats, jaccard_threshold)
 
 
-def band_expansion(sig_blobs: list[bytes]
+def band_expansion(sig_blobs: list[bytes],
+                   rows_per_band: int = _ROWS_PER_BAND
                    ) -> tuple[list[int], list[str], list[int]]:
-    """The ONE banding geometry: each signature blob expands to _BANDS
-    (band_id, blake2b-band_hash) rows; returns parallel lists plus the
-    source row index so callers attach their own passthrough columns.
-    Shared by the within-corpus LSH family and the cross-dataset
-    fuzzy join — a band-geometry change can never drift between them."""
+    """The ONE banding geometry: each signature blob expands to
+    n_perm/rows_per_band (band_id, blake2b-band_hash) rows; returns
+    parallel lists plus the source row index so callers attach their
+    own passthrough columns.  Shared by the within-corpus LSH family
+    (default 8x4) and the cross-dataset fuzzy join — a band-geometry
+    change can never drift between them.  Smaller ``rows_per_band``
+    re-tunes the SAME signatures for low-threshold recall (16x2:
+    collision prob 1-(1-j^2)^16 ≈ 0.97 at j = 0.45 where 8x4 reads
+    0.26)."""
     band_ids, band_hashes, row_idx = [], [], []
     for j, sig in enumerate(sig_blobs):
         arr = np.frombuffer(sig, dtype=np.uint64)
-        for band in range(_BANDS):
-            chunk = arr[band * _ROWS_PER_BAND:(band + 1) * _ROWS_PER_BAND]
+        n_bands = len(arr) // rows_per_band
+        for band in range(n_bands):
+            chunk = arr[band * rows_per_band:(band + 1) * rows_per_band]
             band_ids.append(band)
             band_hashes.append(hashlib.blake2b(
                 chunk.tobytes(), digest_size=8).hexdigest())

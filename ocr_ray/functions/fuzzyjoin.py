@@ -59,19 +59,30 @@ def _as_dataset(obj, key_col: str, text_col: str):
 
 def fuzzy_join(left, right, *, key_col: str = "doc_id",
                text_col: str = "text", jaccard_threshold: float = 0.8,
-               edit_threshold: float | None = None):
+               edit_threshold: float | None = None,
+               band_rows: int | None = None):
     """Near-duplicate text pairs ACROSS two datasets.
 
     ``left`` / ``right``: Datasets or pa.Tables with (key_col:int64,
     text_col:string).  Returns Dataset[left_id, right_id, jaccard
     (, edit_sim)] with jaccard >= jaccard_threshold (and edit_sim >=
     edit_threshold when given), rounded half-up to 1e-4.  Within-side
-    pairs are never emitted.  No driver-side corpus reads."""
+    pairs are never emitted.  No driver-side corpus reads.
+
+    ``band_rows`` re-tunes the LSH band geometry over the SAME 32-perm
+    signatures: defaults to 4 (8x4 bands — the dedup-family tuning for
+    thr >= 0.7) when jaccard_threshold >= 0.6 and to 2 (16x2 — recall
+    ~0.97 at j = 0.45 where 8x4 reads 0.26) below, at the cost of more
+    candidate pairs; pass explicitly to pin either."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
     a, b = _perm_params()
     keep_text = edit_threshold is not None
+    if band_rows is None:
+        band_rows = 4 if jaccard_threshold >= 0.6 else 2
+    if band_rows not in (1, 2, 4, 8, 16, 32):
+        raise ValueError("band_rows must divide the 32-perm signature")
 
     def featurize(side_tag: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -93,7 +104,8 @@ def fuzzy_join(left, right, *, key_col: str = "doc_id",
         sig_list = batch["sig"].to_pylist()
         ids = batch["doc_id"].to_pylist()
         sides = batch["side"].to_pylist()
-        band_id, band_hash, rows = band_expansion(sig_list)
+        band_id, band_hash, rows = band_expansion(sig_list,
+                                                  rows_per_band=band_rows)
         return pa.table({"band_id": pa.array(band_id, pa.int64()),
                          "band_hash": pa.array(band_hash, pa.string()),
                          "doc_id": pa.array([ids[j] for j in rows],

@@ -154,3 +154,42 @@ class TestFuzzyJoin:
         ds = fuzzy_join(left, right, jaccard_threshold=0.9)
         assert ds.count() == 0
         assert set(ds.schema().names) == {"left_id", "right_id", "jaccard"}
+
+
+class TestBandGeometry:
+    def test_low_threshold_auto_loosens_bands(self, ray_session):
+        """Below thr 0.6 the same 32-perm signatures re-band 16x2:
+        collision prob at j~0.45 goes 0.26 -> ~0.97.  Planted
+        moderate-overlap pairs (drop every 7th word: shingle j ~ 0.44)
+        must be found at thr 0.4 — the 8x4 geometry misses most."""
+        import numpy as np
+
+        from ocr_ray.functions.fuzzyjoin import fuzzy_join
+
+        rng = np.random.default_rng(11)
+        n = 25
+        docs = [" ".join(f"w{rng.integers(0, 50_000)}x{j}"
+                         for j in range(70)) for _ in range(n)]
+        mut = [" ".join(w for i, w in enumerate(d.split()) if i % 7)
+               for d in docs]
+        left = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                         "text": pa.array(docs)})
+        right = pa.table({"doc_id": pa.array([100 + i for i in range(n)],
+                                             pa.int64()),
+                          "text": pa.array(mut)})
+        auto = fuzzy_join(left, right, jaccard_threshold=0.4).to_pandas()
+        hits = {(r.left_id, r.right_id) for r in auto.itertuples()}
+        planted = {(i, 100 + i) for i in range(n)}
+        assert len(hits & planted) / n >= 0.9
+        # pinned tight geometry finds far fewer of the same pairs
+        tight = fuzzy_join(left, right, jaccard_threshold=0.4,
+                           band_rows=4).to_pandas()
+        t_hits = {(r.left_id, r.right_id) for r in tight.itertuples()}
+        assert len(t_hits & planted) < len(hits & planted)
+
+    def test_invalid_band_rows_refused(self, ray_session):
+        from ocr_ray.functions.fuzzyjoin import fuzzy_join
+
+        left, right = _tables()
+        with pytest.raises(ValueError, match="band_rows"):
+            fuzzy_join(left, right, band_rows=3)
