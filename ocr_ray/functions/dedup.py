@@ -821,17 +821,25 @@ SELECT doc_id, cluster_id FROM (
 # -------------------------------------------- leakage-safe corpus split
 
 def leakage_safe_split(sf_dir: str, test_permille: int = 100,
-                       near: bool = True):
+                       near: bool = True,
+                       splits: dict[str, int] | None = None):
     """Train/heldout assignment that can never leak a near-duplicate
-    across the boundary: the split unit is the DUP CLUSTER, not the
+    across any boundary: the split unit is the DUP CLUSTER, not the
     document.  Every doc joins its cluster id (connected component over
     exact ∪ minhash near-dup pairs; singletons group as themselves),
-    and the whole group lands in `test` iff
-    ``int(md5(str(group_key))[:8], 16) %% 1000 < test_permille`` — the
-    repo's deterministic md5-sample discipline, reproducible anywhere.
+    and the whole group's bucket is
+    ``int(md5(str(group_key))[:8], 16) %% 1000`` — the repo's
+    deterministic md5-sample discipline, reproducible anywhere.
+
+    Default: 2-way, ``test`` iff bucket < test_permille, else
+    ``train``.  ``splits`` generalizes to K-WAY: an ordered
+    {name: permille} dict summing to <= 1000 claims consecutive bucket
+    ranges in insertion order, remaining buckets land in ``train`` —
+    e.g. ``{"test": 10, "val": 10}`` gives a 1%/1%/98%
+    test/val/train cut with every dup cluster wholly inside one split.
 
     A plain per-doc hash split puts ~2·p·(1-p) of every dup pair across
-    the boundary (eval contamination); here pairs co-assign by
+    a boundary (eval contamination); here pairs co-assign by
     construction (tested on planted near-dups).
 
     Output Dataset: (doc_id, group_key, split).  All joins are
@@ -842,6 +850,22 @@ def leakage_safe_split(sf_dir: str, test_permille: int = 100,
     import ray.data as rd
 
     from ._io import clean_read
+
+    if splits is None:
+        splits = {"test": test_permille}
+    total = sum(splits.values())
+    if total > 1000 or any(v < 0 for v in splits.values()):
+        raise ValueError(f"split permilles {splits} must be >= 0 and "
+                         "sum to <= 1000 (the rest is 'train')")
+    if "train" in splits:
+        raise ValueError("'train' is the implicit remainder — name the "
+                         "heldout splits only")
+    # consecutive bucket ranges in insertion order
+    edges: list[tuple[int, str]] = []
+    acc = 0
+    for name, pm in splits.items():
+        acc += pm
+        edges.append((acc, name))
 
     if near:
         # fused featurize: md5 + minhash families from ONE text scan
@@ -863,9 +887,16 @@ def leakage_safe_split(sf_dir: str, test_permille: int = 100,
                              batch["cluster_id"])
         else:
             grp = ids
-        split = ["test" if int(_h.md5(str(g).encode()).hexdigest()[:8],
-                               16) % 1000 < test_permille else "train"
-                 for g in grp.to_pylist()]
+        split = []
+        for g in grp.to_pylist():
+            bucket = int(_h.md5(str(g).encode()).hexdigest()[:8],
+                         16) % 1000
+            name = "train"
+            for hi, nm in edges:
+                if bucket < hi:
+                    name = nm
+                    break
+            split.append(name)
         return pa.table({"doc_id": pc.cast(ids, pa.int64()),
                          "group_key": pc.cast(grp, pa.int64()),
                          "split": pa.array(split, pa.string())})

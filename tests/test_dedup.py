@@ -465,3 +465,49 @@ class TestSingleScanCompositions:
         grp = split.set_index("doc_id")["split"]
         assert grp[1] == grp[2] == grp[3]
         assert len(scans2) == 1, f"expected one text scan, saw {scans2}"
+
+
+class TestKWaySplit:
+    def test_three_way_rule_and_coassignment(self, ray_session,
+                                             planted_dir):
+        import hashlib
+
+        from ocr_ray.functions.dedup import leakage_safe_split
+
+        df = leakage_safe_split(planted_dir,
+                                splits={"test": 300, "val": 300}) \
+            .to_pandas().set_index("doc_id")
+        # cluster {1,2,3} still wholly inside one split
+        assert df.loc[1, "split"] == df.loc[2, "split"] \
+            == df.loc[3, "split"]
+        # documented consecutive-range rule
+        for did, row in df.iterrows():
+            b = int(hashlib.md5(str(row["group_key"]).encode())
+                    .hexdigest()[:8], 16) % 1000
+            want = "test" if b < 300 else ("val" if b < 600 else "train")
+            assert row["split"] == want
+
+    def test_default_unchanged_and_refusals(self, ray_session,
+                                            planted_dir):
+        from ocr_ray.functions.dedup import leakage_safe_split
+
+        a = leakage_safe_split(planted_dir, test_permille=500) \
+            .to_pandas().set_index("doc_id")["split"].to_dict()
+        b = leakage_safe_split(planted_dir, splits={"test": 500}) \
+            .to_pandas().set_index("doc_id")["split"].to_dict()
+        assert a == b
+        with pytest.raises(ValueError, match="sum to"):
+            leakage_safe_split(planted_dir, splits={"a": 600, "b": 600})
+        with pytest.raises(ValueError, match="remainder"):
+            leakage_safe_split(planted_dir, splits={"train": 100})
+
+    def test_sf0001_three_way_fractions(self, ray_session):
+        from ocr_ray.functions.dedup import leakage_safe_split
+
+        df = leakage_safe_split("/root/testdata/sf0.001",
+                                splits={"test": 100, "val": 100}) \
+            .to_pandas()
+        counts = df["split"].value_counts()
+        assert set(counts.index) <= {"train", "val", "test"}
+        assert counts["train"] > counts.get("val", 0) > 0
+        assert counts.get("test", 0) > 0
