@@ -122,3 +122,60 @@ SELECT event_type,
            AS BIGINT) AS redacted_len
 FROM events GROUP BY event_type
 """
+
+
+def pii_spans_text(text: str, patterns=PII_PATTERNS
+                   ) -> list[tuple[str, int, int]]:
+    """(kind, start, end) character spans of every PII hit in ONE
+    string, against the ORIGINAL text — the audit/annotation view of
+    the same ordered pattern pass ``redact_batch`` applies.
+
+    Ordered-pass emulation with stable offsets: after each pattern,
+    matched regions are masked in a working copy with NULs (same
+    length, so offsets never shift), which reproduces redaction's
+    "later patterns don't re-match inside earlier hits" semantics
+    without the length changes the real [PII] token introduces.  The
+    one divergence (a later pattern matching ACROSS a [PII] seam in
+    the redacted string) cannot produce a span here by construction —
+    documented, and the splice-equality test pins agreement on
+    realistic text.
+    """
+    import re as _re
+
+    spans: list[tuple[str, int, int]] = []
+    work = text
+    for name, pat in patterns:
+        for m in _re.finditer(pat, work):
+            spans.append((name, m.start(), m.end()))
+        if spans:
+            buf = list(work)
+            for _, s, e in spans:
+                for i in range(s, e):
+                    buf[i] = "\x00"
+            work = "".join(buf)
+    spans.sort(key=lambda t: t[1])
+    return spans
+
+
+def pii_spans(sf_dir: str, patterns=PII_PATTERNS):
+    """Dataset[doc_id, kind, start, end] — one row per PII hit over
+    the documents table, offsets into the ORIGINAL text.  Map-only."""
+    from .corpus_prep import _read
+
+    ds = _read(sf_dir, ["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out_id, out_kind, out_s, out_e = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            for kind, s, e in pii_spans_text(text or "", patterns):
+                out_id.append(doc_id)
+                out_kind.append(kind)
+                out_s.append(s)
+                out_e.append(e)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "kind": pa.array(out_kind, pa.string()),
+                         "start": pa.array(out_s, pa.int64()),
+                         "end": pa.array(out_e, pa.int64())})
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=2048)

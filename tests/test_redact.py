@@ -80,3 +80,57 @@ class TestRedactDataset:
 
         _check(props_redaction("/root/testdata/sf0.001"),
                PROPS_REDACTION_SQL)
+
+
+class TestPIISpans:
+    def test_spans_slice_to_matches_and_splice_equals_redaction(self):
+        from ocr_ray.functions.redact import (REDACTION_TOKEN,
+                                              pii_spans_text,
+                                              redact_batch)
+
+        for text, *_ in PLANTED:
+            spans = pii_spans_text(text)
+            # offsets are into the original text and non-overlapping
+            last_end = 0
+            for kind, s, e in spans:
+                assert 0 <= s < e <= len(text)
+                assert s >= last_end
+                last_end = e
+            # splicing [PII] over the spans reproduces redact_batch
+            out, pos = [], 0
+            for _, s, e in spans:
+                out.append(text[pos:s])
+                out.append(REDACTION_TOKEN)
+                pos = e
+            out.append(text[pos:])
+            red, _ = redact_batch(pa.array([text]))
+            assert "".join(out) == red.to_pylist()[0]
+
+    def test_ordered_mask_blocks_nested_rematches(self):
+        from ocr_ray.functions.redact import pii_spans_text
+
+        # an ssn-shaped substring INSIDE an email local part must not
+        # double-report: email (pattern 1) masks it before ssn runs —
+        # exactly redact_batch's ordered-replacement semantics
+        text = "mail x123-45-6789@corp.org and bare 123-45-6789"
+        spans = pii_spans_text(text)
+        kinds = [k for k, *_ in spans]
+        assert kinds == ["email", "ssn"]
+        assert text[spans[1][1]:spans[1][2]] == "123-45-6789"
+        assert spans[1][1] > spans[0][2]   # the bare one, not the nested
+
+    def test_distributed(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq_
+
+        from ocr_ray.functions.redact import pii_spans, pii_spans_text
+
+        texts = [t for t, *_ in PLANTED]
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts)})
+        pq_.write_table(tbl, str(tmp_path / "documents.parquet"))
+        df = (pii_spans(str(tmp_path)).to_pandas()
+              .sort_values(["doc_id", "start"]).reset_index(drop=True))
+        want = [(i, k, s, e) for i, t in enumerate(texts)
+                for k, s, e in pii_spans_text(t)]
+        got = list(df.itertuples(index=False, name=None))
+        assert got == want
