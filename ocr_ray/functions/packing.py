@@ -317,3 +317,53 @@ def shuffle_packs(materialized_ds, seed: int = 0):
     return (materialized_ds
             .map_batches(key, batch_format="pyarrow")
             .sort("order_key"))
+
+
+def export_packs_jsonl(pack_rows_ds, out_dir: str,
+                       columns: list[str] | None = None) -> dict:
+    """Write materialized pack rows as JSONL shards — the interchange
+    format most trainer data loaders consume directly.
+
+    ``pack_rows_ds``: ``materialize_packs`` output (any emit mode).
+    One ``shard-<k>.jsonl`` per pack shard (the shard column keeps the
+    trainer-facing file layout aligned with the pack hash sharding,
+    so resumable loaders can address shards independently), plus a
+    ``manifest.json`` with per-shard row counts and the column list.
+    Writes are atomic per shard (tmp+rename); re-export replaces.
+
+    Scale shape: one Ray task per shard writes its own file (rows of a
+    shard co-locate by construction); nothing funnels through the
+    driver except the manifest scalars."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        shard = int(group["shard"][0].as_py())
+        cols = columns or [c for c in group.column_names]
+        path = os.path.join(out_dir, f"shard-{shard:05d}.jsonl")
+        tmp = path + ".tmp"
+        order = pc.sort_indices(group, sort_keys=[("pack_id",
+                                                   "ascending")])
+        rows = group.take(order).select(cols).to_pylist()
+        with open(tmp, "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(json.dumps(r, ensure_ascii=False) + "\n")
+        os.replace(tmp, path)
+        return pa.table({"shard": pa.array([shard], pa.int64()),
+                         "n_rows": pa.array([len(rows)], pa.int64())})
+
+    stats = (pack_rows_ds.groupby("shard")
+             .map_groups(write_shard, batch_format="pyarrow")
+             .take_all())
+    manifest = {
+        "shards": {int(r["shard"]): int(r["n_rows"]) for r in stats},
+        "n_packs": int(sum(r["n_rows"] for r in stats)),
+        "columns": columns,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest

@@ -323,3 +323,73 @@ class TestShufflePacks:
         # below the sorted-by-shard baseline (which is ~1)
         same = (out["shard"].values[1:] == out["shard"].values[:-1]).mean()
         assert same < 0.6, same
+
+
+class TestJSONLExport:
+    def test_export_roundtrip_and_manifest(self, ray_session, tmp_path):
+        import json
+        import os
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocr_ray.functions.packing import (export_packs_jsonl,
+                                               materialize_packs,
+                                               pack_chunks)
+
+        chunks = pa.table({
+            "doc_id": pa.array(range(40), pa.int64()),
+            "chunk_id": pa.array([0] * 40, pa.int64()),
+            "n_tokens": pa.array([30] * 40, pa.int64()),
+            "chunk_md5": pa.array([f"m{i}" for i in range(40)]),
+            "text": pa.array([" ".join(f"t{i}w{j}" for j in range(30))
+                              for i in range(40)]),
+        })
+        packed = pack_chunks(rd.from_arrow(chunks), budget_tokens=64)
+        rows = materialize_packs(packed)
+        m = export_packs_jsonl(rows, str(tmp_path / "jsonl"))
+        files = sorted(os.listdir(tmp_path / "jsonl"))
+        shard_files = [f for f in files if f.endswith(".jsonl")]
+        assert len(shard_files) == len(m["shards"])
+        # every pack row round-trips through the JSONL
+        back = []
+        for f in shard_files:
+            for line in open(tmp_path / "jsonl" / f, encoding="utf-8"):
+                back.append(json.loads(line))
+        want = rows.to_pandas()
+        assert len(back) == m["n_packs"] == len(want)
+        assert {r["pack_id"] for r in back} == set(want["pack_id"])
+        texts = {r["pack_id"]: r["text"] for r in back}
+        for r in want.itertuples():
+            assert texts[r.pack_id] == r.text
+        disk = json.load(open(tmp_path / "jsonl" / "manifest.json"))
+        assert disk["n_packs"] == m["n_packs"]
+
+    def test_atomic_reexport_and_column_subset(self, ray_session,
+                                               tmp_path):
+        import json
+        import os
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocr_ray.functions.packing import (export_packs_jsonl,
+                                               materialize_packs,
+                                               pack_chunks)
+
+        chunks = pa.table({
+            "doc_id": pa.array(range(10), pa.int64()),
+            "chunk_id": pa.array([0] * 10, pa.int64()),
+            "n_tokens": pa.array([5] * 10, pa.int64()),
+            "chunk_md5": pa.array([f"m{i}" for i in range(10)]),
+            "text": pa.array(["a b c d e"] * 10),
+        })
+        rows = materialize_packs(
+            pack_chunks(rd.from_arrow(chunks), budget_tokens=16))
+        d = str(tmp_path / "out")
+        export_packs_jsonl(rows, d)
+        m2 = export_packs_jsonl(rows, d, columns=["pack_id", "text"])
+        f = sorted(x for x in os.listdir(d) if x.endswith(".jsonl"))[0]
+        first = json.loads(open(os.path.join(d, f)).readline())
+        assert set(first) == {"pack_id", "text"}
+        assert m2["columns"] == ["pack_id", "text"]
