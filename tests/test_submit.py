@@ -58,3 +58,40 @@ class TestSubmitPayload:
         payload = json.loads(out.stdout)
         assert payload["entrypoint"].startswith("python scripts/run_job")
         assert "head_system_config" in payload
+
+
+class TestSizeAdvisor:
+    def test_admission_rule_keeps_all_slots_busy(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "size_advisor", os.path.join(
+                os.path.dirname(os.path.dirname(__file__)),
+                "scripts", "size_advisor.py"))
+        sa = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(sa)
+
+        # the measured round-4 failure case: 2 GB store, 30 task slots,
+        # 128 MB blocks admitted only ~2 tasks — the advisor must cap
+        # block size so admitted tasks >= slots
+        rec = sa.advise(corpus_bytes=12e9, n_nodes=1, cpus_per_node=32,
+                        store_bytes_per_node=2 * 1024 ** 3)
+        assert rec["block_is_store_limited"]
+        assert rec["target_max_block_size_bytes"] <= 2 * 1024 ** 3 // (4 * 30 * 2)
+        assert rec["admitted_tasks_per_node"] >= rec["task_slots_per_node"]
+        # generous store: the 128 MB default stands
+        rec2 = sa.advise(corpus_bytes=100 * 1024 ** 4, n_nodes=256,
+                         cpus_per_node=32,
+                         store_bytes_per_node=128 * 1024 ** 3)
+        assert not rec2["block_is_store_limited"]
+        assert rec2["target_max_block_size_bytes"] == 128 * 1024 ** 2
+        # file sizing tracks blocks; counts cover the cluster
+        assert rec2["recommended_file_bytes"] == \
+            rec2["target_max_block_size_bytes"]
+        assert rec2["recommended_n_files"] >= 256 * 30
+        # 2/3 actor-pool rule
+        assert rec2["actor_pool_size"] == (256 * 32 * 2) // 3
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            sa.advise(0, 1, 1, 1)
